@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (builder tooling only, not
+part of the shipped library): run graft.Verify at a given SF, then execute each
+oracle_sql.json query in DuckDB over the same parquet tables and compare
+row count / schema / values (rows and columns sorted) per query.
+
+Usage: python3 selfcheck.py [sfDir] [outDir] [--skip-verify]
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=3600)
+    tail = (r.stdout + r.stderr)[-3000:]
+    if r.returncode != 0:
+        print("VERIFY FAILED:\n", tail); sys.exit(1)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracles = json.loads((OUT / "oracle_sql.json").read_text())
+
+def norm(v):
+    if v is None: return None
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return round(v, 9)
+    if isinstance(v, bytes): return v.hex()
+    return v
+
+def canon(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+fails = []
+for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if p.is_dir()}):
+    d = OUT / name
+    if not d.is_dir():
+        print(f"MISSING-RESULT {name} (query did not write output)"); fails.append(name); continue
+    tbl = pq.read_table(d)
+    snames = tbl.column_names
+    srows = [tuple(c[i] for c in (col.to_pylist() for col in tbl.columns)) for i in range(tbl.num_rows)]
+    # rebuild rows properly (column-major -> row-major)
+    cols = [c.to_pylist() for c in tbl.columns]
+    srows = list(zip(*cols)) if cols else []
+    if name not in oracles:
+        print(f"NO-ORACLE    {name}: rows={tbl.num_rows} (rows-only check)"); continue
+    try:
+        res = con.sql(oracles[name])
+        dnames = res.columns
+        drows = res.fetchall()
+    except Exception as e:
+        print(f"ORACLE-ERR   {name}: {str(e).splitlines()[0][:160]}"); fails.append(name); continue
+    if sorted(snames) != sorted(dnames):
+        print(f"SCHEMA-MISM  {name}: spark={sorted(snames)} duck={sorted(dnames)}"); fails.append(name); continue
+    if len(srows) != len(drows):
+        print(f"ROWS-MISM    {name}: spark={len(srows)} duck={len(drows)}"); fails.append(name); continue
+    cs, cd = canon(srows, snames), canon(drows, dnames)
+    if cs != cd:
+        bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
+        print(f"VALUE-MISM   {name}: first diff row {bad}:\n  spark={cs[bad]}\n  duck ={cd[bad]}")
+        fails.append(name); continue
+    print(f"OK           {name}: rows={len(srows)}")
+
+print(f"\n{'FAIL' if fails else 'PASS'}: {len(oracles) - len(fails)}/{len(oracles)} oracle-checked queries match", f"failures: {fails}" if fails else "")
+sys.exit(1 if fails else 0)

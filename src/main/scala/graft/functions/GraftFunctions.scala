@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Column-level API for the graft engine's scalar surface.
+  *
+  * Two design rules:
+  *  1. Vector math goes through the native codegen expressions in
+  *     [[VectorExpressions]] (hot path, whole-stage-codegen friendly).
+  *  2. Everything that participates in a DuckDB-oracle-checked query is built ONLY
+  *     from engine-portable primitives (md5 hex, arithmetic, string ops) so the
+  *     oracle SQL computes bit-identical values. In particular all hashing is
+  *     md5-derived ("portable hash") rather than Spark's murmur3 `hash()`, which
+  *     DuckDB cannot reproduce.
+  */
+object GraftFunctions {
+
+  // ---------------------------------------------------------------- vectors
+
+  /** Cosine similarity, reference formula dot/(||a||*||b|| + 1e-8) (IVF.cpp:150). */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** L2 norm — the reference's per-query norm hoist (cosine_similarity.cu:23-29). */
+  def l2Norm(a: Column): Column =
+    ExpressionUtils.column(L2Norm(ExpressionUtils.expression(a)))
+
+  /** Register SQL names so `spark.sql("SELECT cosine_sim(a, b) ...")` works. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+  }
+
+  // ---------------------------------------------------- portable hashing
+  // h60/h32: first 15 (resp. 8) hex chars of md5 as a non-negative BIGINT.
+  // Portable: Spark `conv(substr(md5(s),1,15),16,10)` == DuckDB
+  // `('0x' || substr(md5(s),1,15))::BIGINT`. 60 bits < 2^63 so no sign issues.
+
+  /** 60-bit portable hash of a string column. */
+  def h60(s: Column): Column =
+    conv(substring(md5(encode(s, "UTF-8")), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB SQL rendering of [[h60]] over SQL fragment `s`. */
+  def h60Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 15))::BIGINT)"
+
+  /** 32-bit portable hash of a string column. */
+  def h32(s: Column): Column =
+    conv(substring(md5(encode(s, "UTF-8")), 1, 8), 16, 10).cast(LongType)
+
+  def h32Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
+
+  // ------------------------------------------------------------- text ops
+  // The documents testdata is single-space-separated ASCII tokens (verified in
+  // TESTDATA profiling), so a literal single-space split is exact and portable
+  // (DuckDB string_split(text, ' ')).
+
+  /** Whitespace tokenization: text -> ARRAY<STRING>. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-shingles, distinct. Empty array when the doc has fewer than 3
+    * tokens (ANSI-safe: no negative slice lengths, no out-of-bounds access).
+    *
+    * Implementation note (hot-path): built from `slice` + `zip_with` so the
+    * `words` array is a DIRECT child of each operator — evaluated O(1) times
+    * per row. The naive `transform(sequence(1, n-2), i -> element_at(words, i)
+    * …)` form re-evaluates the inlined `split(text)` per lambda element after
+    * Catalyst's CollapseProject, turning shingling O(n²) per row (measured 43s
+    * for 500 docs before this rewrite; ~1s after).
+    */
+  def shingles3(words: Column): Column = {
+    val n = size(words)
+    val w1 = slice(words, lit(1), n - 2)
+    val w2 = slice(words, lit(2), n - 2)
+    val w3 = slice(words, lit(3), n - 2)
+    when(n >= 3,
+      array_distinct(
+        zip_with(zip_with(w1, w2, (a, b) => concat(a, lit(" "), b)), w3,
+          (ab, c) => concat(ab, lit(" "), c))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB rendering of [[shingles3]] over a list-of-words fragment `w`. */
+  def shingles3Sql(w: String): String =
+    s"(CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(" +
+      s"generate_series(1, len($w) - 2), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) " +
+      s"ELSE [] END)"
+
+  /** MinHash value j over a shingle array: min over shingles of h60(j || '|' || s).
+    * One of the K independent hash functions of a MinHash signature; NULL when the
+    * shingle set is empty. Computed with higher-order functions — no explode, no
+    * shuffle: at 100 TB this stays embarrassingly parallel per row.
+    */
+  def minhashJ(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, s => h60(concat(lit(s"$j|"), s))))
+
+  def minhashJSql(shingles: String, j: Int): String =
+    s"list_min(list_transform($shingles, s -> ${h60Sql(s"'$j|' || s")}))"
+
+  /** SimHash over the token multiset, `bits` bits (default 32), h32-based.
+    * bit b set iff #(tokens with hash bit b set) * 2 >= #tokens — the classic
+    * sign-of-sum with +1/-1 votes, ties counting as set.
+    *
+    * Hot-path shape: ONE md5 per token (not per token×bit) — a single
+    * `aggregate` pass folds per-bit counters (zip_with over a 0..bits-1
+    * sequence), and the `finish` lambda packs the bits; the counter array is a
+    * bound lambda variable so nothing re-evaluates. Bit extraction uses
+    * floor-div-by-2^b (exact: h32 < 2^32 fits a double) because Spark's
+    * shiftright needs a literal shift amount.
+    */
+  def simhash(words: Column, bits: Int = 32): Column = {
+    val hashes = transform(words, t => h32(t))
+    val bitSeq = sequence(lit(0), lit(bits - 1))
+    aggregate(
+      hashes,
+      array_repeat(lit(0L), bits),
+      (acc, h) => zip_with(acc, bitSeq, (c, b) =>
+        c + pmod(floor(h.cast("double") / pow(lit(2.0), b.cast("double"))).cast("long"),
+          lit(2L))),
+      acc => aggregate(
+        zip_with(acc, bitSeq, (c, b) =>
+          when(c * 2 >= size(words),
+            pow(lit(2.0), b.cast("double")).cast("long")).otherwise(lit(0L))),
+        lit(0L), (s, x) => s + x))
+  }
+
+  /** Position-sensitive document fingerprint: XOR over tokens of h60(pos#token).
+    * XOR is order-insensitive as an aggregate but the hashed position makes the
+    * fingerprint order-sensitive — the portable analog of a rolling hash.
+    */
+  def fingerprint(words: Column): Column =
+    aggregate(
+      // index-lambda transform: `words` is a direct child (evaluated once per
+      // row); i is 0-based so hash (i+1)#token for parity with the 1-based
+      // generate_subscripts oracle
+      transform(words, (w, i) =>
+        h60(concat((i + 1).cast("string"), lit("#"), w))),
+      lit(0L),
+      (acc, h) => acc.bitwiseXOR(h))
+
+  // -------------------------------------------------------- language id
+  // Deterministic marker-token heuristic (the corpus is synthetic word soup; a
+  // real n-gram profile model would plug in at the same column boundary). Scored
+  // as argmax over languages of marker-hit counts, ties broken by language code
+  // order — the whole thing is a pure Column expression so the DuckDB oracle can
+  // mirror it exactly.
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  private def markerCount(words: Column, markers: Seq[String]): Column =
+    size(filter(words, w => markers.map(m => w === lit(m)).reduce(_ || _)))
+
+  /** Best-scoring language code, 'und' when no marker hits at all. */
+  def langId(words: Column): Column = {
+    val scored = langMarkers.map { case (code, ms) => (code, markerCount(words, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // argmax with ties to first (alphabetical-ish declared order)
+    val pick = scored.foldRight(lit("und")) { case ((code, score), acc) =>
+      when(score === best && best > 0, lit(code)).otherwise(acc)
+    }
+    // foldRight means earlier entries override later ones on ties
+    pick
+  }
+
+  def langIdSql(w: String): String = {
+    def cnt(ms: Seq[String]): String =
+      s"len(list_filter($w, t -> t IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    val scores = langMarkers.map { case (code, ms) => (code, cnt(ms)) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val cases = scores.map { case (code, c) =>
+      s"WHEN $c = $best AND $best > 0 THEN '$code'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
+}

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.{h32, h32Sql}
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque BINARY
+  * columns with typed metadata, per the builder brief. The container has no
+  * image/audio codecs, so the DECODE step is a clearly-marked deterministic
+  * stub ([[FakeDecoder]]) — the Spark-side plumbing (schema, batch shape,
+  * partition-parallel decode boundary) is real and tested.
+  *
+  * At 100 TB: payloads live in Parquet BINARY columns (or object-store paths
+  * for >? MB blobs), metadata in sibling struct columns so filters prune on
+  * metadata WITHOUT touching payload bytes (column pruning keeps the scan
+  * cheap); decode runs per-partition inside `mapPartitions` — the Scala analog
+  * of `mapInPandas`' batched UDF boundary.
+  */
+object Multimodal {
+
+  /** A decoded "frame": what a real image decoder would emit per payload. */
+  final case class Frame(doc_id: Long, width: Int, height: Int, channels: Int,
+      n_bytes: Long, checksum: Long)
+
+  /** Deterministic fake decoder standing in for libjpeg/ffmpeg: derives
+    * plausible dimensions + a checksum from the payload bytes alone.
+    * Replace `decode` with a real codec call at the `???`-boundary; signature
+    * and batch shape stay fixed. */
+  object FakeDecoder {
+    def decode(docId: Long, payload: Array[Byte]): Frame = {
+      // real implementation would be e.g.: ImageIO.read(new ByteArrayInputStream(payload))
+      var h = 1125899906842597L // deterministic FNV-ish roll over bytes
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      val pos = h & Long.MaxValue
+      Frame(docId,
+        width = 16 + (pos % 240).toInt,
+        height = 16 + ((pos >> 8) % 240).toInt,
+        channels = 3,
+        n_bytes = payload.length.toLong,
+        checksum = pos)
+    }
+  }
+
+  /** Attach a BINARY payload + typed metadata struct to the documents table —
+    * the payload here is the utf-8 text bytes standing in for media bytes. */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        col("lang").as("meta_lang"),
+        col("source").as("meta_source")).as("meta"))
+
+  /** Metadata-only projection: must prune the payload column at the scan
+    * (verify with .explain — ReadSchema excludes `payload`). Width/height are
+    * the portable-hash fake of image dims so the oracle can check the plumbing:
+    *   width  = 16 + h32(text) % 240
+    *   height = 16 + (h32(text) >> 8) % 240
+    */
+  def metadata(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+      (lit(16) + h32(col("text")) % 240).cast("int").as("width"),
+      (lit(16) + shiftright(h32(col("text")), 8) % 240).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** DuckDB oracle SQL for [[metadata]] over table name `t`. */
+  def metadataOracleSql(t: String): String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |  CAST(16 + ${h32Sql("text")} % 240 AS INT) AS width,
+       |  CAST(16 + (${h32Sql("text")} >> 8) % 240 AS INT) AS height,
+       |  CAST(3 AS INT) AS channels
+       |FROM $t ORDER BY doc_id""".stripMargin
+
+  /** Partition-parallel decode over the payload column: the real-codec
+    * boundary. One JVM call per row inside mapPartitions — batched, no
+    * driver involvement, no shuffle. */
+  def decodeFrames(spark: SparkSession, withPayloads: DataFrame): Dataset[Frame] = {
+    import spark.implicits._
+    withPayloads
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => FakeDecoder.decode(id, payload) })
+  }
+
+  /** Deterministic frame-sampling stub: one "frame" per `stride` payload bytes
+    * — the video-sampling plumbing (deterministic row explosion, frame count
+    * derived from payload size) without a codec. frame_hash stands in for the
+    * decoded frame tensor. */
+  def sampleFrames(withPayloads: DataFrame, stride: Int): DataFrame =
+    withPayloads.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0L),
+          greatest(ceil(col("meta.n_bytes").cast("double") / stride).cast("long") - 1, lit(0L))),
+        i => h32(concat(col("doc_id").cast("string"), lit(":"), i.cast("string")))))
+        .as(Seq("frame_no", "frame_hash")))
+}

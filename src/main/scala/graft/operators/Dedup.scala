@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Deduplication operators for the LLM-training-data surface, each designed for
+  * 100 TB: candidate generation is always blocked/bucketed (never an all-pairs
+  * cross join), signatures are computed with per-row higher-order functions (no
+  * shuffle), and pair joins are keyed so they shuffle-partition cleanly.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content. Returns one row per distinct text with
+    * the surviving (minimum) doc_id and the duplicate count. Shuffles once on the
+    * 32-hex md5 — at 100 TB, group keys are uniformly distributed so no skew.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Number of independent MinHash functions in a signature. */
+  val MinhashK = 8
+  /** LSH banding: bands of `rowsPerBand` signature values; docs sharing any band
+    * bucket become candidate pairs. 4 bands × 2 rows ⇒ catches Jaccard ≳ 0.5. */
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** Per-doc MinHash signature, one column per hash function (h0..h7).
+    * Pure per-row computation (shingle + hash + array_min) — embarrassingly
+    * parallel, zero shuffle; the expensive part of MinHash dedup stays map-side.
+    */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val sh = shingles3(tokens(col("text")))
+    val cols = (0 until MinhashK).map(j => minhashJ(sh, j).as(s"h$j"))
+    documents.select((col("doc_id") +: cols): _*)
+  }
+
+  /** LSH band buckets: (doc_id, band, bucket). Bucket = portable hash of the
+    * band's signature slice. This is the table that gets shuffled — K×smaller
+    * than the corpus, uniformly keyed.
+    */
+  def lshBuckets(documents: DataFrame): DataFrame = {
+    val sig = minhashSignatures(documents)
+    val bandCols = (0 until Bands).map { b =>
+      val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"),
+        h60(concat_ws("_", (slice :+ lit(b.toString)): _*)).as("bucket"))
+    }
+    sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: docs sharing ≥1 band bucket.
+    * Equi-join on (band, bucket) — a standard shuffled hash join keyed by bucket,
+    * NOT a cross join; at 100 TB the bucket posting lists are short for any
+    * reasonable band width, and a hot bucket (degenerate shingles) would be
+    * handled by AQE skew-join splitting.
+    */
+  def lshCandidatePairs(documents: DataFrame): DataFrame = {
+    val b = lshBuckets(documents)
+    val l = b.as("a")
+    val r = b.as("b")
+    l.join(r,
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (32-bit) per doc — Hamming-distance near-dup sketch. Per-row HOF
+    * computation, no shuffle. */
+  def simhashes(documents: DataFrame, bits: Int = 32): DataFrame =
+    documents.select(col("doc_id"), simhash(tokens(col("text")), bits).as("simhash"))
+
+  /** N-gram (word 3-shingle) Jaccard similarity pairs within a blocking key.
+    * Blocking on `lang` bounds the join: candidates must share a shingle AND the
+    * block — the shingle-postings join is the classic set-similarity join (explode
+    * distinct shingles → equi-join on (block, shingle) → count common / union).
+    * At 100 TB one would add a prefix filter; the join shape stays identical.
+    * Returns pairs with jaccard >= minJaccard, rounded to 6 dp.
+    */
+  def ngramJaccardPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val postings = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val common = postings.as("a")
+      .join(postings.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("sa.n") + col("sb.n") - col("common")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the cluster/LSH
+    * blocking key analog — never all-pairs; reference-formula cosine per pair).
+    * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which
+    * makes this a co-partitioned self-join instead of a cross product.
+    */
+  def embeddingNearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 6))
+      .where(col("sim") >= minSim)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+  }
+}

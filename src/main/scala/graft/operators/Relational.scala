@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's relational query surface over the TPC-H-ish testdata
+  * (SURVEY §2 Table B: filters/projections, joins, group-by aggregates, window
+  * top-k-per-group, set ops, sorts/limits, string/date fns).
+  *
+  * Determinism-for-oracle conventions used throughout:
+  *  - Double SUMs go through DECIMAL(18,6) per-row casts so the aggregate is
+  *    exact decimal arithmetic — order-independent, so Spark's shuffled partial
+  *    aggregation and DuckDB's single-node sum agree bit-for-bit. (Plain double
+  *    sums are order-dependent; at 1000 executors the order is nondeterministic.)
+  *  - Ratios/rounded outputs use round(x, 6); counts are BIGINT; timestamps are
+  *    exported as epoch seconds (BIGINT) to sidestep ns-vs-us parquet precision.
+  *  - Every query ends in a deterministic ORDER BY over a unique key set.
+  *
+  * Scale notes are per-operator below; the common posture: filters/projections
+  * sit directly on the parquet scan (pushdown + column pruning), small dims are
+  * broadcast, aggregates are partial+final (map-side combine), no collect().
+  */
+object Relational {
+
+  private val Dec = "decimal(18,6)"
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which Spark
+    * only reads as nanosecond BIGINTs (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set in Verify/Bench/tests). `ts_sec` is the floor-to-second epoch — integer
+    * division, NOT double math: ns epochs (~1.7e18) exceed double's 2^53 exact
+    * range. DuckDB-side equivalent: CAST(floor(epoch(ts)) AS BIGINT). */
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("ts_sec", expr("CAST(ts DIV 1000000000 AS BIGINT)"))
+
+  /** Q1-style pricing summary (A12-family aggregate): single scan, partial agg,
+    * 6-group output. Filter pushed to parquet; only 6 columns read. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Projection + filter + string fn (A19: substring(text,1,200)). Pure scan —
+    * predicate and both columns push into the parquet reader. */
+  def substrFilter(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .where(col("lang") === "en")
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("snippet"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Star join (A18 shape): fact × 4 dims with the small dims broadcast —
+    * no shuffle of lineitem for nation/region; orders/customer join keys
+    * co-shuffle once. AQE handles the rest at scale. */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+    val c  = t(spark, sfDir, "customer")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
+          .cast("double").as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Window top-k-per-group (A15 shape distributed: per-partition rank, no
+    * global sort): top-3 orders per customer. */
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Global top-k (A12/A13: ORDER BY … LIMIT k → TakeOrderedAndProject, the
+    * distributed version of the reference's bounded heap at IVF.cpp:185-263). */
+  def topLineitems(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_extendedprice"))
+
+  /** Set op (A16 shape: the reference's combined fine search is a bag UNION ALL
+    * of probed clusters, IVF.cpp:363-380). Two pruned scans unioned then
+    * re-aggregated. */
+  def unionTagged(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(lit("urgent").as("tag"), col("o_totalprice"))
+    val done = o.where(col("o_orderstatus") === "F")
+      .select(lit("finished").as("tag"), col("o_totalprice"))
+    urgent.unionAll(done)
+      .groupBy(col("tag"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total_price"))
+      .orderBy(col("tag"))
+  }
+
+  /** Exact distinct aggregate + broadcast dim join. */
+  def suppliersPerNation(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "supplier")
+      .join(broadcast(t(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        sum(col("s_acctbal").cast(Dec)).cast("double").as("total_acctbal"))
+      .orderBy(col("n_name"))
+
+  /** Anti join (NOT EXISTS): customers with no open ('O') orders, per segment.
+    * left_anti keeps the build side filtered *before* the join — at scale the
+    * orders side is pre-filtered and aggregated into a semi-join hash. */
+  def customersNoOpenOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val open = t(spark, sfDir, "orders").where(col("o_orderstatus") === "O")
+    t(spark, sfDir, "customer")
+      .join(open, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Time-bucketed aggregation over the events table — the batch twin of the
+    * Structured Streaming windowed count in graft.streaming (same groupBy
+    * window semantics; the streaming variant adds a watermark). */
+  def eventsHourly(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(
+        expr("CAST(ts_sec DIV 3600 AS BIGINT) * 3600").as("hour_epoch"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** Group stats with exact integer-sum average (order-independent). */
+  def langStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Sessionization (gap > 30 min) via lag window — the batch formulation of
+    * the streaming flatMapGroupsWithState session operator. Second-floor epoch
+    * keeps parity with the oracle across parquet ns/us timestamp precision. */
+  def userSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val sec = col("ts_sec")
+    val w = Window.partitionBy(col("user_id")).orderBy(sec.asc, col("event_id").asc)
+    events(spark, sfDir)
+      .withColumn("gap", sec - lag(sec, 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+          .as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured extraction: regexp over the JSON-ish props column (the
+    * reference's only JSON field access is `["text"]`, IVF.cpp:117 — this is
+    * the engine's general version). Guarded cast: ANSI-safe on no-match. */
+  def propsExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    val k = when(raw =!= "", raw).cast("long")
+    events(spark, sfDir)
+      .withColumn("k", k)
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Text-analysis operators for the training-data pipeline: token stats, quality
+  * scoring, language id, fingerprinting. All pure per-row column expressions
+  * (whole-stage codegen, zero shuffle) — at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Tiny embedded stopword list used by the quality score. A production list
+    * would be a broadcast lookup; the operator shape is identical. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-doc token statistics + quality signals:
+    *  - n_tokens: whitespace token count
+    *  - n_uniq:   distinct token count
+    *  - uniq_ratio: n_uniq / n_tokens (repetition signal)
+    *  - avg_token_len: mean token length
+    *  - stop_ratio: stopword fraction (fluency-ish signal)
+    * Ratios rounded to 6 dp for oracle-stable output.
+    */
+  def quality(documents: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val n = size(w)
+    documents.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      size(array_distinct(w)).as("n_uniq"),
+      round(size(array_distinct(w)).cast("double") / n, 6).as("uniq_ratio"),
+      round(aggregate(w, lit(0L), (acc, t) => acc + length(t)).cast("double") / n, 6)
+        .as("avg_token_len"),
+      round(size(filter(w, t => Stopwords.map(s => t === lit(s)).reduce(_ || _)))
+        .cast("double") / n, 6).as("stop_ratio"))
+  }
+
+  /** Token count per doc — the cheapest pipeline stat (BPE-ish counting would be
+    * a broadcast-vocab flatMap at the same boundary). */
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+
+  /** Language-id guess per doc (marker-token heuristic — see GraftFunctions). */
+  def languageId(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      langId(tokens(col("text"))).as("lang_guess"))
+
+  /** Position-sensitive 60-bit document fingerprint (portable rolling-hash
+    * analog) — content-defined identity for incremental dedup. */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), fingerprint(tokens(col("text"))).as("fp"))
+
+  /** SimHash per doc (delegates to Dedup for the sketch). */
+  def simhashTable(documents: DataFrame): DataFrame = Dedup.simhashes(documents)
+}
