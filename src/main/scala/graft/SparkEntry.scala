@@ -145,7 +145,8 @@ object SparkEntry {
     (0 until Dedup.MinhashK)
       .map(j => s"${minhashJSqlAgg(j)} AS h$j").mkString(",\n  ")
 
-  private def minhashJSqlAgg(j: Int): String = s"MIN(${h60Sql(s"'$j|' || sh")})"
+  private def minhashJSqlAgg(j: Int): String =
+    s"MIN((${MinhashA(j)} * ${h32Sql("sh")} + ${MinhashB(j)}) % $MinhashP)"
 
   private val MinhashCte: String =
     s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),

@@ -41,23 +41,29 @@ object GraftFunctions {
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "l2_norm", exprs => L2Norm(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "portable_h60", exprs => PortableHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "portable_h32", exprs => PortableHash32(exprs.head), "built-in")
   }
 
   // ---------------------------------------------------- portable hashing
   // h60/h32: first 15 (resp. 8) hex chars of md5 as a non-negative BIGINT.
-  // Portable: Spark `conv(substr(md5(s),1,15),16,10)` == DuckDB
-  // `('0x' || substr(md5(s),1,15))::BIGINT`. 60 bits < 2^63 so no sign issues.
+  // Engine side: native [[PortableHash60]]/[[PortableHash32]] expressions
+  // (digest bytes, no hex-string round-trip). Oracle side: DuckDB
+  // `('0x' || substr(md5(s),1,15))::BIGINT` — value-identical (see
+  // PortableHash scaladoc for the bit identity; parity is unit-tested).
 
   /** 60-bit portable hash of a string column. */
   def h60(s: Column): Column =
-    conv(substring(md5(encode(s, "UTF-8")), 1, 15), 16, 10).cast(LongType)
+    ExpressionUtils.column(PortableHash60(ExpressionUtils.expression(s)))
 
   /** DuckDB SQL rendering of [[h60]] over SQL fragment `s`. */
   def h60Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 15))::BIGINT)"
 
   /** 32-bit portable hash of a string column. */
   def h32(s: Column): Column =
-    conv(substring(md5(encode(s, "UTF-8")), 1, 8), 16, 10).cast(LongType)
+    ExpressionUtils.column(PortableHash32(ExpressionUtils.expression(s)))
 
   def h32Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
 
@@ -97,16 +103,31 @@ object GraftFunctions {
       s"generate_series(1, len($w) - 2), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) " +
       s"ELSE [] END)"
 
-  /** MinHash value j over a shingle array: min over shingles of h60(j || '|' || s).
-    * One of the K independent hash functions of a MinHash signature; NULL when the
-    * shingle set is empty. Computed with higher-order functions — no explode, no
-    * shuffle: at 100 TB this stays embarrassingly parallel per row.
+  // MinHash universal-hash family over a base h32: h_j(s) = (a_j·h32(s) + b_j)
+  // mod P, P = 2^31−1. ONE md5 per shingle (the a·x+b derivations are integer
+  // ops), vs md5-per-(j,shingle) — 8× less digest work for K=8. Bounds keep
+  // every intermediate exact and ANSI-safe on both engines:
+  // a_j < 2^20, h32 < 2^32 ⇒ a·h + b < 2^52 < int64 max.
+  val MinhashP: Long = PortableHash.MinhashP
+  private[graft] val MinhashA: Seq[Long] = PortableHash.MinhashA.toSeq
+  private[graft] val MinhashB: Seq[Long] = PortableHash.MinhashB.toSeq
+
+  /** One-pass K=8 MinHash signature (ARRAY<BIGINT>), null on empty shingles. */
+  def minhashSignature(shingles: Column): Column =
+    ExpressionUtils.column(MinhashSignature(ExpressionUtils.expression(shingles)))
+
+  /** MinHash value j over a shingle array: min over shingles of
+    * (a_j·h32(s)+b_j) mod P. NULL when the shingle set is empty. Computed with
+    * higher-order functions — no explode, no shuffle: at 100 TB this stays
+    * embarrassingly parallel per row.
     */
   def minhashJ(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, s => h60(concat(lit(s"$j|"), s))))
+    array_min(transform(shingles, s =>
+      (lit(MinhashA(j)) * h32(s) + lit(MinhashB(j))) % lit(MinhashP)))
 
   def minhashJSql(shingles: String, j: Int): String =
-    s"list_min(list_transform($shingles, s -> ${h60Sql(s"'$j|' || s")}))"
+    s"list_min(list_transform($shingles, s -> " +
+      s"(${MinhashA(j)} * ${h32Sql("s")} + ${MinhashB(j)}) % $MinhashP))"
 
   /** SimHash over the token multiset, `bits` bits (default 32), h32-based.
     * bit b set iff #(tokens with hash bit b set) * 2 >= #tokens — the classic
@@ -120,19 +141,8 @@ object GraftFunctions {
     * shiftright needs a literal shift amount.
     */
   def simhash(words: Column, bits: Int = 32): Column = {
-    val hashes = transform(words, t => h32(t))
-    val bitSeq = sequence(lit(0), lit(bits - 1))
-    aggregate(
-      hashes,
-      array_repeat(lit(0L), bits),
-      (acc, h) => zip_with(acc, bitSeq, (c, b) =>
-        c + pmod(floor(h.cast("double") / pow(lit(2.0), b.cast("double"))).cast("long"),
-          lit(2L))),
-      acc => aggregate(
-        zip_with(acc, bitSeq, (c, b) =>
-          when(c * 2 >= size(words),
-            pow(lit(2.0), b.cast("double")).cast("long")).otherwise(lit(0L))),
-        lit(0L), (s, x) => s + x))
+    require(bits == 32, "native SimHash32 implements the 32-bit sketch")
+    ExpressionUtils.column(SimHash32(ExpressionUtils.expression(words)))
   }
 
   /** Position-sensitive document fingerprint: XOR over tokens of h60(pos#token).

@@ -31,13 +31,25 @@ object Dedup {
   val RowsPerBand = 2
 
   /** Per-doc MinHash signature, one column per hash function (h0..h7).
-    * Pure per-row computation (shingle + hash + array_min) — embarrassingly
-    * parallel, zero shuffle; the expensive part of MinHash dedup stays map-side.
+    * Pure per-row computation — embarrassingly parallel, zero shuffle; the
+    * expensive part of MinHash dedup stays map-side.
+    *
+    * Plan shape: the whole signature is ONE native expression
+    * ([[graft.functions.MinhashSignature]]: one md5 per shingle + K affine
+    * minima in a single pass), materialized behind an `explode(array(...))`
+    * Generate barrier before fanning out to the h0..h7 columns —
+    * CollapseProject cannot inline expressions past a Generate, so the
+    * signature is computed exactly once per row. Without the barrier each of
+    * the 8 column projections re-evaluates the full shingle+hash pipeline
+    * (HOF-bearing expressions don't participate in codegen subexpression
+    * elimination); measured 8× slower.
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
-    val sh = shingles3(tokens(col("text")))
-    val cols = (0 until MinhashK).map(j => minhashJ(sh, j).as(s"h$j"))
-    documents.select((col("doc_id") +: cols): _*)
+    val sig = minhashSignature(shingles3(tokens(col("text"))))
+    documents
+      .select(col("doc_id"), explode(array(struct(sig.as("sig")))).as("w"))
+      .select((col("doc_id") +:
+        (0 until MinhashK).map(j => element_at(col("w.sig"), j + 1).as(s"h$j"))): _*)
   }
 
   /** LSH band buckets: (doc_id, band, bucket). Bucket = portable hash of the

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis invariants on controlled fixtures. */
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsFixture = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0", 60L),
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "en", "s0", 60L), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again", "en", "s0", 60L), // near dup of 0
+    (3L, "completely different words with zero overlap whatsoever here now", "en", "s1", 64L),
+    (4L, "one two", "en", "s1", 7L) // < 3 tokens: empty shingle set
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts and keeps min doc_id") {
+    val r = Dedup.exact(docsFixture).collect()
+      .map(x => (x.getAs[Long]("keep_doc_id"), x.getAs[Long]("n_copies"))).toSet
+    assert(r.contains((0L, 2L)), s"dup pair 0/1 should collapse to keeper 0: $r")
+    assert(r.size == 4, s"4 distinct texts expected: $r")
+  }
+
+  test("identical texts get identical minhash signatures; near-dups collide on some band") {
+    val sig = Dedup.minhashSignatures(docsFixture).collect()
+      .filterNot(_.isNullAt(1)) // doc 4 has <3 tokens -> null signature
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(sig(0L) == sig(1L), "identical text, identical signature")
+    assert(sig(0L) != sig(3L), "different text, different signature")
+    val pairs = Dedup.lshCandidatePairs(docsFixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dups must be LSH candidates: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+  }
+
+  test("minhash of <3-token doc is null (empty shingle set)") {
+    val r = Dedup.minhashSignatures(docsFixture).where(col("doc_id") === 4L).head()
+    assert(r.isNullAt(1))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docsFixture, 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs(((0L, 1L))) == 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.2 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts equal; near-dup within small hamming distance") {
+    val sh = Dedup.simhashes(docsFixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming <= 10, s"near-dup hamming too large: $hamming")
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 32)))
+  }
+
+  test("fingerprint is position-sensitive (token swap changes it)") {
+    val fp = TextAnalysis.fingerprints(Seq(
+      (0L, "alpha beta gamma"), (1L, "beta alpha gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(2L) && fp(0L) != fp(1L))
+  }
+
+  test("quality stats are exact on a known doc") {
+    val q = TextAnalysis.quality(docsFixture).where(col("doc_id") === 0L).head()
+    assert(q.getAs[Int]("n_tokens") == 12)
+    assert(q.getAs[Int]("n_uniq") == 10) // 'the' and 'again' repeat
+    assert(math.abs(q.getAs[Double]("stop_ratio") - 3.0 / 12) < 1e-9) // the, the, and
+  }
+
+  test("langId picks en on stopword-heavy text, und on markerless text") {
+    val r = TextAnalysis.languageId(docsFixture).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r(0L) == "en")
+    assert(r(3L) == "und")
+  }
+
+  test("embedding near-dup pairs are label-blocked and threshold-filtered") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.35)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = pairs.collect()
+    assert(rows.nonEmpty, "threshold 0.35 should yield pairs at sf0.001")
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)), "pair crosses label block")
+      assert(r.getDouble(2) >= 0.35)
+      assert(r.getLong(0) < r.getLong(1), "pair not canonicalized a<b")
+    }
+    // no cartesian product in the plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "blocked self-join must not be cartesian")
+  }
+}

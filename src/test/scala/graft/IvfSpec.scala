@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, KnnExact}
+
+/** IVF semantics (SURVEY §2 A14-A16 + §5 operator tests): exactness at full
+  * probe (`README.md:24`: n_probe=128 ⇒ exact), recall monotone in nProbe,
+  * partition pruning visible in the physical plan, deterministic rebuild. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+  private lazy val qv = KnnExact.queryVector(emb, 0L)
+  private lazy val idx = IvfIndex.forSfDir(spark, sf0001, 16)
+
+  test("IVF at nProbe=numClusters equals exact brute-force top-k") {
+    val exact = KnnExact.topK(emb, qv, 10).select("vec_id").collect().map(_.getLong(0))
+    val ivf = idx.search(qv, 10, 16).select("vec_id").collect().map(_.getLong(0))
+    assert(ivf.sameElements(exact))
+  }
+
+  test("recall@10 is monotone nondecreasing in nProbe") {
+    val exact = KnnExact.topK(emb, qv, 10).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 4, 8, 16).map { p =>
+      val got = idx.search(qv, 10, p).select("vec_id").collect().map(_.getLong(0)).toSet
+      (got intersect exact).size / 10.0
+    }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone: $recalls")
+    assert(recalls.last == 1.0, s"full probe must have recall 1.0: $recalls")
+  }
+
+  test("fine search is a partition-pruned scan (PartitionFilters on cluster)") {
+    val plan = idx.search(qv, 5, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      "cluster pruning missing from scan:\n" + plan.take(800))
+  }
+
+  test("top-k plan is TakeOrderedAndProject (bounded heap, not full sort)") {
+    val plan = KnnExact.topK(emb, qv, 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("index rebuild under fixed seed is deterministic") {
+    val dirA = "target/ivf-test/rebuild-a"
+    val dirB = "target/ivf-test/rebuild-b"
+    val a = IvfIndex.build(spark, emb, dirA, numClusters = 8)
+    val b = IvfIndex.build(spark, emb, dirB, numClusters = 8)
+    val ca = a.vectors.groupBy("cluster").count().orderBy("cluster")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val cb = b.vectors.groupBy("cluster").count().orderBy("cluster")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(ca.sameElements(cb))
+  }
+
+  test("declared tie-break total order: sim DESC then vec_id ASC") {
+    val rows = KnnExact.topK(emb, qv, 20).collect()
+    val key = rows.map(r => (-r.getAs[Double]("sim"), r.getAs[Long]("vec_id")))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("persisted index round-trips through load()") {
+    val dir = "target/ivf-test/roundtrip"
+    val built = IvfIndex.build(spark, emb, dir, numClusters = 8)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.numClusters == 8 && loaded.dim == built.dim)
+    assert(loaded.vectors.count() == emb.count())
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{BinaryVectors, JsonCorpus}
+
+/** Source ingest: the reference's own query fixtures (queries_data .bin files,
+  * 384 LE f32 each per `IVF.cpp:650-672`) and the JSON-array corpus layout
+  * (`embedding.py:26-31`). */
+class SourcesSpec extends SparkSpec {
+
+  test("reads all 5 reference query vectors: length 384, finite floats") {
+    (1 to 5).foreach { i =>
+      val path = s"/root/reference/queries_data/query$i.bin"
+      assume(Files.exists(Paths.get(path)), s"fixture $path missing")
+      val rows = BinaryVectors.readFile(path, 384)
+      assert(rows.length == 1, s"query$i should be a single vector")
+      assert(rows(0).length == 384)
+      assert(rows(0).forall(f => !f.isNaN && !f.isInfinite))
+      assert(rows(0).exists(_ != 0f), "vector must be non-trivial")
+    }
+  }
+
+  test("divisibility check rejects malformed payloads (IVF.cpp:473-476)") {
+    intercept[IllegalArgumentException] {
+      BinaryVectors.decode(new Array[Byte](10), 384)
+    }
+  }
+
+  test("distributed .bin dir ingest explodes rows with stable in-file order") {
+    val df = BinaryVectors.readDir(spark, "/root/reference/queries_data", 384)
+    val rows = df.collect()
+    assert(rows.length == 5, s"5 query .bin files expected, got ${rows.length}")
+    assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == 384))
+  }
+
+  test("JSON corpus scan mints dense deterministic ids ordered by (file, text)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "corpus").toString
+    Files.writeString(Paths.get(dir, "b.json"),
+      """[{"title":"t3","text":"ccc"},{"title":"t4","text":"ddd"}]""")
+    Files.writeString(Paths.get(dir, "a.json"),
+      """[{"title":"t1","text":"aaa"},{"title":"t2","text":"bbb"}]""")
+    val df = JsonCorpus.read(spark, dir)
+    val got = df.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("text")))
+    assert(got.map(_._1).sameElements(Array(0L, 1L, 2L, 3L)), "dense ids 0..3")
+    assert(got.map(_._2).sameElements(Array("aaa", "bbb", "ccc", "ddd")),
+      s"file-then-offset order: ${got.mkString(",")}")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming: the windowed-aggregate pipeline must agree with its
+  * batch twin over a bounded source (file source + AvailableNow trigger). */
+class StreamingSpec extends SparkSpec {
+
+  private lazy val stagingDir: String = {
+    // stage sf0.001 events as microsecond timestamps (ns parquet -> ts_sec)
+    val dir = Files.createTempDirectory(Paths.get("target"), "stream-events").toString
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", expr("timestamp_seconds(CAST(ts DIV 1000000000 AS BIGINT))"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(2)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming hourly counts == batch hourly counts (Complete mode)") {
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(stagingDir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.hourlyCounts(stream), "hourly_out", OutputMode.Complete)
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+
+    val want = spark.read.parquet(stagingDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start"), col("event_type"), col("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == want, s"stream/batch divergence: ${got.size} vs ${want.size} groups")
+    assert(got.nonEmpty)
+  }
+
+  test("stream-static enrichment join preserves stream rows") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(stagingDir)
+    val rows = EventStreams.runToMemory(
+      spark, EventStreams.enrich(stream, dim), "enrich_out")
+    val total = spark.read.parquet(stagingDir).count()
+    assert(rows.length == total, "left stream-static join must not drop rows")
+  }
+}
