@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedder, GraftFunctions}
+import graft.operators.{Dedup, IvfIndex, KnnExact, TextAnalysis}
+
+/** User-facing facade — the engine's API surface replacing the reference's CLI
+  * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
+  * GPU-kernel flags; the kernel/threads flags select physically identical
+  * computations (A7–A9) and have no Spark analog — Catalyst/Tungsten own the
+  * physical mapping). A reference user's workflow maps 1:1:
+  *
+  *   embedding.py  → [[embed]] (A2 boundary, pluggable model)
+  *   clusters.py   → [[buildIndex]] (K-means + partitioned inverted file)
+  *   ./IVF --n_probe P → [[search]] / [[searchText]] (coarse→pruned fine→top-k)
+  *   result print  → returned DataFrame joined to documents ([[searchDocs]])
+  */
+final class GraftEngine(val spark: SparkSession,
+    workDir: String = "target/graft-engine") {
+
+  GraftFunctions.register(spark)
+
+  /** Offline embed: text corpus → (id, embedding) via the pluggable model
+    * boundary. */
+  def embed(documents: DataFrame, embedder: Embedder,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Embedder.encode(spark, documents, idCol, textCol, embedder)
+
+  /** Offline index build (reference `clusters.py`: k=128 seed=42 defaults). */
+  def buildIndex(embeddings: DataFrame, name: String,
+      numClusters: Int = 128, seed: Long = 42L): IvfIndex =
+    IvfIndex.build(spark, embeddings, s"$workDir/$name", numClusters, seed)
+
+  def openIndex(name: String): IvfIndex =
+    IvfIndex.load(spark, s"$workDir/$name")
+
+  /** Exact k-NN (reference nProbe=128 mode). */
+  def knnExact(embeddings: DataFrame, query: Array[Float], k: Int = 5): DataFrame =
+    KnnExact.topK(embeddings, query, k)
+
+  /** IVF search (reference defaults: k=5, nProbe=20 — IVF.cpp:549,679). */
+  def search(index: IvfIndex, query: Array[Float], k: Int = 5,
+      nProbe: Int = 20): DataFrame =
+    index.search(query, k, nProbe)
+
+  /** Text-in, top-k-out: embed the query with the same model boundary, then
+    * IVF search — the reference's test.py → convert → ./IVF pipeline in one
+    * call. */
+  def searchText(index: IvfIndex, embedder: Embedder, queryText: String,
+      k: Int = 5, nProbe: Int = 20): DataFrame =
+    search(index, embedder.embed(queryText), k, nProbe)
+
+  /** Doc fetch join (reference mapBack, IVF.cpp:44-119): top-k ids → text,
+    * broadcast the k-row side, substring projection (IVF.cpp:697-699). */
+  def searchDocs(results: DataFrame, documents: DataFrame,
+      snippetLen: Int = 200): DataFrame =
+    broadcast(results)
+      .join(documents, results("vec_id") === documents("doc_id"))
+      .select(results("vec_id"), results("sim"),
+        substring(col("text"), 1, snippetLen).as("snippet"))
+      .orderBy(desc("sim"), asc("vec_id"))
+
+  // ---- training-data pipeline facade ----
+  def exactDuplicates(documents: DataFrame): DataFrame = Dedup.exact(documents)
+  def nearDuplicateCandidates(documents: DataFrame): DataFrame =
+    Dedup.lshCandidatePairs(documents)
+  def similarityPairs(embeddings: DataFrame, minSim: Double): DataFrame =
+    Dedup.embeddingNearDupPairs(embeddings, minSim)
+  def textQuality(documents: DataFrame): DataFrame = TextAnalysis.quality(documents)
+}
+
+object GraftEngine {
+  /** Recommended local session (mirrors Verify/Bench conf; a cluster deploy
+    * sets the same confs minus master). */
+  def localSession(cores: Int = 8, appName: String = "graft"): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

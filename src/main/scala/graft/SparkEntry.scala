@@ -55,6 +55,11 @@ object SparkEntry {
     "q10_lang_stats"         -> ((s, d) => Relational.langStats(s, d)),
     "q11_user_sessions"      -> ((s, d) => Relational.userSessions(s, d)),
     "q12_props_extract"      -> ((s, d) => Relational.propsExtract(s, d)),
+    "q13_rollup_returns"     -> ((s, d) => Relational.rollupReturns(s, d)),
+    "q14_event_percentiles"  -> ((s, d) => Relational.eventPercentiles(s, d)),
+    "q15_monthly_orders"     -> ((s, d) => Relational.monthlyOrders(s, d)),
+    "q16_status_pivot"       -> ((s, d) => Relational.statusPivot(s, d)),
+    "q17_part_strings"       -> ((s, d) => Relational.partStrings(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
@@ -252,6 +257,44 @@ object SparkEntry {
         |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
         |  round(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q13_rollup_returns" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q14_event_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(MIN(value), 6) AS min_v,
+        |  round(MAX(value), 6) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_monthly_orders" ->
+      """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_status_pivot" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q17_part_strings" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  lower(p_type) AS type_l,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  substring(p_name, 1, 10) AS name_prefix
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "knn_exact" -> KnnOracle,
     "knn_ivf_full" -> KnnOracle, // nProbe = numClusters ⇒ provably ≡ exact

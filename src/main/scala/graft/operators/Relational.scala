@@ -181,6 +181,65 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Hierarchical aggregate (ROLLUP): subtotals + grand total in one pass —
+    * Catalyst expands to a single Expand+Aggregate, one shuffle. */
+  def rollupReturns(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact interpolated percentiles per group (order statistics — the general
+    * form of the reference's top-k order statistic). percentile() is exact
+    * (sorts within group); at 100 TB one would switch to approx_percentile
+    * sketches — declared trade-off, same API shape. */
+  def eventPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy(col("event_type"))
+
+  /** Calendar bucketing: orders per month (date_trunc on ms-precision
+    * timestamps — exported as epoch seconds for oracle parity). */
+  def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+      .orderBy(col("month_epoch"))
+
+  /** Conditional aggregation (manual pivot): one scan, no shuffle per status —
+    * the map-side combine folds all three counters at once. */
+  def statusPivot(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Scalar string-function battery (A19 generalization) over part. */
+  def partStrings(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_masked"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 10).as("name_prefix"))
+      .orderBy(col("p_partkey"))
+
   /** Semi-structured extraction: regexp over the JSON-ish props column (the
     * reference's only JSON field access is `["text"]`, IVF.cpp:117 — this is
     * the engine's general version). Guarded cast: ANSI-safe on no-match. */
