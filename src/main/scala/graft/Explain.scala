@@ -34,9 +34,24 @@ object Explain {
         |FROM emb a JOIN emb b ON b.vec_id = 0 ORDER BY sim DESC LIMIT 3""".stripMargin)
       .show()
 
-    names.foreach { n =>
-      println(s"=== plan: $n ===")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    names.foreach {
+      case "stream-demo" =>
+        println("=== streaming micro-batch ANN serving demo ===")
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val qdir = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("target"), "qs").toString
+        emb.where(org.apache.spark.sql.functions.col("vec_id").isin(2L, 4L))
+          .selectExpr("vec_id AS query_id", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(qdir)
+        val stream = spark.readStream
+          .schema("query_id LONG, embedding ARRAY<FLOAT>").parquet(qdir)
+        val q = graft.streaming.EventStreams.scoreQueryStream(stream, emb, k = 3) {
+          batch => batch.orderBy("query_id", "rn").show(10)
+        }
+        q.awaitTermination()
+      case n =>
+        println(s"=== plan: $n ===")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -103,7 +103,11 @@ object Dedup {
       .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
       .where(size(col("sh")) > 0)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val postings = docs.select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    // join on the 60-bit shingle hash, not the string: same equality classes
+    // (md5-collision-free in practice), ~3× smaller shuffle rows
+    val postings = docs
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("lang"), h60(col("s")).as("s"))
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&

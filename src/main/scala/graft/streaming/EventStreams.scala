@@ -48,6 +48,36 @@ object EventStreams {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Micro-batch ANN serving: a stream of query vectors scored against a
+    * static embedding table, per-query top-k via foreachBatch (global
+    * sort+limit isn't expressible inside an append stream; per-batch
+    * evaluation is the streaming analog of the reference's one-query-per-
+    * process loop, IVF.cpp:650,684). Each batch: broadcast the (small) query
+    * batch, one pass over the static side, per-query bounded top-k via window
+    * rank — no state store, restart-safe.
+    */
+  def scoreQueryStream(
+      queryStream: DataFrame, // (query_id LONG, embedding ARRAY<FLOAT>)
+      staticVectors: DataFrame, // (vec_id, label, embedding)
+      k: Int)(sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val scored = staticVectors
+          .join(broadcast(batch.select(col("query_id"), col("embedding").as("q"))))
+          .withColumn("sim",
+            graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(desc("sim"), asc("vec_id"))))
+          .where(col("rn") <= k)
+          .select(col("query_id"), col("vec_id"), col("label"), col("sim"), col("rn"))
+        sink(scored)
+      }
+      .start()
+
   /** Run a streaming DataFrame to completion against a bounded source via the
     * memory sink; returns the collected result. Test/smoke helper — production
     * sinks are writeStream.format("parquet"/"kafka"). */

@@ -42,6 +42,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("micro-batch ANN serving: streamed queries match batch exact top-k") {
+    import graft.operators.KnnExact
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qdir = Files.createTempDirectory(Paths.get("target"), "qstream").toString
+    emb.where(col("vec_id").isin(1L, 5L, 9L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(qdir)
+
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val stream = spark.readStream
+      .schema("query_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(qdir)
+    val q = EventStreams.scoreQueryStream(stream, emb, k = 3) { batchOut =>
+      val rows = batchOut.collect()
+      buf.synchronized {
+        buf ++= rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+          r.getAs[Int]("rn")))
+      }
+    }
+    q.awaitTermination()
+
+    val got = buf.groupBy(_._1).map { case (qid, rs) =>
+      qid -> rs.sortBy(_._3).map(_._2).toSeq
+    }
+    Seq(1L, 5L, 9L).foreach { qid =>
+      val want = KnnExact.topK(emb, KnnExact.queryVector(emb, qid), 3)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) == want, s"query $qid: got ${got(qid)}, want $want")
+    }
+  }
+
   test("stream-static enrichment join preserves stream rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
