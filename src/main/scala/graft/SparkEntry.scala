@@ -84,6 +84,8 @@ object SparkEntry {
     "ngram_jaccard"          -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_survivors"        -> ((s, d) =>
+      Dedup.ngramSurvivors(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "near_dup_embeddings"    -> ((s, d) =>
@@ -157,6 +159,16 @@ object SparkEntry {
     s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
        |s AS (SELECT doc_id, unnest($ShinglesFrag) AS sh FROM d),
        |sig AS (SELECT doc_id, $MinhashSelect FROM s GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE chain for the n-gram Jaccard oracle family. */
+  private val NgramCte: String =
+    s"""WITH d AS (SELECT doc_id, lang, $W AS w FROM documents),
+       |ds AS (SELECT doc_id, lang, $ShinglesFrag AS sh FROM d),
+       |dsz AS (SELECT doc_id, len(sh) AS n FROM ds WHERE len(sh) > 0),
+       |p AS (SELECT doc_id, lang, unnest(sh) AS s FROM ds WHERE len(sh) > 0),
+       |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
+       |  FROM p a JOIN p b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private val LshBandsSql: String =
     (0 until Dedup.Bands).map { b =>
@@ -333,18 +345,22 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, $W AS w FROM documents),
-         |ds AS (SELECT doc_id, lang, $ShinglesFrag AS sh FROM d),
-         |dsz AS (SELECT doc_id, len(sh) AS n FROM ds WHERE len(sh) > 0),
-         |p AS (SELECT doc_id, lang, unnest(sh) AS s FROM ds WHERE len(sh) > 0),
-         |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
-         |  FROM p a JOIN p b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""$NgramCte
          |SELECT da AS doc_a, db AS doc_b,
          |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
          |FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
          |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""$NgramCte,
+         |dropped AS (
+         |  SELECT DISTINCT db AS doc_id
+         |  FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = documents.doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "simhash_docs" ->
       s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),

@@ -124,6 +124,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup survivor selection — the full dedup pipeline's last stage:
+    * candidates (blocked shingle join) → verification (Jaccard ≥ τ) → keep
+    * policy "drop any doc that duplicates a lower doc_id". One anti-join
+    * against the verified-pair table; no iteration, no connected components
+    * (transitive chains keep their minimum element, which is the policy's
+    * fixed point for chains discovered pairwise). */
+  def ngramSurvivors(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val dropped = ngramJaccardPairs(documents, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    documents
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the cluster/LSH
     * blocking key analog — never all-pairs; reference-formula cosine per pair).
     * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which
