@@ -35,6 +35,22 @@ object Explain {
       .show()
 
     names.foreach {
+      case "audit" =>
+        // one-line plan health check per query: shuffle count + red flags
+        println(f"${"query"}%-26s exch  flags")
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+          try {
+            val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+            val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+            val flags = Seq(
+              Option.when(plan.contains("CartesianProduct"))("CARTESIAN!"),
+              Option.when(plan.contains("SortMergeJoin"))("sortmerge"),
+              Option.when(plan.contains("BroadcastHashJoin"))("bcast"),
+              Option.when(plan.contains("PartitionFilters: [c"))("pruned"),
+              Option.when(plan.contains("TakeOrderedAndProject"))("topk")).flatten
+            println(f"$n%-26s $exchanges%-5d ${flags.mkString(",")}")
+          } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.getMessage.take(60)}") }
+        }
       case "stream-demo" =>
         println("=== streaming micro-batch ANN serving demo ===")
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

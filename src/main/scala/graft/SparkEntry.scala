@@ -62,6 +62,13 @@ object SparkEntry {
     "q17_part_strings"       -> ((s, d) => Relational.partStrings(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
+    "knn_batch"              -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      KnnBatch.topK(emb, queries, 5)
+        .orderBy(col("query_id"), col("rn"))
+    }),
     "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
     "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = 4)),
     "ivf_cluster_counts"     -> ((s, d) =>
@@ -310,6 +317,21 @@ object SparkEntry {
 
     "knn_exact" -> KnnOracle,
     "knn_ivf_full" -> KnnOracle, // nProbe = numClusters ⇒ provably ≡ exact
+
+    "knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings),
+         |scored AS (SELECT q.query_id, e.vec_id, e.label,
+         |    round(list_dot_product(e.v, q.v) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |  FROM e, q),
+         |ranked AS (SELECT query_id, vec_id, label, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "vec_norms" ->
       s"""SELECT vec_id,

@@ -133,8 +133,8 @@ object Dedup {
   def ngramSurvivors(documents: DataFrame, minJaccard: Double): DataFrame = {
     val dropped = ngramJaccardPairs(documents, minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    documents
-      .join(dropped, Seq("doc_id"), "left_anti")
+    documents // dropped is tiny (duplicate ids only) — broadcast the anti side
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 

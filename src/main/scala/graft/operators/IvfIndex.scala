@@ -147,6 +147,45 @@ object IvfIndex {
   }
 }
 
+/** Batch multi-query k-NN: score a whole table of queries in ONE job — the
+  * throughput-oriented complement to the reference's one-query-per-process
+  * loop (`IVF.cpp:650,684`; `run_multiple_configs.sh` re-execs the binary per
+  * query). Broadcast the (small) query batch against the embedding scan, rank
+  * per query with a window — one pass over the data regardless of batch size,
+  * which is what matters at 100 TB: amortize the scan, not the query.
+  */
+object KnnBatch {
+
+  /** `queries`: (query_id BIGINT, embedding ARRAY<FLOAT>) — must be broadcast-
+    * small (thousands of rows). Returns (query_id, vec_id, label, sim, rn),
+    * rn ∈ [1,k], deterministic tie-break sim DESC / vec_id ASC per query.
+    *
+    * Top-k per query via [[graft.functions.TopKStructAgg]] (bounded-heap
+    * aggregate): Spark plans it partial+final, so the shuffle carries only
+    * numPartitions×k rows per query — a window-rank formulation would shuffle
+    * the entire scored table into ≤|queries| partitions first (full-data
+    * shuffle + skew at 100 TB).
+    */
+  def topK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    val scored = embeddings
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q"))))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")), 6))
+    val topkAgg = B.column(
+      graft.functions.TopKStructAgg(k,
+        B.expression(struct(col("sim"), col("vec_id"), col("label"))))
+        .toAggregateExpression())
+    scored
+      .groupBy(col("query_id"))
+      .agg(topkAgg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        col("e.label").as("label"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+}
+
 /** Exact (brute-force) k-NN — the reference at nProbe = numClusters, and the
   * correctness baseline for the IVF path (`README.md:24`: n_probe=128 ⇒ exact). */
 object KnnExact {

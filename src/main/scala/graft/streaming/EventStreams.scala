@@ -64,17 +64,7 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val scored = staticVectors
-          .join(broadcast(batch.select(col("query_id"), col("embedding").as("q"))))
-          .withColumn("sim",
-            graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(desc("sim"), asc("vec_id"))))
-          .where(col("rn") <= k)
-          .select(col("query_id"), col("vec_id"), col("label"), col("sim"), col("rn"))
-        sink(scored)
+        sink(graft.operators.KnnBatch.topK(staticVectors, batch, k))
       }
       .start()
 

@@ -41,6 +41,25 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("batch kNN: partial+final bounded-heap aggregate, matches per-query exact") {
+    import graft.operators.KnnBatch
+    val queries = emb.where(org.apache.spark.sql.functions.col("vec_id").isin(0L, 3L))
+      .selectExpr("vec_id AS query_id", "embedding")
+    val df = KnnBatch.topK(emb, queries, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), "TypedImperativeAggregate expected")
+    assert("partial_topk_struct|partial_.*topk".r.findFirstIn(plan).isDefined ||
+      plan.split("ObjectHashAggregate").length > 2,
+      "partial aggregation (map-side heaps) missing:\n" + plan.take(800))
+    val got = df.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    Seq(0L, 3L).foreach { qid =>
+      val want = KnnExact.topK(emb, KnnExact.queryVector(emb, qid), 5)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+  }
+
   test("index rebuild under fixed seed is deterministic") {
     val dirA = "target/ivf-test/rebuild-a"
     val dirB = "target/ivf-test/rebuild-b"

@@ -50,7 +50,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("embedding"))
       .coalesce(1).write.mode("overwrite").parquet(qdir)
 
-    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     val stream = spark.readStream
       .schema("query_id LONG, embedding ARRAY<FLOAT>")
       .parquet(qdir)
@@ -58,7 +58,7 @@ class StreamingSpec extends SparkSpec {
       val rows = batchOut.collect()
       buf.synchronized {
         buf ++= rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
-          r.getAs[Int]("rn")))
+          r.getAs[Long]("rn")))
       }
     }
     q.awaitTermination()
