@@ -50,8 +50,6 @@ for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if
         print(f"MISSING-RESULT {name} (query did not write output)"); fails.append(name); continue
     tbl = pq.read_table(d)
     snames = tbl.column_names
-    srows = [tuple(c[i] for c in (col.to_pylist() for col in tbl.columns)) for i in range(tbl.num_rows)]
-    # rebuild rows properly (column-major -> row-major)
     cols = [c.to_pylist() for c in tbl.columns]
     srows = list(zip(*cols)) if cols else []
     if name not in oracles:

@@ -32,7 +32,7 @@ object Bench {
 
     // offline index build — not part of query timing (reference times search
     // only; index load/build is IVFIndex::from_pretrained, outside the timer)
-    try graft.operators.IvfIndex.forSfDir(spark, sfDir, 16)
+    try graft.operators.IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters)
     catch { case e: Throwable =>
       System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
     }

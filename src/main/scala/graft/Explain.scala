@@ -51,6 +51,17 @@ object Explain {
             println(f"$n%-26s $exchanges%-5d ${flags.mkString(",")}")
           } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.getMessage.take(60)}") }
         }
+      case "corpus-demo" =>
+        println("=== JSON corpus positional-id demo ===")
+        val dir = java.nio.file.Files
+          .createTempDirectory(java.nio.file.Paths.get("target"), "corpus").toString
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "b.json"),
+          """[{"title":"t3","text":"ddd"},{"title":"t4","text":"ccc"}]""")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "a.json"),
+          """[{"title":"t1","text":"zzz"},{"title":"t2","text":"aaa"}]""")
+        graft.sources.JsonCorpus.read(spark, dir)
+          .selectExpr("id", "regexp_extract(file, '([ab]\\\\.json)', 1) AS f", "title", "text")
+          .orderBy("id").show()
       case "stream-demo" =>
         println("=== streaming micro-batch ANN serving demo ===")
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -37,8 +37,9 @@ object SparkEntry {
   }
 
   /** IVF cluster count for the testdata index (16 clusters ≈ sqrt(N) at this
-    * scale; the reference hard-codes 128 for Wikipedia scale, IVF.cpp:13). */
-  private val NumClusters = 16
+    * scale; the reference hard-codes 128 for Wikipedia scale, IVF.cpp:13).
+    * Public: Bench's index prewarm must hit the same forSfDir cache key. */
+  val NumClusters = 16
   private val TopK = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -57,7 +57,11 @@ object Dedup {
     * than the corpus, uniformly keyed.
     */
   def lshBuckets(documents: DataFrame): DataFrame = {
-    val sig = minhashSignatures(documents)
+    // shingle-less docs (<3 tokens) have null signatures; without this filter
+    // concat_ws would skip the nulls and give every such doc the SAME band
+    // bucket — quadratic spurious candidate pairs among short docs (and a
+    // divergence from the oracle, whose unnest-based CTE drops them)
+    val sig = minhashSignatures(documents).where(col("h0").isNotNull)
     val bandCols = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"),

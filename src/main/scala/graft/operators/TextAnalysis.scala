@@ -24,9 +24,15 @@ object TextAnalysis {
     * Ratios rounded to 6 dp for oracle-stable output.
     */
   def quality(documents: DataFrame): DataFrame = {
-    val w = tokens(col("text"))
+    // materialize the token array once behind a Generate barrier (same CSE
+    // rationale as Dedup.minhashSignatures: HOF-bearing columns re-inline
+    // their subtrees, so without the barrier split(text) runs ~6x per row)
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("t"))
+    val w = col("t.w")
     val n = size(w)
-    documents.select(
+    staged.select(
       col("doc_id"),
       n.as("n_tokens"),
       size(array_distinct(w)).as("n_uniq"),

@@ -22,23 +22,26 @@ object JsonCorpus {
     StructField("text", StringType, nullable = false)))
 
   /** Read a corpus dir → `(id BIGINT, file STRING, title STRING, text STRING)`.
-    * Ids are dense and ordered by (file name, offset in file) — exactly the
+    * Ids are dense and ordered by (file name, POSITION in file) — exactly the
     * reference's `file_lengths.json` ordering contract (`embedding.py:37-38`),
-    * but carried as data. The window over `file` is a one-shuffle global
-    * numbering; at 100 TB one would precompute per-file offsets (two tiny jobs)
-    * — same semantics, documented here as the scale path.
+    * but carried as data. Array position is preserved by parsing each file's
+    * JSON array with `from_json` + `posexplode` (the DataFrame JSON reader
+    * does not expose element order, so a text-based ordering would misalign
+    * ids against reference-positional embeddings). The global window is a
+    * one-shuffle numbering; at 100 TB one would precompute per-file offsets
+    * (two tiny jobs) — same semantics, documented here as the scale path.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val perFile = spark.read
-      .option("multiLine", "true")
-      .schema(schema)
-      .json(dir)
-      .select(input_file_name().as("file"), col("title"), col("text"))
-    // position within file, then global dense id by (file, pos)
-    val byFile = Window.partitionBy(col("file")).orderBy(col("text"))
+    val perFile = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.json")
+      .load(dir)
+      .select(col("path").as("file"),
+        from_json(decode(col("content"), "UTF-8"), ArrayType(schema)).as("arts"))
+      .select(col("file"), posexplode(col("arts")).as(Seq("pos", "a")))
+      .select(col("file"), col("pos"), col("a.title").as("title"),
+        col("a.text").as("text"))
     val global = Window.orderBy(col("file"), col("pos"))
     perFile
-      .withColumn("pos", row_number().over(byFile))
       .withColumn("id", row_number().over(global).cast(LongType) - 1)
       .select(col("id"), col("file"), col("title"), col("text"))
   }

@@ -36,6 +36,19 @@ class DedupTextSpec extends SparkSpec {
       s"unrelated doc must not pair: $pairs")
   }
 
+  test("shingle-less docs are excluded from LSH banding (no null-bucket collisions)") {
+    import spark.implicits._
+    val shorts = Seq(
+      (0L, "one two", "en", "s0", 7L),
+      (1L, "red blue", "en", "s0", 8L),
+      (2L, "up down", "en", "s0", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Dedup.lshBuckets(shorts).count() == 0,
+      "null signatures must not produce band buckets")
+    assert(Dedup.lshCandidatePairs(shorts).count() == 0,
+      "unrelated short docs must not become candidate pairs")
+  }
+
   test("minhash of <3-token doc is null (empty shingle set)") {
     val r = Dedup.minhashSignatures(docsFixture).where(col("doc_id") === 4L).head()
     assert(r.isNullAt(1))

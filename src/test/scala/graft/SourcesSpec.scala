@@ -34,17 +34,20 @@ class SourcesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == 384))
   }
 
-  test("JSON corpus scan mints dense deterministic ids ordered by (file, text)") {
+  test("JSON corpus scan mints dense ids by (file, ARRAY POSITION), not text order") {
     val dir = Files.createTempDirectory(Paths.get("target"), "corpus").toString
+    // texts deliberately out of alphabetical order within each file: ids must
+    // follow array position (the reference's positional contract,
+    // embedding.py:34), not any value-based ordering
     Files.writeString(Paths.get(dir, "b.json"),
-      """[{"title":"t3","text":"ccc"},{"title":"t4","text":"ddd"}]""")
+      """[{"title":"t3","text":"ddd"},{"title":"t4","text":"ccc"}]""")
     Files.writeString(Paths.get(dir, "a.json"),
-      """[{"title":"t1","text":"aaa"},{"title":"t2","text":"bbb"}]""")
+      """[{"title":"t1","text":"zzz"},{"title":"t2","text":"aaa"}]""")
     val df = JsonCorpus.read(spark, dir)
     val got = df.orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[String]("text")))
     assert(got.map(_._1).sameElements(Array(0L, 1L, 2L, 3L)), "dense ids 0..3")
-    assert(got.map(_._2).sameElements(Array("aaa", "bbb", "ccc", "ddd")),
-      s"file-then-offset order: ${got.mkString(",")}")
+    assert(got.map(_._2).sameElements(Array("zzz", "aaa", "ddd", "ccc")),
+      s"file-then-position order: ${got.mkString(",")}")
   }
 }
