@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{IvfIndex, KnnExact}
+
+/** The reference's experiment protocol (`run_multiple_configs.sh` +
+  * `experiment{1..8}_config.txt`: grids over n_probe, mean Search Time over N
+  * runs) reproduced for the Spark engine — with recall@k added, which the
+  * reference only eyeballs (`README.md:74-78`). The kernel/threads axes of the
+  * reference grids select physically identical computations (SURVEY §2 A7–A9)
+  * and therefore collapse to a single engine configuration here.
+  *
+  * Usage: sbt "runMain graft.Experiment [sfDir] [k] [runs]"
+  * Prints one line per nProbe: mean search ms + recall@k vs exact.
+  */
+object Experiment {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val runs = args.lift(2).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-experiment")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters)
+    val qv = KnnExact.queryVector(emb, 0L)
+    val exact = KnnExact.topK(emb, qv, k).collect().map(_.getLong(0)).toSet
+
+    println(f"${"n_probe"}%8s ${"mean_ms"}%10s ${"recall@" + k}%10s   (runs=$runs, sf=$sfDir)")
+    Seq(1, 2, 4, 8, SparkEntry.NumClusters).foreach { p =>
+      var ids: Set[Long] = Set.empty
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        ids = idx.search(qv, k, p).collect().map(_.getLong(0)).toSet
+        (System.nanoTime() - t0) / 1e6
+      }
+      val recall = (ids intersect exact).size.toDouble / k
+      println(f"$p%8d ${times.sum / runs}%10.1f $recall%10.2f")
+    }
+    spark.stop()
+  }
+}
