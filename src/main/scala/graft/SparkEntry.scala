@@ -61,6 +61,9 @@ object SparkEntry {
     "q15_monthly_orders"     -> ((s, d) => Relational.monthlyOrders(s, d)),
     "q16_status_pivot"       -> ((s, d) => Relational.statusPivot(s, d)),
     "q17_part_strings"       -> ((s, d) => Relational.partStrings(s, d)),
+    "q18_customer_set_ops"   -> ((s, d) => Relational.customerSetOps(s, d)),
+    "q19_price_tiers"        -> ((s, d) => Relational.priceTierRangeJoin(s, d)),
+    "q20_purchase_attribution" -> ((s, d) => Relational.purchaseAttribution(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -106,6 +109,8 @@ object SparkEntry {
       TextAnalysis.languageId(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "doc_fingerprint"        -> ((s, d) =>
       TextAnalysis.fingerprints(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "tok_count_bpe"          -> ((s, d) =>
+      TextAnalysis.tokenCountsBpe(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -315,6 +320,46 @@ object SparkEntry {
         |  concat_ws('|', p_brand, p_type) AS brand_type,
         |  substring(p_name, 1, 10) AS name_prefix
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q18_customer_set_ops" ->
+      """WITH o_open AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'both' AS tag, o_custkey
+        |  FROM (SELECT o_custkey FROM o_open INTERSECT SELECT o_custkey FROM f)
+        |UNION ALL
+        |SELECT 'open_only' AS tag, o_custkey
+        |  FROM (SELECT o_custkey FROM o_open EXCEPT SELECT o_custkey FROM f)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q19_price_tiers" -> {
+      val tiersValues = Relational.PriceTiers
+        .map { case (n, lo, hi) => s"('$n', ${lo}, ${hi})" }.mkString(", ")
+      s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
+         |SELECT tier, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin
+    },
+
+    "q20_purchase_attribution" ->
+      """WITH v AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS view_sec
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS buy_sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.buy_sec, v.view_sec,
+        |  p.buy_sec - v.view_sec AS gap_sec
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND v.view_sec <= p.buy_sec
+        |ORDER BY p.event_id""".stripMargin,
+
+    "tok_count_bpe" -> {
+      val patSql = TextAnalysis.BpeTokenRegex.replace("'", "''")
+      s"""WITH s AS (SELECT doc_id, len($W) AS n_ws,
+         |  len(regexp_extract_all(text, '$patSql')) AS n_bpe FROM documents)
+         |SELECT doc_id, CAST(n_ws AS INT) AS n_ws, CAST(n_bpe AS INT) AS n_bpe,
+         |  round(CAST(n_bpe AS DOUBLE) / n_ws, 6) AS bpe_per_ws
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "knn_exact" -> KnnOracle,
     "knn_ivf_full" -> KnnOracle, // nProbe = numClusters ⇒ provably ≡ exact

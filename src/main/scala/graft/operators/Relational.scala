@@ -240,6 +240,61 @@ object Relational {
         substring(col("p_name"), 1, 10).as("name_prefix"))
       .orderBy(col("p_partkey"))
 
+  /** Exact set ops (INTERSECT/EXCEPT — the set-semantics complement of the
+    * bag UNION ALL in [[unionTagged]]): customers with both open and finished
+    * orders vs open-only. Both ops hash-shuffle on the full row (here one
+    * column); the two distinct inputs are computed once each and reused.
+    * At scale these are plain co-partitioned hash joins — no sort. */
+  def customerSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders")
+    val open = o.where(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    val fin  = o.where(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    open.intersect(fin).select(lit("both").as("tag"), col("o_custkey"))
+      .unionAll(open.except(fin).select(lit("open_only").as("tag"), col("o_custkey")))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  /** Range join against a tiny inline tier dimension: each order lands in the
+    * [lo, hi) price band. The dim is broadcast, so the range predicate is a
+    * per-row broadcast-nested-loop over 4 rows — O(|orders|·4) with zero
+    * shuffle of the fact side, which is the only range-join shape that holds
+    * at 100 TB (an equi-bucketed prejoin would be the next step for a large
+    * band table). */
+  def priceTierRangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tiers = spark.createDataFrame(PriceTiers).toDF("tier", "lo", "hi")
+    t(spark, sfDir, "orders")
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+      .orderBy(col("tier"))
+  }
+
+  /** Price bands for [[priceTierRangeJoin]] — half-open, gap-free, exhaustive. */
+  val PriceTiers: Seq[(String, Double, Double)] = Seq(
+    ("t1_budget", 0.0, 50000.0),
+    ("t2_mid", 50000.0, 150000.0),
+    ("t3_premium", 150000.0, 300000.0),
+    ("t4_luxury", 300000.0, 1e12))
+
+  /** As-of join query: each purchase event picks up the most recent prior (or
+    * simultaneous) view by the same user — the canonical attribution query.
+    * See [[AsOfJoin]] for the shuffle-once formulation; right side is
+    * `.distinct()`-ed to per-(user, second) as the operator requires. */
+  def purchaseAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts_sec")).distinct()
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("buy_sec"))
+    AsOfJoin.asOf(buys, views, "user_id", "buy_sec", "ts_sec", "view_sec")
+      .select(col("event_id"), col("user_id"), col("buy_sec"), col("view_sec"),
+        (col("buy_sec") - col("view_sec")).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** Semi-structured extraction: regexp over the JSON-ish props column (the
     * reference's only JSON field access is `["text"]`, IVF.cpp:117 — this is
     * the engine's general version). Guarded cast: ANSI-safe on no-match. */

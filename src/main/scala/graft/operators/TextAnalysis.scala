@@ -48,6 +48,31 @@ object TextAnalysis {
   def tokenCounts(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
 
+  /** GPT-2-style pre-tokenizer regex, restricted to constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB oracle): no lookahead, and
+    * alternatives ordered so leftmost-first matching agrees. Contractions,
+    * space-prefixed letter/digit runs, punctuation runs, residual spaces. */
+  val BpeTokenRegex: String =
+    "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9']+| +"
+
+  /** Dual token count per doc: whitespace tokens and BPE-ish pre-tokenizer
+    * segments (the unit an LLM tokenizer would then BPE-merge — counting the
+    * segments bounds token cost without a vocab). Both counts are staged once
+    * behind a Generate barrier (CollapseProject would otherwise re-inline the
+    * regex scan per output column — see [[quality]]). */
+  def tokenCountsBpe(documents: DataFrame): DataFrame = {
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(struct(
+        size(tokens(col("text"))).as("ws"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0))).as("bpe")))).as("c"))
+    staged.select(
+      col("doc_id"),
+      col("c.ws").as("n_ws"),
+      col("c.bpe").as("n_bpe"),
+      round(col("c.bpe").cast("double") / col("c.ws"), 6).as("bpe_per_ws"))
+  }
+
   /** Language-id guess per doc (marker-token heuristic — see GraftFunctions). */
   def languageId(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"), col("lang"),
