@@ -111,6 +111,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "tok_count_bpe"          -> ((s, d) =>
       TextAnalysis.tokenCountsBpe(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "text_norm"              -> ((s, d) =>
+      TextAnalysis.normalize(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "split_assign"           -> ((s, d) =>
+      TextAnalysis.trainValTestSplit(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -462,6 +466,25 @@ object SparkEntry {
          |  FROM (SELECT doc_id, unnest(w) AS u, generate_subscripts(w, 1) AS i FROM d))
          |SELECT doc_id, CAST(bit_xor(${h60Sql("tok")}) AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_norm" ->
+      s"""WITH n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         |    '  +', ' ', 'g')) AS t
+         |  FROM documents)
+         |SELECT doc_id, ${h60Sql("t")} AS norm_h60,
+         |  CAST(length(t) AS INT) AS n_norm_chars,
+         |  substring(t, 1, 80) AS norm_prefix
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    "split_assign" -> {
+      val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""WITH b AS (SELECT doc_id, $hash % 100 AS bucket FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
   )

@@ -85,4 +85,38 @@ object TextAnalysis {
 
   /** SimHash per doc (delegates to Dedup for the sketch). */
   def simhashTable(documents: DataFrame): DataFrame = Dedup.simhashes(documents)
+
+  /** Canonical text normalization for dedup/tokenizer front-ends: lowercase,
+    * non-alphanumerics to spaces, collapse runs, trim. Exported as a 60-bit
+    * content hash + length + preview so the result parquet stays narrow at
+    * 100 TB while remaining value-comparable. Pure per-row expressions: runs
+    * at scan speed, zero shuffle. */
+  def normalize(documents: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "  +", " "))
+    documents.select(
+      col("doc_id"),
+      explode(array(struct(norm.as("t")))).as("c"))
+      .select(
+        col("doc_id"),
+        h60(col("c.t")).as("norm_h60"),
+        length(col("c.t")).as("n_norm_chars"),
+        substring(col("c.t"), 1, 80).as("norm_prefix"))
+  }
+
+  /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
+  val SplitSalt = "graftsplit"
+
+  /** Deterministic train/val/test assignment (80/10/10) by portable hash of
+    * the salted id — the standard leak-proof split for training corpora:
+    * stable across runs, clusters, and engine versions (md5 contract), no
+    * sampling state, no shuffle; a pure scan-speed projection. */
+  def trainValTestSplit(documents: DataFrame): DataFrame = {
+    val bucket = h60(concat(lit(SplitSalt), lit("#"), col("doc_id").cast("string"))) % 100
+    documents.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .as("split"))
+  }
 }
