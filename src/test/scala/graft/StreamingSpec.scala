@@ -73,6 +73,58 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful sessionization across a checkpointed restart == batch q11") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{SessionEvent, UserSessionCount}
+
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), expr("CAST(ts DIV 1000000000 AS BIGINT)").as("sec"),
+        col("event_id"))
+    val cut = ev.selectExpr("percentile(sec, 0.5)").head.getDouble(0).toLong
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "sess-src").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "sess-ckpt").toString
+
+    val updates = scala.collection.mutable.ArrayBuffer.empty[UserSessionCount]
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, sec LONG, event_id LONG")
+        .parquet(srcDir)
+        .as[SessionEvent]
+      val q = graft.streaming.EventStreams.sessionizeStateful(stream)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserSessionCount], _: Long) =>
+          val rows = batch.collect()
+          updates.synchronized { updates ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // feed the first time-half, run; feed the rest, run again from the same
+    // checkpoint — state (last event time, totals) must survive the restart
+    ev.where(col("sec") <= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    ev.where(col("sec") > cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    // totals are monotonic: the final state per user is the max row
+    val got = updates.toArray
+      .groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+    val want = graft.operators.Relational.userSessions(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (ns, ne)) =>
+      assert(got(u).n_sessions == ns && got(u).n_events == ne,
+        s"user $u: got (${got(u).n_sessions}, ${got(u).n_events}), want ($ns, $ne)")
+    }
+  }
+
   test("stream-static enrichment join preserves stream rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
