@@ -40,6 +40,8 @@ object SparkEntry {
     * scale; the reference hard-codes 128 for Wikipedia scale, IVF.cpp:13).
     * Public: Bench's index prewarm must hit the same forSfDir cache key. */
   val NumClusters = 16
+  /** Embedding dimensionality of the testdata (embeddings.parquet). */
+  val EmbDim = 64
   private val TopK = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -79,6 +81,12 @@ object SparkEntry {
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("cluster"))),
+    "ann_lsh_bucket"         -> ((s, d) =>
+      LshAnn.assign(tbl(s, d, "embeddings"), EmbDim).orderBy(col("vec_id"))),
+    "ann_lsh"                -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      LshAnn.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
+    }),
     "vec_norms"              -> ((s, d) =>
       tbl(s, d, "embeddings").select(
         col("vec_id"),
@@ -466,6 +474,8 @@ object SparkEntry {
          |  FROM (SELECT doc_id, unnest(w) AS u, generate_subscripts(w, 1) AS i FROM d))
          |SELECT doc_id, CAST(bit_xor(${h60Sql("tok")}) AS BIGINT) AS fp
          |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ann_lsh_bucket" -> LshAnn.assignOracleSql("embeddings", EmbDim),
 
     "text_norm" ->
       s"""WITH n AS (SELECT doc_id,
