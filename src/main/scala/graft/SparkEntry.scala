@@ -43,6 +43,8 @@ object SparkEntry {
   /** Embedding dimensionality of the testdata (embeddings.parquet). */
   val EmbDim = 64
   private val TopK = 10
+  /** nProbe for the approximate IVF query (4 of 16 clusters probed). */
+  private val AnnProbe = 4
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (SURVEY §2 Table B) ----
@@ -76,7 +78,7 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rn"))
     }),
     "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
-    "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = 4)),
+    "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = AnnProbe)),
     "ivf_cluster_counts"     -> ((s, d) =>
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
@@ -96,7 +98,11 @@ object SparkEntry {
     "dedup_exact"            -> ((s, d) =>
       Dedup.exact(tbl(s, d, "documents")).orderBy(col("text_md5"))),
     "dedup_minhash"          -> ((s, d) =>
-      Dedup.minhashSignatures(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // drop null-signature rows (<3-token docs): matches the oracle's
+      // unnest-based CTE, which omits shingle-less docs — and the downstream
+      // lshBuckets contract, which excludes them for the same reason
+      Dedup.minhashSignatures(tbl(s, d, "documents"))
+        .where(col("h0").isNotNull).orderBy(col("doc_id"))),
     "lsh_candidates"         -> ((s, d) =>
       Dedup.lshCandidatePairs(tbl(s, d, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -375,6 +381,38 @@ object SparkEntry {
 
     "knn_exact" -> KnnOracle,
     "knn_ivf_full" -> KnnOracle, // nProbe = numClusters ⇒ provably ≡ exact
+
+    // Replay the IVF search over the clustering Spark actually built (exported
+    // by IvfIndex.forSfDir — MLlib k-means‖ ≠ sklearn, so the oracle replays
+    // the model artifacts instead of re-training): coarse = top-nProbe
+    // centroids by cosine (sim DESC, cluster ASC — IVF.cpp:271-282 order),
+    // fine = cosine top-k over the probed clusters' rows (IVF.cpp:286-435).
+    "ann_ivf_probe" ->
+      s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |probes AS (SELECT cluster FROM cent, q
+         |  ORDER BY list_dot_product(c, q.v) /
+         |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
+         |    cluster ASC
+         |  LIMIT $AnnProbe),
+         |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |  WHERE cluster IN (SELECT cluster FROM probes)),
+         |e AS (SELECT e.vec_id, e.label, $EmbDouble AS v
+         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id)
+         |SELECT e.vec_id, e.label,
+         |  round(list_dot_product(e.v, q.v) /
+         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |FROM e, q
+         |ORDER BY sim DESC, e.vec_id ASC
+         |LIMIT $TopK""".stripMargin,
+
+    "ivf_cluster_counts" ->
+      s"""SELECT cluster, COUNT(*) AS n_vectors
+         |FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     "knn_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v

@@ -79,7 +79,12 @@ object Dedup {
     * handled by AQE skew-join splitting.
     */
   def lshCandidatePairs(documents: DataFrame): DataFrame = {
-    val b = lshBuckets(documents)
+    // materialize the bucket table once: without the persist the full
+    // tokenize→shingle→MinHash subtree evaluates on BOTH sides of the
+    // self-join (Spark does not CSE across join children). At 100 TB this
+    // is the write-then-read of the banded signature table every MinHash
+    // pipeline does; MEMORY_AND_DISK is the local-mode equivalent.
+    val b = lshBuckets(documents).persist()
     val l = b.as("a")
     val r = b.as("b")
     l.join(r,
@@ -103,15 +108,21 @@ object Dedup {
     * Returns pairs with jaccard >= minJaccard, rounded to 6 dp.
     */
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    // persist the shingled docs: they feed sizes AND postings, and postings
+    // feeds both sides of the self-join — without materialization the
+    // shingle pipeline evaluates 3×. Same write-then-read posture as
+    // [[lshCandidatePairs]].
     val docs = documents
       .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
       .where(size(col("sh")) > 0)
+      .persist()
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     // join on the 60-bit shingle hash, not the string: same equality classes
     // (md5-collision-free in practice), ~3× smaller shuffle rows
     val postings = docs
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
       .select(col("doc_id"), col("lang"), h60(col("s")).as("s"))
+      .persist()
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
@@ -137,8 +148,11 @@ object Dedup {
   def ngramSurvivors(documents: DataFrame, minJaccard: Double): DataFrame = {
     val dropped = ngramJaccardPairs(documents, minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    documents // dropped is tiny (duplicate ids only) — broadcast the anti side
-      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+    // no broadcast hint: `dropped` is the duplicate fraction of the corpus —
+    // unbounded on a real crawl — so the scale-safe plan is a shuffled
+    // left_anti; AQE still downgrades to broadcast when it measures small.
+    documents
+      .join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 

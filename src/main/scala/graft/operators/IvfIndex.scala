@@ -111,38 +111,80 @@ object IvfIndex {
     val cents = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.map(_.toFloat))
     }
+    // Persist the centroid table (k rows) next to the inverted file — the
+    // reference's `cluster_centroids.bin` artifact. `load` then reads k rows
+    // instead of re-aggregating dim avg() columns over the whole index.
+    writeCentroids(spark, centroidsDir(indexDir), cents)
     IvfIndex(spark, indexDir, numClusters, dim, cents)
   }
 
-  /** Reload a persisted index (centroids recomputed as per-cluster means — the
-    * K-means fixed point the reference stores in `cluster_centroids.bin`). Means
-    * are computed distributed then collected: k rows only. */
+  /** Centroid artifact path: a sibling dir, NOT inside the partitioned index
+    * (a child dir would corrupt partition discovery) and NOT `_`-prefixed
+    * (Spark skips `_`/`.`-prefixed paths as hidden). */
+  def centroidsDir(indexDir: String): String =
+    indexDir.stripSuffix("/") + "-centroids"
+
+  private def writeCentroids(
+      spark: SparkSession, dir: String, cents: Array[(Int, Array[Float])]): Unit = {
+    import spark.implicits._
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted index. Centroids come from the k-row
+    * `<indexDir>-centroids` parquet written at build time (the reference's
+    * `cluster_centroids.bin`); for an index dir without that artifact they are
+    * reconstructed as per-cluster means — the K-means fixed point — computed
+    * distributed, collected as k rows only. */
   def load(spark: SparkSession, indexDir: String): IvfIndex = {
     val df = spark.read.parquet(indexDir)
     val dim = df.select(size(col("embedding"))).head().getInt(0)
-    val centRows = df
-      .groupBy("cluster")
-      .agg(array((0 until dim).map(i =>
-        avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
-      .collect()
-    val cents = centRows.map { r =>
-      (r.getAs[Int]("cluster"),
-        r.getAs[Seq[Double]]("centroid").map(_.toFloat).toArray)
-    }
+    val cdir = centroidsDir(indexDir)
+    val cents =
+      if (new java.io.File(cdir).exists()) {
+        spark.read.parquet(cdir).collect().map { r =>
+          (r.getAs[Int]("cluster"), r.getAs[Seq[Float]]("centroid").toArray)
+        }
+      } else {
+        df.groupBy("cluster")
+          .agg(array((0 until dim).map(i =>
+            avg(element_at(col("embedding"), i + 1))): _*).as("centroid"))
+          .collect()
+          .map { r =>
+            (r.getAs[Int]("cluster"),
+              r.getAs[Seq[Double]]("centroid").map(_.toFloat).toArray)
+          }
+      }
     IvfIndex(spark, indexDir, cents.length, dim, cents)
   }
 
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
+  /** Oracle-replay export dir (builder tooling, absolute so the driver's DuckDB
+    * process resolves it regardless of its cwd): `forSfDir` dumps the built
+    * assignment `(vec_id, cluster)` and the centroid table here so the
+    * `ann_ivf_probe` / `ivf_cluster_counts` oracles can replay the coarse+fine
+    * search over the SAME clustering Spark used (MLlib k-means‖ ≠ sklearn, so
+    * the oracle must replay, not re-train — SURVEY §7 note 3). */
+  val oracleExportDir: String =
+    java.nio.file.Paths.get("target", "ivf-export").toAbsolutePath.toString
+
   /** Build-or-reuse an index for a testdata dir. Index lives under ./target. */
   def forSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
     val key = s"$sfDir#$numClusters"
     cache.getOrElseUpdate(key, {
-      val safe = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      // strip the leading separator before sanitizing: `_`-prefixed dirs are
+      // treated as hidden by Spark's file index ("All paths were ignored")
+      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
       val dir = s"target/ivf-index/$safe-k$numClusters"
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      build(spark, emb, dir, numClusters)
+      val idx = build(spark, emb, dir, numClusters)
+      idx.vectors.select(col("vec_id"), col("cluster"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleExportDir/assign")
+      writeCentroids(spark, s"$oracleExportDir/centroids", idx.centroids)
+      idx
     })
   }
 }

@@ -16,14 +16,15 @@ import graft.functions.PortableHash
   * `r_i[d] = (h32("lsh#i#d") % 2000001 - 1000000) / 1e6 ∈ [-1, 1]` — so the
   * DuckDB oracle reproduces the bucket assignment bit-for-bit (same double
   * dot, same sign rule), and a 1000-executor cluster needs no broadcast of
-  * index state at all: the "index" is 16 constant vectors folded into the
-  * codegen'd projection.
+  * index state at all: the "index" is [[NumBits]] constant vectors folded
+  * into the codegen'd projection.
   *
   * Scale posture vs IVF: LSH assignment is a pure per-row projection (zero
   * shuffle, zero training); a production layout writes
   * `partitionBy(bucket prefix)` exactly like the IVF inverted file, and a
-  * query scans only the probed buckets (here: Hamming-distance ≤ 1 multiprobe
-  * — `nBits + 1` of `2^nBits` buckets ≈ 0.026% of rows at 16 bits).
+  * query scans only the probed buckets (Hamming-distance ≤ 1 multiprobe —
+  * `nBits + 1` of `2^nBits` buckets: 9/256 ≈ 3.5% at the testdata's 8 bits,
+  * 21/2^20 ≈ 0.002% at a 100 TB corpus's ~20 bits).
   */
 object LshAnn {
 
@@ -41,7 +42,8 @@ object LshAnn {
     }
 
   /** Bucket id of an embedding column: bit i = sign(dot(v, r_i)) >= 0.
-    * 16 codegen dot products against literal arrays — whole-stage friendly. */
+    * [[NumBits]] codegen dot products against literal arrays — whole-stage
+    * friendly. */
   def bucketCol(emb: Column, dim: Int): Column =
     (0 until NumBits).map { i =>
       when(dotProduct(emb, typedLit(hyperplane(i, dim))) >= 0, lit(1L << i))
@@ -66,6 +68,36 @@ object LshAnn {
        |  FROM e CROSS JOIN hp)
        |SELECT vec_id, CAST(SUM(b) AS BIGINT) AS bucket
        |FROM bits GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[search]] over table `t`: replay the bucket
+    * assignment ([[assignOracleSql]] CTEs), take the query row's bucket,
+    * expand the Hamming≤1 multiprobe set, then exact-cosine top-k among the
+    * probed rows — same math, same `sim DESC, vec_id ASC` tie-break. Fully
+    * deterministic end-to-end because the hyperplanes are md5-derived. */
+  def searchOracleSql(t: String, dim: Int, k: Int, queryVecId: Long): String = {
+    val hp = s"list_transform(generate_series(0, ${dim - 1}), d -> " +
+      s"(${h32Sql("('lsh#' || CAST(i AS VARCHAR) || '#' || CAST(d AS VARCHAR))")} " +
+      s"% 2000001 - 1000000) / 1e6)"
+    s"""WITH hp AS (SELECT i, $hp AS r
+       |  FROM generate_series(0, ${NumBits - 1}) t(i)),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $t),
+       |b AS (SELECT e.vec_id,
+       |    CAST(SUM(CASE WHEN list_dot_product(e.v, hp.r) >= 0
+       |      THEN CAST(1 AS BIGINT) << hp.i ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN hp GROUP BY e.vec_id),
+       |q AS (SELECT v FROM e WHERE vec_id = $queryVecId),
+       |qb AS (SELECT bucket FROM b WHERE vec_id = $queryVecId),
+       |probes AS (SELECT bucket FROM qb
+       |  UNION
+       |  SELECT xor(qb.bucket, CAST(1 AS BIGINT) << i) AS bucket
+       |  FROM qb, generate_series(0, ${NumBits - 1}) t(i))
+       |SELECT b.vec_id, b.bucket,
+       |  round(list_dot_product(e.v, q.v) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |FROM b JOIN probes p ON b.bucket = p.bucket JOIN e ON e.vec_id = b.vec_id, q
+       |ORDER BY sim DESC, b.vec_id ASC
+       |LIMIT $k""".stripMargin
   }
 
   /** Buckets within Hamming distance 1 of the query's bucket. */

@@ -41,7 +41,9 @@ object Relational {
     * 6-group output. Filter pushed to parquet; only 6 columns read. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "lineitem")
-      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      // session-tz-aware cast (NOT java.sql.Timestamp.valueOf, which parses in
+      // the JVM default zone and shifts the boundary on non-UTC drivers)
+      .where(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,11 +26,18 @@ object JsonCorpus {
     * but carried as data. Array position is preserved by parsing each file's
     * JSON array with `from_json` + `posexplode` (the DataFrame JSON reader
     * does not expose element order, so a text-based ordering would misalign
-    * ids against reference-positional embeddings). The global window is a
-    * one-shuffle numbering; at 100 TB one would precompute per-file offsets
-    * (two tiny jobs) — same semantics, documented here as the scale path.
+    * ids against reference-positional embeddings).
+    *
+    * Id minting is the scale-safe two-job formulation (NOT a global
+    * no-partition window, which single-partition-sorts the whole corpus):
+    * job 1 computes per-file row counts — one output row per FILE, the
+    * in-engine `file_lengths.json` — the driver prefix-sums them in file-name
+    * order into start offsets, and the main scan broadcast-joins the offsets
+    * and mints `id = offset + pos` per row. Both jobs are the same
+    * embarrassingly-parallel per-file parse; nothing global ever shuffles.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val perFile = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.json")
       .load(dir)
@@ -40,9 +46,18 @@ object JsonCorpus {
       .select(col("file"), posexplode(col("arts")).as(Seq("pos", "a")))
       .select(col("file"), col("pos"), col("a.title").as("title"),
         col("a.text").as("text"))
-    val global = Window.orderBy(col("file"), col("pos"))
+    // job 1: per-file counts (|files| rows — tiny even at 100 TB corpus scale)
+    val counts = perFile.groupBy(col("file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    var running = 0L
+    val offsets = counts.map { case (f, n) =>
+      val o = running; running += n; (f, o)
+    }.toSeq
+    val offsetsDf = offsets.toDF("file", "offset")
     perFile
-      .withColumn("id", row_number().over(global).cast(LongType) - 1)
+      .join(broadcast(offsetsDf), Seq("file"))
+      .withColumn("id", (col("offset") + col("pos")).cast(LongType))
       .select(col("id"), col("file"), col("title"), col("text"))
   }
 }
