@@ -29,6 +29,28 @@ class IvfSpec extends SparkSpec {
     assert(recalls.last == 1.0, s"full probe must have recall 1.0: $recalls")
   }
 
+  test("recall@10 floor: mean over 5 queries ≥ 0.7 at nProbe=8, 1.0 at full probe") {
+    // quantitative ANN-quality gate (not just monotonicity): the synthetic
+    // testdata embeddings are near-uniform, so half-probe recall sits around
+    // 0.8 — the floor is set under that with margin for clustering variation
+    // across partitioning layouts, and full probe must stay provably exact
+    val recalls = (0L to 4L).map { qid =>
+      val q = KnnExact.queryVector(emb, qid)
+      val exact = KnnExact.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+      val got = idx.search(q, 10, 8).collect().map(_.getLong(0)).toSet
+      (got intersect exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.7, s"mean recall@10 at nProbe=8 too low: $mean ($recalls)")
+    val full = {
+      val q = KnnExact.queryVector(emb, 0L)
+      val exact = KnnExact.topK(emb, q, 10).collect().map(_.getLong(0)).toSet
+      val got = idx.search(q, 10, 16).collect().map(_.getLong(0)).toSet
+      (got intersect exact).size / 10.0
+    }
+    assert(full == 1.0, s"full probe must be exact, recall=$full")
+  }
+
   test("fine search is a partition-pruned scan (PartitionFilters on cluster)") {
     val plan = idx.search(qv, 5, 3).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(500))

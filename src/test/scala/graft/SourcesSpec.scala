@@ -21,6 +21,25 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test(".npy reader parses the header and matches the .bin twin byte-for-byte") {
+    (1 to 5).foreach { i =>
+      val npy = s"/root/reference/queries_data/query$i.npy"
+      val bin = s"/root/reference/queries_data/query$i.bin"
+      assume(Files.exists(Paths.get(npy)), s"fixture $npy missing")
+      val (fromNpy, dim) = BinaryVectors.readNpyFile(npy)
+      val fromBin = BinaryVectors.readFile(bin, 384)
+      assert(dim == 384, s"query$i.npy shape should end in 384, got $dim")
+      assert(fromNpy.length == fromBin.length)
+      fromNpy.zip(fromBin).foreach { case (a, b) => assert(a.sameElements(b)) }
+    }
+  }
+
+  test(".npy reader rejects non-npy payloads and unsupported dtypes") {
+    intercept[IllegalArgumentException] {
+      BinaryVectors.decodeNpy("not a numpy file at all".getBytes("ASCII"))
+    }
+  }
+
   test("divisibility check rejects malformed payloads (IVF.cpp:473-476)") {
     intercept[IllegalArgumentException] {
       BinaryVectors.decode(new Array[Byte](10), 384)
