@@ -79,6 +79,12 @@ object SparkEntry {
     }),
     "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
     "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = AnnProbe)),
+    "knn_rule_probe"         -> ((s, d) => {
+      // same search as ann_ivf_probe, but composed by the Catalyst rewrite
+      // rule (KnnSearchRewrite) from a KnnSearchNode instead of the API layer
+      val idx = IvfIndex.forSfDir(s, d, NumClusters)
+      idx.knn(KnnExact.queryVector(tbl(s, d, "embeddings"), 0L), TopK, AnnProbe)
+    }),
     "ivf_cluster_counts"     -> ((s, d) =>
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
@@ -167,6 +173,29 @@ object SparkEntry {
   private val KnnOracle: String =
     s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
        |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings)
+       |SELECT e.vec_id, e.label,
+       |  round(list_dot_product(e.v, q.v) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |FROM e, q
+       |ORDER BY sim DESC, e.vec_id ASC
+       |LIMIT $TopK""".stripMargin
+
+  /** IVF probe replay oracle, shared by `ann_ivf_probe` (API composition) and
+    * `knn_rule_probe` (Catalyst-rule composition): coarse over the exported
+    * centroid table, fine over the exported assignment join. */
+  private lazy val IvfProbeOracle: String =
+    s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
+       |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+       |probes AS (SELECT cluster FROM cent, q
+       |  ORDER BY list_dot_product(c, q.v) /
+       |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
+       |    cluster ASC
+       |  LIMIT $AnnProbe),
+       |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+       |  WHERE cluster IN (SELECT cluster FROM probes)),
+       |e AS (SELECT e.vec_id, e.label, $EmbDouble AS v
+       |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id)
        |SELECT e.vec_id, e.label,
        |  round(list_dot_product(e.v, q.v) /
        |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
@@ -387,25 +416,9 @@ object SparkEntry {
     // the model artifacts instead of re-training): coarse = top-nProbe
     // centroids by cosine (sim DESC, cluster ASC — IVF.cpp:271-282 order),
     // fine = cosine top-k over the probed clusters' rows (IVF.cpp:286-435).
-    "ann_ivf_probe" ->
-      s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
-         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
-         |probes AS (SELECT cluster FROM cent, q
-         |  ORDER BY list_dot_product(c, q.v) /
-         |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
-         |    cluster ASC
-         |  LIMIT $AnnProbe),
-         |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
-         |  WHERE cluster IN (SELECT cluster FROM probes)),
-         |e AS (SELECT e.vec_id, e.label, $EmbDouble AS v
-         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id)
-         |SELECT e.vec_id, e.label,
-         |  round(list_dot_product(e.v, q.v) /
-         |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
-         |FROM e, q
-         |ORDER BY sim DESC, e.vec_id ASC
-         |LIMIT $TopK""".stripMargin,
+    "ann_ivf_probe" -> IvfProbeOracle,
+    // the rule-composed plan must produce the identical result
+    "knn_rule_probe" -> IvfProbeOracle,
 
     "ivf_cluster_counts" ->
       s"""SELECT cluster, COUNT(*) AS n_vectors

@@ -43,22 +43,15 @@ final case class IvfIndex(
     * Runs on the driver over k rows — the only non-distributed step, by design.
     * Tie-break: sim DESC then cluster ASC (declared total order, SURVEY §2).
     */
-  def coarseProbes(query: Array[Float], nProbe: Int): Seq[Int] = {
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-8)
-    }
-    centroids
-      .map { case (c, v) => (c, cos(v, query)) }
-      .sortBy { case (c, s) => (-s, c) }
-      .take(math.min(nProbe, centroids.length))
-      .map(_._1).toSeq
-  }
+  def coarseProbes(query: Array[Float], nProbe: Int): Seq[Int] =
+    IvfIndex.coarseProbes(centroids, query, nProbe)
+
+  /** [[KnnSearchNode]]-based search: same coarse-prune-fine plan as [[search]],
+    * but composed by the Catalyst rewrite rule ([[graft.plans.KnnSearchRewrite]],
+    * SURVEY §4 item 2) instead of the API layer. Requires the session to carry
+    * [[graft.plans.GraftSparkExtensions]] (`spark.sql.extensions`). */
+  def knn(query: Array[Float], k: Int, nProbe: Int): DataFrame =
+    graft.plans.KnnSearchNode.dataFrame(spark, vectors, centroids, query, k, nProbe)
 
   /** Fine search (`IVF.cpp:286-435`, both "sequential" and "combined" variants —
     * Spark's per-partition partial top-k + merge in TakeOrderedAndProject is the
@@ -77,6 +70,30 @@ final case class IvfIndex(
 }
 
 object IvfIndex {
+
+  /** Coarse search (`IVF.cpp:271-282`) as a pure function: top-nProbe
+    * centroids by cosine against the query, driver-local over k rows. Shared
+    * by the API path ([[IvfIndex.coarseProbes]]) and the Catalyst rewrite
+    * ([[graft.plans.KnnSearchRewrite]]) so both compute identical probe sets. */
+  def coarseProbes(
+      centroids: Seq[(Int, Array[Float])],
+      query: Array[Float],
+      nProbe: Int): Seq[Int] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb) + 1e-8)
+    }
+    centroids
+      .map { case (c, v) => (c, cos(v, query)) }
+      .sortBy { case (c, s) => (-s, c) }
+      .take(math.min(nProbe, centroids.length))
+      .map(_._1).toSeq
+  }
 
   /** Offline index build (`clusters.py:20-35` semantics, MLlib execution):
     * K-means over the embedding column, then one partitioned-parquet write.

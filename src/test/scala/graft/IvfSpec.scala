@@ -82,6 +82,23 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("knn() Catalyst rewrite == API composition, and plans the same operators") {
+    // same (id, sim) rows at approximate probe AND at full probe
+    Seq(4, 16).foreach { p =>
+      val api = idx.search(qv, 10, p)
+        .withColumn("sim", round(col("sim"), 6))
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val rule = idx.knn(qv, 10, p)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(rule == api, s"nProbe=$p: rule $rule != api $api")
+    }
+    val plan = idx.knn(qv, 10, 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("KnnSearchNode"), "node must be rewritten away")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      "rule-built plan must partition-prune:\n" + plan.take(800))
+  }
+
   test("index rebuild under fixed seed is deterministic") {
     val dirA = "target/ivf-test/rebuild-a"
     val dirB = "target/ivf-test/rebuild-b"
