@@ -85,6 +85,14 @@ object SparkEntry {
       val idx = IvfIndex.forSfDir(s, d, NumClusters)
       idx.knn(KnnExact.queryVector(tbl(s, d, "embeddings"), 0L), TopK, AnnProbe)
     }),
+    "ann_ivf_batch"          -> ((s, d) => {
+      // batched IVF serving: one pruned union scan for the whole query batch
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      IvfIndex.forSfDir(s, d, NumClusters).searchBatch(queries, 5, AnnProbe)
+        .orderBy(col("query_id"), col("rn"))
+    }),
     "ivf_cluster_counts"     -> ((s, d) =>
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
@@ -135,6 +143,10 @@ object SparkEntry {
       TextAnalysis.normalize(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "split_assign"           -> ((s, d) =>
       TextAnalysis.trainValTestSplit(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "pii_scrub"              -> ((s, d) =>
+      TextAnalysis.piiScrub(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "repetition_metrics"     -> ((s, d) =>
+      TextAnalysis.repetition(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -427,6 +439,35 @@ object SparkEntry {
 
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
+    // batched IVF replay: per-query probe sets from the exported centroids,
+    // candidate set from the exported assignment, per-query cosine top-5
+    "ann_ivf_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |sc AS (SELECT q.query_id, cent.cluster,
+         |    list_dot_product(c, q.v) /
+         |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) AS csim
+         |  FROM cent, q),
+         |probes AS (SELECT query_id, cluster FROM (
+         |    SELECT query_id, cluster,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster ASC) AS crn
+         |    FROM sc) WHERE crn <= $AnnProbe),
+         |a AS (SELECT vec_id, cluster FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a ON a.cluster = p.cluster),
+         |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings),
+         |scored AS (SELECT c.query_id, e.vec_id, e.label,
+         |    round(list_dot_product(e.v, q.v) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+         |ranked AS (SELECT query_id, vec_id, label, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
     "knn_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
          |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -546,6 +587,37 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM b ORDER BY doc_id""".stripMargin
     },
+
+    "pii_scrub" -> {
+      val (em, ip, ph) =
+        (TextAnalysis.EmailRegex, TextAnalysis.Ipv4Regex, TextAnalysis.PhoneRegex)
+      s"""WITH s AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$em')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(text, '$ph')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS t
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+         |  CAST(n_phones AS INT) AS n_phones, ${h60Sql("t")} AS scrub_h60,
+         |  CAST(length(t) AS INT) AS n_scrub_chars
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "repetition_metrics" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |top AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  MAX(c) AS max_c FROM tf GROUP BY doc_id),
+         |sh AS (SELECT doc_id, ${shingles3RawSql("w")} AS sh FROM d)
+         |SELECT top.doc_id, top.n_tokens,
+         |  round(CAST(max_c AS DOUBLE) / n_tokens, 6) AS top_tok_ratio,
+         |  CASE WHEN len(sh.sh) > 0
+         |    THEN round(CAST(len(list_distinct(sh.sh)) AS DOUBLE) / len(sh.sh), 6)
+         |  END AS uniq_shingle_ratio
+         |FROM top JOIN sh ON sh.doc_id = top.doc_id
+         |ORDER BY top.doc_id""".stripMargin,
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
   )

@@ -97,6 +97,26 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Word 3-shingles WITH multiplicity (no dedup) — for repetition metrics,
+    * where the duplicate fraction IS the signal. Same slice+zip_with shape as
+    * [[shingles3]] (see its hot-path note). */
+  def shingles3Raw(words: Column): Column = {
+    val n = size(words)
+    val w1 = slice(words, lit(1), n - 2)
+    val w2 = slice(words, lit(2), n - 2)
+    val w3 = slice(words, lit(3), n - 2)
+    when(n >= 3,
+      zip_with(zip_with(w1, w2, (a, b) => concat(a, lit(" "), b)), w3,
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB rendering of [[shingles3Raw]] over a list-of-words fragment `w`. */
+  def shingles3RawSql(w: String): String =
+    s"(CASE WHEN len($w) >= 3 THEN list_transform(" +
+      s"generate_series(1, len($w) - 2), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]) " +
+      s"ELSE [] END)"
+
   /** DuckDB rendering of [[shingles3]] over a list-of-words fragment `w`. */
   def shingles3Sql(w: String): String =
     s"(CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(" +

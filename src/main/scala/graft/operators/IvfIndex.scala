@@ -53,6 +53,49 @@ final case class IvfIndex(
   def knn(query: Array[Float], k: Int, nProbe: Int): DataFrame =
     graft.plans.KnnSearchNode.dataFrame(spark, vectors, centroids, query, k, nProbe)
 
+  /** Batched IVF search — the 100 TB serving shape: amortize ONE pruned scan
+    * over a whole query batch instead of one scan per query (the reference
+    * re-execs its binary per query, `run_multiple_configs.sh`; [[KnnBatch]]
+    * amortizes the FULL scan; this amortizes the PRUNED scan).
+    *
+    * Plan shape: coarse-probe every query on the driver (|Q|×k centroid
+    * cosines — trivial), scan the UNION of probed clusters once (partition
+    * pruning), broadcast-join the (query_id, cluster) probe pairs so each
+    * scanned row replicates only to the queries that probed its cluster, then
+    * per-query bounded-heap top-k ([[graft.functions.TopKStructAgg]],
+    * partial+final — the shuffle carries partitions×k rows per query, never
+    * the scan). `queries`: (query_id BIGINT, embedding ARRAY<FLOAT>),
+    * broadcast-small by contract.
+    */
+  def searchBatch(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.{GraftColumnBridge => B}
+    val qs = queries.select(col("query_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray))
+    val probePairs = qs.toSeq.flatMap { case (qid, qv) =>
+      coarseProbes(qv, nProbe).map(c => (qid, c))
+    }
+    import spark.implicits._
+    val probeDf = probePairs.toDF("query_id", "cluster")
+    val unionClusters = probePairs.map(_._2).distinct
+    val topkAgg = B.column(
+      graft.functions.TopKStructAgg(k,
+        B.expression(struct(col("sim"), col("vec_id"), col("label"))))
+        .toAggregateExpression())
+    vectors
+      .where(col("cluster").isin(unionClusters: _*)) // pruned union scan
+      .join(broadcast(probeDf), Seq("cluster"))
+      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q"))),
+        Seq("query_id"))
+      .withColumn("sim",
+        round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")), 6))
+      .groupBy(col("query_id"))
+      .agg(topkAgg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.vec_id").as("vec_id"),
+        col("e.label").as("label"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+
   /** Fine search (`IVF.cpp:286-435`, both "sequential" and "combined" variants —
     * Spark's per-partition partial top-k + merge in TakeOrderedAndProject is the
     * same algorithm as the reference's per-cluster heaps + merge).

@@ -104,6 +104,71 @@ object TextAnalysis {
         substring(col("c.t"), 1, 80).as("norm_prefix"))
   }
 
+  /** PII patterns, restricted to constructs with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs. A
+    * production scrubber adds locale-specific patterns at the same boundary. */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Regex = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRegex = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** PII scrubbing — the redaction pass every training corpus needs before
+    * the tokenizer: emails → `<EMAIL>`, IPv4s → `<IP>`, simple phone numbers
+    * → `<PHONE>`, with per-kind match counts for audit. Pure per-row regex
+    * projections (scan speed, zero shuffle); the scrubbed text is exported as
+    * 60-bit hash + length + preview so the output stays narrow at 100 TB
+    * (same posture as [[normalize]]). All regex scans and the 3-stage rewrite
+    * are staged once behind a Generate barrier (see [[quality]]). */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), EmailRegex, "<EMAIL>"), Ipv4Regex, "<IP>"), PhoneRegex, "<PHONE>")
+    documents.select(
+      col("doc_id"),
+      explode(array(struct(
+        size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0))).as("ne"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Regex), lit(0))).as("ni"),
+        size(regexp_extract_all(col("text"), lit(PhoneRegex), lit(0))).as("np"),
+        scrubbed.as("t")))).as("c"))
+      .select(
+        col("doc_id"),
+        col("c.ne").as("n_emails"),
+        col("c.ni").as("n_ips"),
+        col("c.np").as("n_phones"),
+        h60(col("c.t")).as("scrub_h60"),
+        length(col("c.t")).as("n_scrub_chars"))
+  }
+
+  /** Repetition metrics (the Gopher/C4-family quality-filter signals):
+    *  - top_tok_ratio: frequency of the most common token / n_tokens — high
+    *    values flag boilerplate/keyword-stuffed docs;
+    *  - uniq_shingle_ratio: distinct word-3-shingles / shingles — low values
+    *    flag internally repetitive text.
+    * The shingle ratio is a pure per-row HOF; the token mode needs a per-
+    * (doc, token) count — expressed as the standard two-level aggregation
+    * (partial+final map-side combine on (doc_id, token), then per-doc max),
+    * which shuffles one count row per distinct (doc, token), never the text.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val perRow = documents.select(
+      col("doc_id"),
+      explode(array(struct(shingles3Raw(tokens(col("text"))).as("sh")))).as("c"))
+      .select(
+        col("doc_id"),
+        when(size(col("c.sh")) > 0,
+          round(size(array_distinct(col("c.sh"))).cast("double") / size(col("c.sh")), 6))
+          .as("uniq_shingle_ratio"))
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val top = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("max_c").cast("double") / col("n_tokens"), 6).as("top_tok_ratio"))
+    top.join(perRow, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_ratio"),
+        col("uniq_shingle_ratio"))
+  }
+
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 

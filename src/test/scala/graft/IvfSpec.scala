@@ -99,6 +99,23 @@ class IvfSpec extends SparkSpec {
       "rule-built plan must partition-prune:\n" + plan.take(800))
   }
 
+  test("searchBatch: full probe == per-query exact; pruned + bounded-heap plan") {
+    val queries = emb.where(col("vec_id").isin(0L, 3L))
+      .selectExpr("vec_id AS query_id", "embedding")
+    val full = idx.searchBatch(queries, 5, nProbe = 16)
+    val got = full.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("vec_id")).toSeq).toMap
+    Seq(0L, 3L).foreach { qid =>
+      val want = KnnExact.topK(emb, KnnExact.queryVector(emb, qid), 5)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) == want, s"query $qid: ${got(qid)} != $want")
+    }
+    val plan = idx.searchBatch(queries, 5, nProbe = 3).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      "batched fine scan must partition-prune:\n" + plan.take(800))
+    assert(plan.contains("ObjectHashAggregate"), "bounded-heap top-k agg expected")
+  }
+
   test("index rebuild under fixed seed is deterministic") {
     val dirA = "target/ivf-test/rebuild-a"
     val dirB = "target/ivf-test/rebuild-b"

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** PII scrubbing + repetition metrics on synthetic docs where the expected
+  * values are computable by hand (the driver-gate oracle only exercises the
+  * testdata corpus, which contains no PII). */
+class TextPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("piiScrub redacts emails, IPs, phones and counts each kind") {
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice@test.org today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 up"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "clean text, nothing to scrub")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy("doc_id").collect()
+    assert(got.map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((2, 0, 0), (0, 2, 0), (0, 0, 1), (0, 0, 0)))
+    // scrubbed hash must equal the hash of the hand-redacted text
+    val expect3 = graft.functions.PortableHash.h60(
+      "call <PHONE> now".getBytes("UTF-8"))
+    assert(got(2).getAs[Long]("scrub_h60") == expect3)
+    // unscathed doc keeps its original length
+    assert(got(3).getAs[Int]("n_scrub_chars") == "clean text, nothing to scrub".length)
+  }
+
+  test("repetition: top-token ratio and shingle-uniqueness flag repetitive docs") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),             // 4 tokens, all "spam"
+      (2L, "all words here are different"),    // 5 distinct tokens
+      (3L, "ab cd")).toDF("doc_id", "text")    // <3 tokens: no shingles
+    val got = TextAnalysis.repetition(docs).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("top_tok_ratio") == 1.0)
+    // shingles of doc1: "spam spam spam" x2 -> 1 distinct of 2
+    assert(r1.getAs[Double]("uniq_shingle_ratio") == 0.5)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("top_tok_ratio") == 0.2)
+    assert(r2.getAs[Double]("uniq_shingle_ratio") == 1.0)
+    assert(got(2).isNullAt(got(2).fieldIndex("uniq_shingle_ratio")))
+  }
+}
