@@ -103,6 +103,11 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       LshAnn.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
     }),
+    "ann_sq8"                -> ((s, d) => {
+      // int8-quantized approximate search (4x smaller scanned bytes at 100 TB)
+      val emb = tbl(s, d, "embeddings")
+      SqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
+    }),
     "vec_norms"              -> ((s, d) =>
       tbl(s, d, "embeddings").select(
         col("vec_id"),
@@ -438,6 +443,8 @@ object SparkEntry {
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
+
+    "ann_sq8" -> SqQuant.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     // batched IVF replay: per-query probe sets from the exported centroids,
     // candidate set from the exported assignment, per-query cosine top-5
