@@ -68,6 +68,30 @@ object EventStreams {
       }
       .start()
 
+  // ------------------------------------------------- streaming dedup
+
+  /** Streaming exact dedup — the continuous-ingest twin of
+    * [[graft.operators.Dedup.exact]]: first-seen doc per content hash
+    * survives, duplicates are dropped as they arrive. State = one hash per
+    * distinct doc ever seen; UNBOUNDED over an infinite stream, so this form
+    * is for bounded backfills/replays. */
+  def dedupDocStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+      .dropDuplicates("text_md5")
+
+  /** Watermark-bounded streaming dedup — the 24/7 form: duplicates are only
+    * suppressed within the watermark horizon, so the state store holds
+    * `horizon × ingest-rate` hashes instead of history (the standard
+    * streaming-dedup state bound; historical dedup is then a periodic batch
+    * anti-join against the corpus, which is [[graft.operators.Dedup]]'s job).
+    * `docs` must carry an event-time `ts` column. */
+  def dedupDocStreamBounded(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+      .dropDuplicatesWithinWatermark("text_md5")
+
   // ------------------------------------------------- custom state (sessionization)
 
   /** Input row for the stateful sessionizer: epoch-second event time. */

@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact dedup == batch dedup on a duplicate-bearing corpus") {
+    // testdata has no exact dupes — synthesize them by doubling the corpus
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val dir = Files.createTempDirectory(Paths.get("target"), "docstream").toString
+    doubled.coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.dedupDocStream(stream), "dedup_stream_out")
+    val wantDistinct = docs.count()
+    assert(got.length == wantDistinct,
+      s"streamed survivors ${got.length} != distinct texts $wantDistinct")
+    // each survivor's hash is unique
+    assert(got.map(_.getAs[String]("text_md5")).distinct.length == got.length)
+  }
+
+  test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val dir = Files.createTempDirectory(Paths.get("target"), "docstreamw").toString
+    doubled.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(dir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.dedupDocStreamBounded(stream, "10 minutes"), "dedup_wm_out")
+    assert(got.length == docs.count(),
+      s"same-instant duplicates must dedup within the watermark: ${got.length}")
+  }
+
   test("stream-static enrichment join preserves stream rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
