@@ -152,6 +152,8 @@ object SparkEntry {
       TextAnalysis.piiScrub(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "repetition_metrics"     -> ((s, d) =>
       TextAnalysis.repetition(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "corpus_filter"          -> ((s, d) =>
+      TextAnalysis.corpusFilter(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -625,6 +627,28 @@ object SparkEntry {
          |  END AS uniq_shingle_ratio
          |FROM top JOIN sh ON sh.doc_id = top.doc_id
          |ORDER BY top.doc_id""".stripMargin,
+
+    "corpus_filter" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, unnest(w) AS tok FROM d),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |top AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  MAX(c) AS max_c FROM tf GROUP BY doc_id),
+         |pr AS (SELECT doc_id,
+         |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) AS uniq_ratio FROM d),
+         |r AS (SELECT top.doc_id, top.n_tokens,
+         |    round(CAST(max_c AS DOUBLE) / n_tokens, 6) AS top_tok_ratio, pr.uniq_ratio
+         |  FROM top JOIN pr ON pr.doc_id = top.doc_id)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens < ${TextAnalysis.MinTokens} THEN 'too_short'
+         |       WHEN top_tok_ratio > ${TextAnalysis.MaxTopTokRatio} THEN 'repeated_token'
+         |       WHEN uniq_ratio < ${TextAnalysis.MinUniqRatio} THEN 'low_diversity'
+         |  END AS reason,
+         |  (CASE WHEN n_tokens < ${TextAnalysis.MinTokens} THEN 'too_short'
+         |       WHEN top_tok_ratio > ${TextAnalysis.MaxTopTokRatio} THEN 'repeated_token'
+         |       WHEN uniq_ratio < ${TextAnalysis.MinUniqRatio} THEN 'low_diversity'
+         |  END) IS NULL AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
   )

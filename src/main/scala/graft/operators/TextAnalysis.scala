@@ -169,6 +169,38 @@ object TextAnalysis {
         col("uniq_shingle_ratio"))
   }
 
+  /** [[corpusFilter]] thresholds (C4/Gopher-family rules, sized so each rule
+    * drops a real fraction of the synthetic testdata: n_tokens p05 ≈ 16,
+    * top-token-ratio p95 ≈ 0.16, uniq-ratio p05 ≈ 0.31). */
+  val MinTokens = 24
+  val MaxTopTokRatio = 0.16
+  val MinUniqRatio = 0.35
+
+  /** Composite quality filter — the keep/drop decision a C4-style cleaning
+    * pipeline makes per doc, with the FIRST failing rule recorded for audit:
+    * too_short (token floor), repeated_token (boilerplate/keyword stuffing),
+    * low_diversity (distinct-token ratio). Comparisons are on 6-dp-rounded
+    * ratios so the decision boundary is engine-portable (both engines produce
+    * identical rounded values — see [[repetition]]). Plan shape: one two-level
+    * aggregation (token mode) joined to per-row signals; everything else is
+    * scan-speed projection. */
+  def corpusFilter(documents: DataFrame): DataFrame = {
+    val rep = repetition(documents) // doc_id, n_tokens, top_tok_ratio, uniq_shingle_ratio
+    val perRow = documents.select(
+      col("doc_id"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("c.w"))).cast("double") / size(col("c.w")), 6)
+          .as("uniq_ratio"))
+    rep.join(perRow, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("top_tok_ratio") > MaxTopTokRatio, "repeated_token")
+          .when(col("uniq_ratio") < MinUniqRatio, "low_diversity")
+          .as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 

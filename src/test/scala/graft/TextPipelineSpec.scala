@@ -28,6 +28,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3).getAs[Int]("n_scrub_chars") == "clean text, nothing to scrub".length)
   }
 
+  test("corpusFilter drops each rule's violators with the right reason") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")          // 30 distinct tokens
+    val stuffed = (long + " spam" * 8)                           // top ratio 8/38 > 0.16
+    val lowDiv = ((1 to 13).map(i => s"w$i").mkString(" ") + " x y z") + (" w1 w2" * 6)
+    val docs = Seq(
+      (1L, long),                        // keeps
+      (2L, "short doc"),                 // too_short
+      (3L, stuffed),                     // repeated_token
+      (4L, lowDiv)).toDF("doc_id", "text")
+    val got = TextAnalysis.corpusFilter(docs).orderBy("doc_id")
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)))).toSeq
+    assert(got(0) == (1L, true, None), s"doc1: ${got(0)}")
+    assert(got(1) == (2L, false, Some("too_short")))
+    assert(got(2) == (3L, false, Some("repeated_token")))
+    assert(got(3)._2 == false && got(3)._3.nonEmpty, s"doc4 must be dropped: ${got(3)}")
+  }
+
   test("repetition: top-token ratio and shingle-uniqueness flag repetitive docs") {
     val docs = Seq(
       (1L, "spam spam spam spam"),             // 4 tokens, all "spam"
