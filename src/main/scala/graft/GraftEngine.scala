@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{Dedup, IvfIndex, KnnExact, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, SqQuant, TextAnalysis}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -62,13 +62,36 @@ final class GraftEngine(val spark: SparkSession,
         substring(col("text"), 1, snippetLen).as("snippet"))
       .orderBy(desc("sim"), asc("vec_id"))
 
+  /** Batched IVF serving: one pruned union scan for a whole query table
+    * (`query_id, embedding`), per-query bounded-heap top-k. */
+  def searchBatch(index: IvfIndex, queries: DataFrame, k: Int = 5,
+      nProbe: Int = 20): DataFrame =
+    index.searchBatch(queries, k, nProbe)
+
+  /** LSH-bucketed ANN (random-hyperplane multiprobe). */
+  def searchLsh(embeddings: DataFrame, query: Array[Float], k: Int = 5,
+      dim: Int = 384): DataFrame =
+    LshAnn.search(embeddings, query, k, dim)
+
+  /** int8-quantized approximate search (4× smaller scanned bytes). */
+  def searchQuantized(embeddings: DataFrame, query: Array[Float], k: Int = 5,
+      dim: Int = 384): DataFrame =
+    SqQuant.search(embeddings, query, k, dim)
+
   // ---- training-data pipeline facade ----
   def exactDuplicates(documents: DataFrame): DataFrame = Dedup.exact(documents)
   def nearDuplicateCandidates(documents: DataFrame): DataFrame =
     Dedup.lshCandidatePairs(documents)
+  def survivors(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    Dedup.ngramSurvivors(documents, minJaccard)
   def similarityPairs(embeddings: DataFrame, minSim: Double): DataFrame =
     Dedup.embeddingNearDupPairs(embeddings, minSim)
   def textQuality(documents: DataFrame): DataFrame = TextAnalysis.quality(documents)
+  def scrubPii(documents: DataFrame): DataFrame = TextAnalysis.piiScrub(documents)
+  def qualityFilter(documents: DataFrame): DataFrame =
+    TextAnalysis.corpusFilter(documents)
+  def split(documents: DataFrame): DataFrame =
+    TextAnalysis.trainValTestSplit(documents)
 }
 
 object GraftEngine {
