@@ -103,6 +103,11 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       LshAnn.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
     }),
+    "ivf_sq8_probe"          -> ((s, d) => {
+      // both scale paths composed: pruned partitions × int8 codes
+      val idx = IvfIndex.forSfDir(s, d, NumClusters)
+      idx.searchQuantized(KnnExact.queryVector(tbl(s, d, "embeddings"), 0L), TopK, AnnProbe)
+    }),
     "ann_sq8"                -> ((s, d) => {
       // int8-quantized approximate search (4x smaller scanned bytes at 100 TB)
       val emb = tbl(s, d, "embeddings")
@@ -447,6 +452,37 @@ object SparkEntry {
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     "ann_sq8" -> SqQuant.searchOracleSql("embeddings", EmbDim, TopK, 0L),
+
+    // quantized IVF replay: probes from the exported centroids, candidates
+    // from the exported assignment, SQ8 quantize/dequantize, double cosine
+    "ivf_sq8_probe" ->
+      s"""WITH st AS (SELECT i, MIN(embedding[i]) AS mn, MAX(embedding[i]) AS mx
+         |  FROM embeddings, generate_series(1, $EmbDim) g(i) GROUP BY i),
+         |stl AS (SELECT list(CAST(mn AS DOUBLE) ORDER BY i) AS mns,
+         |  list(CAST(mx AS DOUBLE) ORDER BY i) AS mxs FROM st),
+         |q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |probes AS (SELECT cluster FROM cent, q
+         |  ORDER BY list_dot_product(c, q.v) /
+         |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
+         |    cluster ASC
+         |  LIMIT $AnnProbe),
+         |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |  WHERE cluster IN (SELECT cluster FROM probes)),
+         |dq AS (SELECT e.vec_id, e.label,
+         |    list_transform(generate_series(1, $EmbDim), i ->
+         |      CASE WHEN mxs[i] > mns[i] THEN mns[i] +
+         |        least(greatest(floor((CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255
+         |          / (mxs[i] - mns[i]) + 0.5), 0), 255) / 255 * (mxs[i] - mns[i])
+         |      ELSE mns[i] END) AS v
+         |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id, stl)
+         |SELECT dq.vec_id, dq.label,
+         |  round(list_dot_product(dq.v, q.v) /
+         |    (sqrt(list_dot_product(dq.v, dq.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |FROM dq, q
+         |ORDER BY sim DESC, dq.vec_id ASC
+         |LIMIT $TopK""".stripMargin,
 
     // batched IVF replay: per-query probe sets from the exported centroids,
     // candidate set from the exported assignment, per-query cosine top-5

@@ -53,6 +53,31 @@ final case class IvfIndex(
   def knn(query: Array[Float], k: Int, nProbe: Int): DataFrame =
     graft.plans.KnnSearchNode.dataFrame(spark, vectors, centroids, query, k, nProbe)
 
+  /** Quantized IVF search — BOTH scale paths composed: partition pruning cuts
+    * the scanned fraction to nProbe/k, int8 codes cut the scanned bytes 4×.
+    * The quantizer ([[SqQuant]]) is trained on the full index (stable codebook
+    * regardless of probe set); the fine scan dequantizes codes and ranks by
+    * double cosine. This is what the fine phase of a 100 TB deployment
+    * actually scans: quantized codes inside pruned partitions. */
+  def searchQuantized(query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val (mns, mxs) = SqQuant.stats(vectors, dim)
+    val probes = coarseProbes(query, nProbe)
+    val qd = query.map(_.toDouble)
+    val qNorm = math.sqrt(qd.map(x => x * x).sum)
+    val dq = SqQuant.dequantizeCol(
+      SqQuant.quantizeCol(col("embedding"), mns, mxs), mns, mxs)
+    vectors
+      .where(col("cluster").isin(probes: _*)) // -> PartitionFilters
+      .select(col("vec_id"), col("label"),
+        explode(array(struct(dq.as("v")))).as("c"))
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.GraftFunctions.dotProduct(col("c.v"), typedLit(qd)) /
+          (sqrt(graft.functions.GraftFunctions.dotProduct(col("c.v"), col("c.v"))) *
+            qNorm + 1e-8), 6).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Batched IVF search — the 100 TB serving shape: amortize ONE pruned scan
     * over a whole query batch instead of one scan per query (the reference
     * re-execs its binary per query, `run_multiple_configs.sh`; [[KnnBatch]]

@@ -36,6 +36,21 @@ class SqQuantSpec extends SparkSpec {
     }
   }
 
+  test("quantized IVF at full probe == flat SQ8 search; plan partition-prunes") {
+    import graft.operators.IvfIndex
+    val idx = IvfIndex.forSfDir(spark, sf0001, SparkEntry.NumClusters)
+    val qv = KnnExact.queryVector(emb, 0L)
+    val flat = SqQuant.search(emb, qv, 10, Dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val ivf = idx.searchQuantized(qv, 10, nProbe = SparkEntry.NumClusters)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(ivf == flat, s"quantized IVF full-probe diverges: $ivf vs $flat")
+    val plan = idx.searchQuantized(qv, 10, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      "quantized fine scan must partition-prune:\n" + plan.take(800))
+  }
+
   test("sq8 ranking recall@10 vs exact is >= 0.8 (int8 error is small)") {
     val recalls = (0L to 4L).map { qid =>
       val qv = KnnExact.queryVector(emb, qid)
