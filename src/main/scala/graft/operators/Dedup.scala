@@ -156,6 +156,20 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Incremental exact dedup — the daily-ingest pattern: drop new docs whose
+    * content hash already exists in the historical corpus, then dedup within
+    * the batch itself (keep-min policy). `seen` is the (text_md5) column of
+    * the corpus hash table a production pipeline maintains as a side output
+    * of [[exact]]; the anti-join shuffles hashes only, never text, and AQE
+    * picks broadcast when the batch or the hash table measures small. */
+  def incrementalExact(newDocs: DataFrame, seen: DataFrame): DataFrame = {
+    val hashed = newDocs.withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+    hashed
+      .join(seen.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the cluster/LSH
     * blocking key analog — never all-pairs; reference-formula cosine per pair).
     * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which

@@ -188,6 +188,12 @@ object IvfIndex {
 
     model.transform(withVec)
       .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
+      // co-locate each cluster's rows before the partitioned write: one
+      // compact file per cluster instead of one shard per (task × cluster) —
+      // 3× fewer files here, and at 100 TB the difference between a
+      // listing-bound scan and a streaming one (production would cap file
+      // size and roll, same layout)
+      .repartition(numClusters, col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster") // directory-per-cluster == the inverted file
       .parquet(indexDir)

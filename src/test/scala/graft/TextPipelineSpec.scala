@@ -46,6 +46,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3)._2 == false && got(3)._3.nonEmpty, s"doc4 must be dropped: ${got(3)}")
   }
 
+  test("incremental exact dedup drops already-seen hashes, dedups within batch") {
+    import graft.operators.Dedup
+    val history = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
+    val seen = Dedup.exact(history).select("text_md5")
+    val batch = Seq(
+      (10L, "old doc one"),    // already in history -> dropped
+      (11L, "brand new"),      // survives
+      (12L, "brand new"),      // in-batch dup of 11 -> folded, keep min id
+      (13L, "also new")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(batch, seen)
+      .orderBy("keep_doc_id").collect()
+      .map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies"))).toSeq
+    assert(got == Seq((11L, 2L), (13L, 1L)), s"got $got")
+  }
+
   test("repetition: top-token ratio and shingle-uniqueness flag repetitive docs") {
     val docs = Seq(
       (1L, "spam spam spam spam"),             // 4 tokens, all "spam"
