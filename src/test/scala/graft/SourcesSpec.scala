@@ -53,6 +53,34 @@ class SourcesSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Seq[Float]]("embedding").length == 384))
   }
 
+  test("full reference workflow on the JSON corpus: read -> embed -> index -> search") {
+    // the reference's complete offline+online path (embedding.py -> clusters.py
+    // -> ./IVF) over its own data model: a dir of JSON-array files
+    import graft.functions.HashEmbedder
+    val dir = Files.createTempDirectory(Paths.get("target"), "e2ecorpus").toString
+    Files.writeString(Paths.get(dir, "a.json"),
+      """[{"title":"t0","text":"alpha beta gamma delta"},
+        | {"title":"t1","text":"epsilon zeta eta theta"}]""".stripMargin)
+    Files.writeString(Paths.get(dir, "b.json"),
+      """[{"title":"t2","text":"iota kappa lambda mu"},
+        | {"title":"t3","text":"nu xi omicron pi rho sigma"}]""".stripMargin)
+    val engine = new GraftEngine(spark, workDir = "target/graft-e2e")
+    val corpus = graft.sources.JsonCorpus.read(spark, dir)
+    val emb = engine.embed(corpus, HashEmbedder(32), idCol = "id")
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val idx = engine.buildIndex(emb, "json-e2e", numClusters = 2)
+    // querying with a corpus doc's own text must retrieve that doc first
+    val hits = engine.searchText(idx, HashEmbedder(32),
+        "iota kappa lambda mu", k = 2, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id"))
+    assert(hits.head == 2L, s"self-retrieval failed: ${hits.toSeq}")
+    val docs = engine.searchDocs(
+      engine.searchText(idx, HashEmbedder(32), "alpha beta gamma delta", 1, 2),
+      corpus.withColumnRenamed("id", "doc_id"))
+    assert(docs.head().getAs[String]("snippet").startsWith("alpha beta"))
+  }
+
   test("JSON corpus scan mints dense ids by (file, ARRAY POSITION), not text order") {
     val dir = Files.createTempDirectory(Paths.get("target"), "corpus").toString
     // texts deliberately out of alphabetical order within each file: ids must
