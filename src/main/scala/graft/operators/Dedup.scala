@@ -83,7 +83,11 @@ object Dedup {
     // tokenize→shingle→MinHash subtree evaluates on BOTH sides of the
     // self-join (Spark does not CSE across join children). At 100 TB this
     // is the write-then-read of the banded signature table every MinHash
-    // pipeline does; MEMORY_AND_DISK is the local-mode equivalent.
+    // pipeline does; MEMORY_AND_DISK is the local-mode equivalent. Cache
+    // lifetime: deliberately left to Spark's LRU block eviction (and the
+    // cache manager transparently reuses it across queries whose analyzed
+    // plans match) — an explicit unpersist here would have to outlive the
+    // returned lazy DataFrame, which the caller owns.
     val b = lshBuckets(documents).persist()
     val l = b.as("a")
     val r = b.as("b")

@@ -72,6 +72,9 @@ object SqQuant {
   /** Approximate top-k by cosine over DEQUANTIZED codes — what a scan over an
     * int8-quantized 100 TB index computes. Query stays in original float
     * space (cast to double). Pure double math end-to-end for oracle parity.
+    * Self-contained form: recomputes the (dim-row) codebook per call; a
+    * production deployment persists codes + codebook once via [[quantized]] /
+    * [[stats]] and scans the stored codes, same plan below the scan.
     */
   def search(embeddings: DataFrame, query: Array[Float], k: Int, dim: Int): DataFrame = {
     val (mns, mxs) = stats(embeddings, dim)

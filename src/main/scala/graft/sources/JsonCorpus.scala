@@ -46,7 +46,11 @@ object JsonCorpus {
       .select(col("file"), posexplode(col("arts")).as(Seq("pos", "a")))
       .select(col("file"), col("pos"), col("a.title").as("title"),
         col("a.text").as("text"))
-    // job 1: per-file counts (|files| rows — tiny even at 100 TB corpus scale)
+    // job 1: per-file counts. Driver holds |files| (path, count) tuples: at
+    // 100 TB with ~100 MB files that is ~1M rows / ~100 MB — inside driver
+    // budget; a corpus of BILLIONS of tiny files would instead keep the
+    // prefix sum distributed (window over the counts table — |files| rows,
+    // never the corpus) and swap the broadcast for a shuffle join.
     val counts = perFile.groupBy(col("file")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
