@@ -88,6 +88,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => FakeDecoder.decode(id, payload) })
   }
 
+  /** Frame feature extraction — the vision-encoder boundary: decoded frame →
+    * fixed-width feature vector, emitted as `(vec_id, embedding ARRAY<FLOAT>)`
+    * so multimodal content plugs DIRECTLY into every vector operator
+    * ([[graft.operators.KnnExact]], [[graft.operators.IvfIndex]],
+    * [[graft.operators.LshAnn]], [[graft.operators.SqQuant]]). The encoder is
+    * a deterministic stub (hash-derived L2-normalized vector from the frame
+    * checksum — no vision model in the container); a real encoder replaces
+    * the per-row function only, the partition-batched boundary and output
+    * contract stay fixed. */
+  def frameEmbeddings(spark: SparkSession, withPayloads: DataFrame,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    decodeFrames(spark, withPayloads)
+      .mapPartitions(_.map { f =>
+        // encoder init would happen here, once per partition
+        val v = new Array[Float](dim)
+        var i = 0
+        var ss = 0.0
+        while (i < dim) {
+          val x = ((graft.functions.PortableHash.h32(
+            s"${f.checksum}#$i".getBytes("UTF-8")) % 2001L) - 1000L) / 1000f
+          v(i) = x; ss += x.toDouble * x; i += 1
+        }
+        val n = math.sqrt(ss)
+        if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+        (f.doc_id, v)
+      })
+      .toDF("vec_id", "embedding")
+  }
+
   /** Deterministic frame-sampling stub: one "frame" per `stride` payload bytes
     * — the video-sampling plumbing (deterministic row explosion, frame count
     * derived from payload size) without a codec. frame_hash stands in for the

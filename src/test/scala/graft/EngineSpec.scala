@@ -73,6 +73,25 @@ class EngineSpec extends SparkSpec {
     assert(a.length == 50)
   }
 
+  test("multimodal: frame embeddings feed the vector operators end-to-end") {
+    import graft.operators.{KnnExact, LshAnn}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val emb = Multimodal.frameEmbeddings(spark, Multimodal.withPayload(docs), dim = 32)
+    emb.persist().count()
+    // unit-norm contract of the encoder stub
+    val norms = emb.select(graft.functions.GraftFunctions.l2Norm(col("embedding"))).collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-5))
+    // a frame queried by its own vector retrieves itself first (exact path)
+    val qv = KnnExact.queryVector(emb.withColumn("label", lit(0)), 7L)
+    val top = KnnExact.topK(emb.withColumn("label", lit(0)), qv, 3)
+      .collect().map(_.getLong(0))
+    assert(top.head == 7L, s"self-retrieval over frame embeddings failed: ${top.toSeq}")
+    // and the LSH path buckets it deterministically
+    val b1 = LshAnn.assign(emb, 32).orderBy("vec_id").collect()
+    val b2 = LshAnn.assign(emb, 32).orderBy("vec_id").collect()
+    assert(b1.sameElements(b2))
+  }
+
   test("multimodal: metadata projection prunes the payload column") {
     val dir = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("target"), "mm").toString
