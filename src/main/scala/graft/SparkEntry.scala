@@ -159,6 +159,8 @@ object SparkEntry {
       TextAnalysis.repetition(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "corpus_filter"          -> ((s, d) =>
       TextAnalysis.corpusFilter(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "vocab_top200"           -> ((s, d) =>
+      TextAnalysis.vocabulary(tbl(s, d, "documents"), 200)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -685,6 +687,11 @@ object SparkEntry {
          |       WHEN uniq_ratio < ${TextAnalysis.MinUniqRatio} THEN 'low_diversity'
          |  END) IS NULL AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "vocab_top200" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($W) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 200""".stripMargin,
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
   )

@@ -201,6 +201,19 @@ object TextAnalysis {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Corpus vocabulary: global token frequencies, top `k` by (count DESC,
+    * token ASC — deterministic LIMIT boundary). The tokenizer-training /
+    * vocab-pruning primitive; plan is the canonical word-count: explode →
+    * partial+final count (map-side combine collapses each partition to its
+    * distinct tokens before the shuffle) → TakeOrderedAndProject. Shuffle
+    * volume is distinct-tokens×partitions rows, never the corpus. */
+  def vocabulary(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 
