@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.GraftFunctions
+import graft.operators.SqQuant
+
+/** Property-based invariants of the scalar math, checked over ScalaCheck-
+  * generated inputs rather than fixtures: cosine identities, shingle
+  * semantics vs a naive reference implementation, quantization bounds. Runs
+  * the expressions through real Spark plans (local DataFrames), so codegen
+  * paths — not just the Scala mirrors — are what is being tested. Sampling is
+  * seeded, so failures reproduce. (Raw ScalaCheck Gen + a fixed-seed driver;
+  * the scalatest bridge artifact isn't on the offline classpath.) */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: draw `n` samples from `gen` at seed 42. */
+  private def forAll[A](gen: Gen[A], n: Int = 25)(f: A => Unit): Unit = {
+    val params = Gen.Parameters.default
+    var seed = Seed(42L)
+    var drawn = 0
+    var tries = 0
+    while (drawn < n && tries < n * 50) {
+      gen.apply(params, seed).foreach { a => f(a); drawn += 1 }
+      seed = seed.next
+      tries += 1
+    }
+    assert(drawn == n, s"generator too restrictive: $drawn/$n samples in $tries tries")
+  }
+
+  /** Two-generator overload. */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b))(f.tupled)
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100f, 100f).suchThat(f => !f.isNaN)))
+
+  test("property: cosine(v, v) ≈ 1 for non-zero vectors; cosine(v, -v) ≈ -1") {
+    forAll(vecGen.suchThat(_.exists(x => math.abs(x) > 1e-3))) { v =>
+      val df = Seq((v, v.map(x => -x))).toDF("a", "b")
+        .select(
+          GraftFunctions.cosineSim(col("a"), col("a")).as("same"),
+          GraftFunctions.cosineSim(col("a"), col("b")).as("opp"))
+      val r = df.head()
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-5, s"cos(v,v)=${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(1) + 1.0) < 1e-5, s"cos(v,-v)=${r.getDouble(1)}")
+    }
+  }
+
+  test("property: cosine is scale-invariant for positive scaling") {
+    forAll(vecGen.suchThat(_.exists(x => math.abs(x) > 1e-3)),
+        Gen.chooseNum(0.1f, 50f)) { (v, s) =>
+      val w = v.map(x => (x / 7f) + 1f) // a second, non-degenerate vector
+      val df = Seq((v, w, v.map(_ * s))).toDF("a", "b", "as")
+        .select(
+          GraftFunctions.cosineSim(col("a"), col("b")).as("c1"),
+          GraftFunctions.cosineSim(col("as"), col("b")).as("c2"))
+      val r = df.head()
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-4,
+        s"scaling changed cosine: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  private val wordsGen: Gen[List[String]] =
+    Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "cc", "dd", "e")))
+
+  test("property: shingles3 == naive sliding-window distinct 3-grams") {
+    forAll(wordsGen) { words =>
+      val naive = words.sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toList.distinct
+      val got = Seq(Tuple1(words)).toDF("w")
+        .select(GraftFunctions.shingles3(col("w")).as("sh"))
+        .head().getAs[scala.collection.Seq[String]]("sh").toList
+      assert(got == naive, s"words=$words got=$got want=$naive")
+    }
+  }
+
+  test("property: shingles3Raw preserves multiplicity and order") {
+    forAll(wordsGen) { words =>
+      val naive = words.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toList
+      val got = Seq(Tuple1(words)).toDF("w")
+        .select(GraftFunctions.shingles3Raw(col("w")).as("sh"))
+        .head().getAs[scala.collection.Seq[String]]("sh").toList
+      assert(got == naive, s"words=$words got=$got want=$naive")
+    }
+  }
+
+  test("property: quantization round-trip error ≤ half step, codes in [0,255]") {
+    val quadGen = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(4, Gen.listOfN(n, Gen.chooseNum(-100f, 100f))))
+    forAll(quadGen) { vs =>
+      val dim = vs.head.length
+      val mns = Array.tabulate(dim)(i => vs.map(_(i)).min.toDouble)
+      val mxs = Array.tabulate(dim)(i => vs.map(_(i)).max.toDouble)
+      val df = vs.map(Tuple1(_)).toDF("embedding")
+        .select(col("embedding"),
+          SqQuant.quantizeCol(col("embedding"), mns, mxs).as("q"))
+        .select(col("embedding"), col("q"),
+          SqQuant.dequantizeCol(col("q"), mns, mxs).as("dq"))
+      df.collect().foreach { r =>
+        val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val q = r.getAs[scala.collection.Seq[Int]]("q")
+        val dq = r.getAs[scala.collection.Seq[Double]]("dq")
+        q.foreach(c => assert(c >= 0 && c <= 255))
+        orig.indices.foreach { i =>
+          val step = (mxs(i) - mns(i)) / 255.0
+          assert(math.abs(orig(i) - dq(i)) <= step / 2 + 1e-9,
+            s"dim $i: ${orig(i)} vs ${dq(i)} step=$step")
+        }
+      }
+    }
+  }
+}
