@@ -68,6 +68,7 @@ object SparkEntry {
     "q18_customer_set_ops"   -> ((s, d) => Relational.customerSetOps(s, d)),
     "q19_price_tiers"        -> ((s, d) => Relational.priceTierRangeJoin(s, d)),
     "q20_purchase_attribution" -> ((s, d) => Relational.purchaseAttribution(s, d)),
+    "q21_moving_avg"         -> ((s, d) => Relational.movingAvgDaily(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -424,6 +425,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.view_sec <= p.buy_sec
         |ORDER BY p.event_id""".stripMargin,
+
+    "q21_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS d
+        |  FROM orders GROUP BY 1)
+        |SELECT day_epoch, round(CAST(d AS DOUBLE), 6) AS day_total,
+        |  round(CAST(SUM(d) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day_epoch ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day_epoch""".stripMargin,
 
     "tok_count_bpe" -> {
       val patSql = TextAnalysis.BpeTokenRegex.replace("'", "''")

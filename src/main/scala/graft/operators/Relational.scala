@@ -217,6 +217,31 @@ object Relational {
         sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
       .orderBy(col("month_epoch"))
 
+  /** Sliding-window frame (the third window family after rank q04 and lag
+    * q11): 7-row trailing moving average over the DAILY order totals — the
+    * window runs over the aggregated day table (≤ a few thousand rows per
+    * year at ANY corpus scale), never the raw orders, so the single-partition
+    * global window is bounded by the calendar, not the data. Sums feed the
+    * frame as DECIMAL-cast doubles and the average is rounded for oracle
+    * parity. */
+  def movingAvgDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    // frame math runs on DECIMAL sums (exact, association-order independent —
+    // engines disagree on float accumulation order inside sliding frames:
+    // Spark's SlidingWindowFunctionFrame updates by add/remove, others
+    // recompute or tree-aggregate), divided as double only at the end
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(unix_timestamp(date_trunc("day", col("o_orderdate"))).as("day_epoch"))
+      .agg(sum(col("o_totalprice").cast(Dec)).as("day_total_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day_epoch")).rowsBetween(-6, 0)
+    daily
+      .select(col("day_epoch"),
+        round(col("day_total_dec").cast("double"), 6).as("day_total"),
+        round(sum(col("day_total_dec")).over(w).cast("double") /
+          count(lit(1)).over(w), 6).as("ma7"))
+      .orderBy(col("day_epoch"))
+  }
+
   /** Conditional aggregation (manual pivot): one scan, no shuffle per status —
     * the map-side combine folds all three counters at once. */
   def statusPivot(spark: SparkSession, sfDir: String): DataFrame =
