@@ -136,6 +136,9 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_survivors"        -> ((s, d) =>
       Dedup.ngramSurvivors(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+    "split_leak_pairs"       -> ((s, d) =>
+      Dedup.splitLeakPairs(tbl(s, d, "documents"), 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "near_dup_embeddings"    -> ((s, d) =>
@@ -582,6 +585,25 @@ object SparkEntry {
          |FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
          |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "split_leak_pairs" -> {
+      val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""$NgramCte,
+         |pairs AS (
+         |  SELECT da AS doc_a, db AS doc_b,
+         |    round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+         |  FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN $hash % 100 < 80 THEN 'train'
+         |       WHEN $hash % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  a.split AS split_a, b.split AS split_b
+         |FROM pairs p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b
+         |WHERE a.split <> b.split
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin
+    },
 
     "dedup_survivors" ->
       s"""$NgramCte,

@@ -160,6 +160,27 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Train/test contamination check — near-duplicate pairs that STRADDLE
+    * split boundaries: even a deduplicated corpus leaks evaluation data when
+    * a near-dup of a test doc sits in train. Joins the verified pair table
+    * ([[ngramJaccardPairs]]) to the deterministic split assignment
+    * ([[TextAnalysis.trainValTestSplit]]) on both endpoints and keeps pairs
+    * whose splits differ. Plan: the pair table is tiny relative to the
+    * corpus; both split joins are hash joins on doc_id (AQE broadcasts the
+    * pair side when small). The fix for flagged pairs is policy — usually
+    * moving the whole near-dup cluster into one split. */
+  def splitLeakPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, minJaccard)
+    val splits = TextAnalysis.trainValTestSplit(documents)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(splits.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(col("sa.split") =!= col("sb.split"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+  }
+
   /** Incremental exact dedup — the daily-ingest pattern: drop new docs whose
     * content hash already exists in the historical corpus, then dedup within
     * the batch itself (keep-min policy). `seen` is the (text_md5) column of
