@@ -92,6 +92,20 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.corpusFilter(documents)
   def split(documents: DataFrame): DataFrame =
     TextAnalysis.trainValTestSplit(documents)
+
+  /** Canonical corpus export — the pipeline's output side: Hive-partitioned
+    * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so
+    * parquet row-group min/max statistics support data skipping on the read
+    * path (a range predicate on the sort column prunes row groups, not just
+    * partitions). One shuffle (the repartition on partition keys), compact
+    * files per partition. */
+  def exportCorpus(df: DataFrame, outDir: String,
+      partitionCols: Seq[String], sortCol: String): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
 }
 
 object GraftEngine {

@@ -41,6 +41,34 @@ class EngineFacadeSpec extends SparkSpec {
     assert(out.forall(_.getAs[String]("snippet").length <= 200))
   }
 
+  test("exportCorpus writes split-partitioned, sorted, skippable parquet") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val engine = new GraftEngine(spark)
+    val withSplit = docs.join(engine.split(docs).select("doc_id", "split"), Seq("doc_id"))
+    val dir = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "export").toString
+    engine.exportCorpus(withSplit, dir, Seq("split"), "doc_id")
+    // Hive layout: one dir per split value
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.sameElements(Array("split=test", "split=train", "split=val")), parts.toSeq)
+    // round-trip preserves every row, and a range predicate pushes to the scan
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val plan = back.where(col("doc_id") < 100L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(doc_id,100"),
+      "range predicate must reach the parquet scan:\n" + plan.take(600))
+    // rows inside each file are sorted by doc_id (row-group stats monotone)
+    import spark.implicits._
+    val unsorted = back.select(input_file_name().as("f"), $"doc_id")
+      .groupBy("f").agg(collect_list("doc_id").as("ids")).collect()
+      .exists { r =>
+        val ids = r.getAs[scala.collection.Seq[Long]]("ids")
+        ids != ids.sorted
+      }
+    assert(!unsorted, "in-file order must be sorted by doc_id")
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
