@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, KnnBatch, SqQuant, TextAnalysis}
+
+/** Degenerate-input robustness: empty tables, empty batches, single rows —
+  * the shapes a long-running pipeline hits at partition boundaries and on
+  * cold starts. Every operator must return an EMPTY (or correct tiny) result,
+  * never throw. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String, String, Long)].toDF("doc_id", "text", "lang", "n_chars")
+
+  test("dedup family on an empty corpus returns empty, not errors") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashSignatures(emptyDocs).count() == 0)
+    assert(Dedup.lshCandidatePairs(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 0.5).count() == 0)
+    assert(Dedup.ngramSurvivors(emptyDocs, 0.5).count() == 0)
+  }
+
+  test("text analysis on empty and single-token docs") {
+    assert(TextAnalysis.quality(emptyDocs).count() == 0)
+    assert(TextAnalysis.corpusFilter(emptyDocs).count() == 0)
+    assert(TextAnalysis.vocabulary(emptyDocs, 10).count() == 0)
+    val one = Seq((1L, "solo", "en", 4L)).toDF("doc_id", "text", "lang", "n_chars")
+    val q = TextAnalysis.quality(one).head()
+    assert(q.getAs[Int]("n_tokens") == 1 && q.getAs[Double]("uniq_ratio") == 1.0)
+    val f = TextAnalysis.corpusFilter(one).head()
+    assert(!f.getAs[Boolean]("keep") && f.getAs[String]("reason") == "too_short")
+  }
+
+  test("batch kNN with an empty query batch returns empty") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val noQueries = Seq.empty[(Long, Seq[Float])].toDF("query_id", "embedding")
+    assert(KnnBatch.topK(emb, noQueries, 5).count() == 0)
+  }
+
+  test("k larger than the table returns every row, still ordered") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = graft.operators.KnnExact.queryVector(emb, 0L)
+    val n = emb.count()
+    val rows = graft.operators.KnnExact.topK(emb, qv, (n + 100).toInt).collect()
+    assert(rows.length == n)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("quantization of a constant column (zero range) is stable zeros") {
+    val df = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(1f, 2f))).toDF("embedding")
+    val mns = Array(1.0, 2.0)
+    val mxs = Array(1.0, 2.0) // max == min in every dim
+    val codes = df.select(SqQuant.quantizeCol(col("embedding"), mns, mxs).as("q"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("q"))
+    assert(codes.forall(_.forall(_ == 0)), codes.toSeq)
+    val dq = df.select(SqQuant.dequantizeCol(
+        SqQuant.quantizeCol(col("embedding"), mns, mxs), mns, mxs).as("v"))
+      .head().getAs[scala.collection.Seq[Double]]("v")
+    assert(dq == Seq(1.0, 2.0), s"constant dims must round-trip exactly: $dq")
+  }
+}
