@@ -1,0 +1,53 @@
+package graft
+
+/** Scale-posture regression gate over EVERY driver query's physical plan —
+  * the automated form of the `graft.Explain audit` sweep: a query that stops
+  * pruning, loses its bounded top-k, or picks up a cartesian product fails
+  * here before it ever reaches a large cluster. Planning only (no query
+  * execution beyond the k-row metadata collects some builders need). */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.executedPlan.toString
+    }
+
+  /** Two queries nested-loop BY DESIGN, both against a broadcast side that is
+    * bounded-tiny by contract: q19 is the broadcast RANGE join (no equi-key
+    * exists — the loop is a per-row interval check over a 4-row literal tier
+    * table) and knn_batch broadcast-cross-joins the k-row query batch against
+    * the scan (the loop IS the multi-query scoring kernel — each scanned row
+    * scores against every query). Everything else must never nested-loop. */
+  private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch")
+
+  test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n${plan.take(600)}")
+      if (!RangeJoinAllowList(name)) {
+        assert(!plan.contains("BroadcastNestedLoop"),
+          s"$name plans a nested-loop join:\n${plan.take(600)}")
+      }
+    }
+  }
+
+  test("every IVF fine scan partition-prunes on cluster") {
+    val pruned = Seq("knn_ivf_full", "ann_ivf_probe", "knn_rule_probe",
+      "ann_ivf_batch", "ivf_sq8_probe")
+    val p = plans
+    pruned.foreach { name =>
+      assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p(name)).isDefined,
+        s"$name lost partition pruning:\n${p(name).take(800)}")
+    }
+  }
+
+  test("single-query top-k stays TakeOrderedAndProject (bounded heap)") {
+    val topk = Seq("knn_exact", "knn_ivf_full", "ann_ivf_probe", "knn_rule_probe",
+      "ann_lsh", "ann_sq8", "ivf_sq8_probe", "q05_top_lineitems")
+    val p = plans
+    topk.foreach { name =>
+      assert(p(name).contains("TakeOrderedAndProject"),
+        s"$name lost its bounded top-k:\n${p(name).take(800)}")
+    }
+  }
+}
