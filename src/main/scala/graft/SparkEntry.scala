@@ -139,6 +139,8 @@ object SparkEntry {
     "split_leak_pairs"       -> ((s, d) =>
       Dedup.splitLeakPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "near_dup_clusters"      -> ((s, d) =>
+      Dedup.nearDupClusters(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "near_dup_embeddings"    -> ((s, d) =>
@@ -604,6 +606,25 @@ object SparkEntry {
          |WHERE a.split <> b.split
          |ORDER BY p.doc_a, p.doc_b""".stripMargin
     },
+
+    // connected components via recursive reachability: walk enumerates
+    // (node, reachable node) over the symmetric edge list; the component
+    // representative is the MIN reachable id (undirected ⇒ min over the walk
+    // closure = component min). The chain needs the RECURSIVE keyword.
+    "near_dup_clusters" ->
+      s"""${NgramCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |  UNION SELECT db, da FROM pairs),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT doc_id, MIN(reach) AS cluster_rep
+         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_survivors" ->
       s"""$NgramCte,

@@ -160,6 +160,48 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Near-duplicate CLUSTERS — connected components over the verified pair
+    * graph, labeling every clustered doc with its component's minimum doc_id
+    * (the survivor under the keep-min policy; docs in no pair are not
+    * emitted). Min-label propagation to fixpoint: each round is one
+    * shuffle-join of the symmetric edge list against current labels, and the
+    * round count is the graph DIAMETER — near-dup components are shallow
+    * (chains of a few docs), so this converges in a handful of rounds; a
+    * web-scale graph with adversarial chains would switch to the
+    * large-star/small-star formulation (same join shapes, provably
+    * logarithmic rounds). The driver loop only compares counts — labels
+    * never leave the cluster. */
+  def nearDupClusters(documents: DataFrame, minJaccard: Double): DataFrame = {
+    val edges = ngramJaccardPairs(documents, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val sym = edges
+      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = sym.join(labels, sym("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val changes = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels = next
+      converged = changes == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Train/test contamination check — near-duplicate pairs that STRADDLE
     * split boundaries: even a deduplicated corpus leaks evaluation data when
     * a near-dup of a test doc sits in train. Joins the verified pair table

@@ -46,6 +46,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3)._2 == false && got(3)._3.nonEmpty, s"doc4 must be dropped: ${got(3)}")
   }
 
+  test("near-dup clusters: transitive chains collapse to the min-id representative") {
+    import graft.operators.Dedup
+    // 1~2 (j=0.75) and 2~3 (j=0.6) but 1~3 only 0.4: the chain must still
+    // cluster all three under rep 1; docs 10/11 form a separate pair
+    val docs = Seq(
+      (1L, "en", "a b c d e"),
+      (2L, "en", "a b c d e f"),
+      (3L, "en", "b c d e f g"),
+      (10L, "en", "x y z w q"),
+      (11L, "en", "x y z w q r"),
+      (99L, "en", "totally unrelated text here")).toDF("doc_id", "lang", "text")
+    val got = Dedup.nearDupClusters(docs, 0.5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)),
+      s"got $got")
+  }
+
   test("incremental exact dedup drops already-seen hashes, dedups within batch") {
     import graft.operators.Dedup
     val history = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
