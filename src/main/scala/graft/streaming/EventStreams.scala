@@ -68,6 +68,25 @@ object EventStreams {
       }
       .start()
 
+  /** Gap-based session aggregation via the BUILT-IN `session_window` (the
+    * declarative twin of [[sessionizeStateful]]: state managed by the
+    * engine's session-window store instead of custom `GroupState`). Output:
+    * one row per (user, session) with its event count.
+    *
+    * Boundary semantics: `session_window(ts, G)` opens a NEW session when
+    * the gap is ≥ G (a session spans `[start, last + G)`), while the batch
+    * rule (q11 / [[sessionizeStateful]]) splits on gap STRICTLY > 1800 s —
+    * so exact batch parity needs G = 1801 s, which the spec asserts.
+    * Watermark bounds the state store exactly as in [[hourlyCounts]]. */
+  def sessionWindows(events: DataFrame, gap: String = "1801 seconds"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   // ------------------------------------------------- streaming dedup
 
   /** Streaming exact dedup — the continuous-ingest twin of

@@ -125,6 +125,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("built-in session_window sessions == batch q11 session counts") {
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(stagingDir)
+    val rows = EventStreams.runToMemory(
+      spark, EventStreams.sessionWindows(stream), "session_out",
+      OutputMode.Complete)
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> (rs.length.toLong, rs.map(_.getLong(2)).sum) }
+    val want = graft.operators.Relational.userSessions(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (u, (ns, ne)) =>
+      assert(got(u) == ((ns, ne)),
+        s"user $u: got ${got(u)}, want ($ns, $ne)")
+    }
+  }
+
   test("streaming exact dedup == batch dedup on a duplicate-bearing corpus") {
     // testdata has no exact dupes — synthesize them by doubling the corpus
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
