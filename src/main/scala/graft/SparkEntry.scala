@@ -167,6 +167,9 @@ object SparkEntry {
       TextAnalysis.corpusFilter(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "vocab_top200"           -> ((s, d) =>
       TextAnalysis.vocabulary(tbl(s, d, "documents"), 200)),
+    "lang_sample"            -> ((s, d) =>
+      TextAnalysis.langBalancedSample(tbl(s, d, "documents"),
+        Map("en" -> 0.5, "de" -> 0.8), defaultRate = 0.25).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -747,6 +750,16 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($W) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 200""".stripMargin,
+
+    "lang_sample" -> {
+      val hash = h60Sql(s"('${TextAnalysis.SampleSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $hash % 1000000 < (CASE
+         |    WHEN lang = 'de' THEN CAST(0.8 AS DOUBLE)
+         |    WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)
+         |    ELSE CAST(0.25 AS DOUBLE) END) * 1000000
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
   )

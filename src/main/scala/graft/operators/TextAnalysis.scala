@@ -201,6 +201,29 @@ object TextAnalysis {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Salt for [[langBalancedSample]]. */
+  val SampleSalt = "graftsample"
+
+  /** Deterministic language-balanced sampling — the corpus-mixing primitive
+    * (up/down-weight languages or sources to a target distribution): keep a
+    * doc iff its salted portable hash falls under the language's rate. Like
+    * [[trainValTestSplit]], this is a pure scan-speed projection: stable
+    * across runs/engines/cluster sizes, no RNG state, no shuffle — and
+    * rates are reproducible data lineage, not sampler state. */
+  def langBalancedSample(documents: DataFrame,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bucket = h60(concat(lit(SampleSalt), lit("#"), col("doc_id").cast("string"))) % 1000000L
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    // compare in DOUBLE (bucket < 1e6 is double-exact): an integer cast here
+    // would diverge between engines — Spark truncates double→long, DuckDB
+    // rounds — flipping rates whose ×1e6 product lands just under an integer
+    documents
+      .where(bucket < rateCol * 1000000L)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Corpus vocabulary: global token frequencies, top `k` by (count DESC,
     * token ASC — deterministic LIMIT boundary). The tokenizer-training /
     * vocab-pruning primitive; plan is the canonical word-count: explode →
