@@ -92,6 +92,15 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.corpusFilter(documents)
   def split(documents: DataFrame): DataFrame =
     TextAnalysis.trainValTestSplit(documents)
+  def nearDupClusters(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    Dedup.nearDupClusters(documents, minJaccard)
+  def splitLeaks(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    Dedup.splitLeakPairs(documents, minJaccard)
+  def sampleByLanguage(documents: DataFrame, rates: Map[String, Double],
+      defaultRate: Double): DataFrame =
+    TextAnalysis.langBalancedSample(documents, rates, defaultRate)
+  def vocabulary(documents: DataFrame, k: Int): DataFrame =
+    TextAnalysis.vocabulary(documents, k)
 
   /** Canonical corpus export — the pipeline's output side: Hive-partitioned
     * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so
