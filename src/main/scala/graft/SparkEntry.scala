@@ -69,6 +69,7 @@ object SparkEntry {
     "q19_price_tiers"        -> ((s, d) => Relational.priceTierRangeJoin(s, d)),
     "q20_purchase_attribution" -> ((s, d) => Relational.purchaseAttribution(s, d)),
     "q21_moving_avg"         -> ((s, d) => Relational.movingAvgDaily(s, d)),
+    "q22_top_orders_agg"     -> ((s, d) => Relational.windowTopOrdersAgg(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -238,6 +239,16 @@ object SparkEntry {
        |ORDER BY sim DESC, e.vec_id ASC
        |LIMIT $TopK""".stripMargin
 
+  /** Per-customer top-3 orders — shared by the window formulation (q04) and
+    * the bounded-heap aggregate formulation (q22): one oracle, two plans. */
+  private val TopOrdersOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
   /** word-list fragment */
   private val W = "string_split(text, ' ')"
   /** distinct word-3-shingle fragment over a docs CTE exposing w */
@@ -298,13 +309,9 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
-    "q04_window_top_orders" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    CAST(row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
-        |  FROM orders) t
-        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q04_window_top_orders" -> TopOrdersOracle,
+    // identical semantics via the bounded-heap aggregate — same oracle
+    "q22_top_orders_agg" -> TopOrdersOracle,
 
     "q05_top_lineitems" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
