@@ -195,6 +195,7 @@ object Dedup {
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .where(col("n.label") =!= col("o.label"))
         .count()
+      labels.unpersist() // count() above materialized `next`; old labels done
       labels = next
       converged = changes == 0
       rounds += 1
