@@ -104,22 +104,54 @@ object LshAnn {
   def probeBuckets(queryBucket: Long): Seq[Long] =
     queryBucket +: (0 until NumBits).map(i => queryBucket ^ (1L << i))
 
+  /** Materialize the bucket-partitioned LSH index — the production layout the
+    * scaladoc above describes, identical in shape to [[IvfIndex]]'s inverted
+    * file: `(vec_id, label, embedding) PARTITIONED BY (bucket)`, one compact
+    * file per bucket. A search then reads only the probed partitions. No
+    * training, no centroids: the "model" is the deterministic hyperplane set,
+    * so the index is pure data layout. */
+  def buildIndex(embeddings: DataFrame, dim: Int, indexDir: String): Unit =
+    embeddings
+      .withColumn("bucket", bucketCol(col("embedding"), dim))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(indexDir)
+
+  /** Multiprobe search over a [[buildIndex]] layout: `bucket IN (probes)`
+    * becomes `PartitionFilters` on the scan — the LSH twin of the IVF
+    * pruned fine scan, reading (NumBits+1)/2^NumBits of the data. Returns
+    * the same (vec_id, bucket, sim) contract as [[search]]. */
+  def searchIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int, dim: Int): DataFrame = {
+    val qBucket = bucketOf(queryVec, dim)
+    spark.read.parquet(indexDir)
+      .where(col("bucket").isin(probeBuckets(qBucket): _*))
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(queryVec)), 6))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), col("sim"))
+  }
+
+  /** Driver-side bucket of a query vector (same math as [[bucketCol]]). */
+  def bucketOf(queryVec: Array[Float], dim: Int): Long = {
+    var b = 0L
+    (0 until NumBits).foreach { i =>
+      val r = hyperplane(i, dim)
+      var dot = 0.0
+      var d = 0
+      while (d < math.min(dim, queryVec.length)) { dot += queryVec(d) * r(d); d += 1 }
+      if (dot >= 0) b |= (1L << i)
+    }
+    b
+  }
+
   /** ANN search: score only vectors in the probed buckets, exact-cosine top-k
     * among them (`sim DESC, vec_id ASC` — the engine's declared tie-break).
     * With a bucket-partitioned layout the `isin` prunes partitions exactly
     * like the IVF fine scan; here it evaluates on the assignment join. */
   def search(embeddings: DataFrame, queryVec: Array[Float], k: Int, dim: Int): DataFrame = {
-    val qBucket = {
-      var b = 0L
-      (0 until NumBits).foreach { i =>
-        val r = hyperplane(i, dim)
-        var dot = 0.0
-        var d = 0
-        while (d < math.min(dim, queryVec.length)) { dot += queryVec(d) * r(d); d += 1 }
-        if (dot >= 0) b |= (1L << i)
-      }
-      b
-    }
+    val qBucket = bucketOf(queryVec, dim)
     embeddings
       .withColumn("bucket", bucketCol(col("embedding"), dim))
       .where(col("bucket").isin(probeBuckets(qBucket): _*))

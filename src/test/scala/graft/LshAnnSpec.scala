@@ -65,4 +65,19 @@ class LshAnnSpec extends SparkSpec {
     assert(got.contains(0L), "query vector itself must land in its own bucket")
     assert(recall > 0.0, s"recall@10 = $recall")
   }
+
+  test("bucket-partitioned index: searchIndexed == search, scan partition-prunes") {
+    val dir = "target/lsh-test/indexed"
+    LshAnn.buildIndex(emb, Dim, dir)
+    val qv = KnnExact.queryVector(emb, 0L)
+    val flat = LshAnn.search(emb, qv, 10, Dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val indexed = LshAnn.searchIndexed(spark, dir, qv, 10, Dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(indexed == flat, s"indexed LSH diverges: $indexed vs $flat")
+    val plan = LshAnn.searchIndexed(spark, dir, qv, 10, Dim)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      "LSH probe scan must partition-prune on bucket:\n" + plan.take(800))
+  }
 }
