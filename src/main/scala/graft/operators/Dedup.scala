@@ -178,9 +178,12 @@ object Dedup {
       .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist()
+    // localCheckpoint (not persist): iterative algorithms must TRUNCATE
+    // lineage each round or the plan grows by one join-tree per iteration —
+    // unbounded analysis cost and a full-history recompute on eviction
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .persist()
+      .localCheckpoint()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -190,12 +193,11 @@ object Dedup {
         .join(prop, labels("doc_id") === prop("dst"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint() // eager: materializes AND truncates lineage
       val changes = next.as("n")
         .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
         .where(col("n.label") =!= col("o.label"))
         .count()
-      labels.unpersist() // count() above materialized `next`; old labels done
       labels = next
       converged = changes == 0
       rounds += 1
