@@ -21,8 +21,12 @@ import graft.sources.BinaryVectors
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
+    require(args.length % 2 == 0,
+      s"flags must come in `--name value` pairs, got: ${args.mkString(" ")}")
+    val opts = args.grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case other => throw new IllegalArgumentException(
+        s"expected `--name value`, got: ${other.mkString(" ")}")
     }.toMap
     val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
     val k = opts.getOrElse("k", "5").toInt

@@ -110,8 +110,13 @@ final class GraftEngine(val spark: SparkSession,
     * files per partition. */
   def exportCorpus(df: DataFrame, outDir: String,
       partitionCols: Seq[String], sortCol: String): Unit =
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(sortCol)
+    // range-partition on (partitionCols, sortCol) — NOT a hash repartition on
+    // the partition columns alone, which would funnel each partition value
+    // (e.g. 80% of the corpus for split=train) through a single task. Range
+    // boundaries spread every partition value across tasks by sort key; the
+    // within-task sort keeps each written file contiguous and sorted.
+    df.repartitionByRange((partitionCols :+ sortCol).map(col): _*)
+      .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(outDir)

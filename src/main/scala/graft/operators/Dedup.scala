@@ -202,6 +202,9 @@ object Dedup {
       converged = changes == 0
       rounds += 1
     }
+    // labels' lineage is checkpoint-truncated, so the edge cache is dead
+    // weight after convergence — release it instead of waiting for LRU
+    sym.unpersist()
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

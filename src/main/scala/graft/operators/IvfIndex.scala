@@ -101,6 +101,10 @@ final case class IvfIndex(
     }
     import spark.implicits._
     val probeDf = probePairs.toDF("query_id", "cluster")
+    // the query side is rebuilt from the SAME collected rows the probes came
+    // from — re-evaluating the caller's plan here could observe different
+    // rows (sample(), changed table) than the probe set was computed on
+    val qDf = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "q")
     val unionClusters = probePairs.map(_._2).distinct
     val topkAgg = B.column(
       graft.functions.TopKStructAgg(k,
@@ -109,7 +113,7 @@ final case class IvfIndex(
     vectors
       .where(col("cluster").isin(unionClusters: _*)) // pruned union scan
       .join(broadcast(probeDf), Seq("cluster"))
-      .join(broadcast(queries.select(col("query_id"), col("embedding").as("q"))),
+      .join(broadcast(qDf.select(col("query_id"), col("q").cast("array<float>").as("q"))),
         Seq("query_id"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")), 6))
@@ -130,7 +134,10 @@ final case class IvfIndex(
     val probes = coarseProbes(query, nProbe)
     vectors
       .where(col("cluster").isin(probes: _*)) // -> PartitionFilters, not a full scan
-      .withColumn("sim", cosineSim(col("embedding"), typedLit(query)))
+      // 6-dp-rounded sim is the ENGINE-WIDE rank contract (oracle LIMIT
+      // boundaries and the Catalyst-rule path order by the same rounded
+      // value; an unrounded sort here would diverge on near-ties)
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(query)), 6))
       .orderBy(desc("sim"), asc("vec_id"))    // -> TakeOrderedAndProject
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))
@@ -253,30 +260,36 @@ object IvfIndex {
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
-  /** Oracle-replay export dir (builder tooling, absolute so the driver's DuckDB
-    * process resolves it regardless of its cwd): `forSfDir` dumps the built
-    * assignment `(vec_id, cluster)` and the centroid table here so the
-    * `ann_ivf_probe` / `ivf_cluster_counts` oracles can replay the coarse+fine
-    * search over the SAME clustering Spark used (MLlib k-means‖ ≠ sklearn, so
-    * the oracle must replay, not re-train — SURVEY §7 note 3). */
-  val oracleExportDir: String =
-    java.nio.file.Paths.get("target", "ivf-export").toAbsolutePath.toString
+  /** Oracle-replay export dir for the LAST index built by [[forSfDir]]
+    * (builder tooling, absolute so the driver's DuckDB process resolves it
+    * regardless of cwd). Keyed per (sfDir, k) — a fixed path would let a
+    * later build for a DIFFERENT scale factor (e.g. the bench run after
+    * verify) silently overwrite the artifacts a pending oracle comparison
+    * replays. Verify's flow guarantees the value is correct when the oracle
+    * SQL is rendered: queries (which build the index and set this) run
+    * before `oracleSql` is serialized. */
+  @volatile var oracleExportDir: String =
+    java.nio.file.Paths.get("target", "ivf-export", "default").toAbsolutePath.toString
 
   /** Build-or-reuse an index for a testdata dir. Index lives under ./target. */
   def forSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
     val key = s"$sfDir#$numClusters"
-    cache.getOrElseUpdate(key, {
-      // strip the leading separator before sanitizing: `_`-prefixed dirs are
-      // treated as hidden by Spark's file index ("All paths were ignored")
-      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    // strip the leading separator before sanitizing: `_`-prefixed dirs are
+    // treated as hidden by Spark's file index ("All paths were ignored")
+    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val exportDir = java.nio.file.Paths.get("target", "ivf-export", s"$safe-k$numClusters")
+      .toAbsolutePath.toString
+    val idx = cache.getOrElseUpdate(key, {
       val dir = s"target/ivf-index/$safe-k$numClusters"
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val idx = build(spark, emb, dir, numClusters)
-      idx.vectors.select(col("vec_id"), col("cluster"))
-        .coalesce(1).write.mode("overwrite").parquet(s"$oracleExportDir/assign")
-      writeCentroids(spark, s"$oracleExportDir/centroids", idx.centroids)
-      idx
+      val built = build(spark, emb, dir, numClusters)
+      built.vectors.select(col("vec_id"), col("cluster"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$exportDir/assign")
+      writeCentroids(spark, s"$exportDir/centroids", built.centroids)
+      built
     })
+    oracleExportDir = exportDir
+    idx
   }
 }
 
@@ -330,7 +343,8 @@ object KnnExact {
     */
   def topK(embeddings: DataFrame, query: Array[Float], k: Int): DataFrame =
     embeddings
-      .withColumn("sim", cosineSim(col("embedding"), typedLit(query)))
+      // same 6-dp rounded rank contract as IvfIndex.search / LshAnn / SqQuant
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(query)), 6))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))

@@ -130,7 +130,9 @@ object LshAnn {
       .withColumn("sim", round(cosineSim(col("embedding"), typedLit(queryVec)), 6))
       .orderBy(desc("sim"), asc("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("bucket"), col("sim"))
+      // partition discovery infers bucket as INT for 8-bit values; cast back
+      // to the LONG the flat-scan search emits so both paths share one schema
+      .select(col("vec_id"), col("bucket").cast("long").as("bucket"), col("sim"))
   }
 
   /** Driver-side bucket of a query vector (same math as [[bucketCol]]). */

@@ -185,14 +185,25 @@ object TextAnalysis {
     * aggregation (token mode) joined to per-row signals; everything else is
     * scan-speed projection. */
   def corpusFilter(documents: DataFrame): DataFrame = {
-    val rep = repetition(documents) // doc_id, n_tokens, top_tok_ratio, uniq_shingle_ratio
+    // only the signals the rules consume: the token-mode aggregation and the
+    // per-row distinct ratio. (NOT built on [[repetition]], whose
+    // uniq_shingle_ratio sits behind a Generate barrier Catalyst can't prune
+    // away — reusing it would pay the full shingle pipeline for a column
+    // this filter discards.)
+    val top = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_tokens"), max(col("c")).as("max_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("max_c").cast("double") / col("n_tokens"), 6).as("top_tok_ratio"))
     val perRow = documents.select(
       col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
       .select(col("doc_id"),
         round(size(array_distinct(col("c.w"))).cast("double") / size(col("c.w")), 6)
           .as("uniq_ratio"))
-    rep.join(perRow, Seq("doc_id"))
+    top.join(perRow, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("top_tok_ratio") > MaxTopTokRatio, "repeated_token")

@@ -51,9 +51,20 @@ object JsonCorpus {
     // budget; a corpus of BILLIONS of tiny files would instead keep the
     // prefix sum distributed (window over the counts table — |files| rows,
     // never the corpus) and swap the broadcast for a shuffle join.
+    // sort file names by UTF-8 BYTE order (what Spark's UTF8String ordering
+    // and the reference's python sorted() over bytes-ish names produce) —
+    // Java String.compareTo orders by UTF-16 code units, which diverges for
+    // supplementary-plane characters in file names
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
     val counts = perFile.groupBy(col("file")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      .sortBy(_._1)(utf8Order)
     var running = 0L
     val offsets = counts.map { case (f, n) =>
       val o = running; running += n; (f, o)
