@@ -131,6 +131,31 @@ final class TopKBuffer(val k: Int) {
   }
 }
 
+object TopKStructAgg {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, posexplode, struct}
+  import org.apache.spark.sql.{GraftColumnBridge => B}
+
+  /** Group-wise top-k as a DataFrame transform — the one shared unpack for
+    * every bounded-heap call site ([[graft.operators.KnnBatch]],
+    * [[graft.operators.IvfIndex.searchBatch]], `Relational.windowTopOrdersAgg`):
+    * group by `groupCol`, keep the k largest (simCol DESC, idCol ASC) rows,
+    * emit `(groupCol, vec_id, label, sim, rn)` with rn ∈ [1, k]. Callers
+    * rename columns to their domain. */
+  def perGroupTopK(df: DataFrame, groupCol: String, simCol: Column,
+      idCol: Column, labelCol: Column, k: Int): DataFrame = {
+    val agg = B.column(
+      TopKStructAgg(k, B.expression(struct(simCol, idCol, labelCol)))
+        .toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(agg.as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(groupCol), col("e.vec_id").as("vec_id"),
+        col("e.label").as("label"), col("e.sim").as("sim"),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
+}
+
 object TopKBuffer {
   def fromBytes(k: Int, bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)

@@ -106,23 +106,15 @@ final case class IvfIndex(
     // rows (sample(), changed table) than the probe set was computed on
     val qDf = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }.toDF("query_id", "q")
     val unionClusters = probePairs.map(_._2).distinct
-    val topkAgg = B.column(
-      graft.functions.TopKStructAgg(k,
-        B.expression(struct(col("sim"), col("vec_id"), col("label"))))
-        .toAggregateExpression())
-    vectors
+    val scored = vectors
       .where(col("cluster").isin(unionClusters: _*)) // pruned union scan
       .join(broadcast(probeDf), Seq("cluster"))
       .join(broadcast(qDf.select(col("query_id"), col("q").cast("array<float>").as("q"))),
         Seq("query_id"))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")), 6))
-      .groupBy(col("query_id"))
-      .agg(topkAgg.as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.vec_id").as("vec_id"),
-        col("e.label").as("label"), col("e.sim").as("sim"),
-        (col("pos") + 1).cast("long").as("rn"))
+    graft.functions.TopKStructAgg.perGroupTopK(
+      scored, "query_id", col("sim"), col("vec_id"), col("label"), k)
   }
 
   /** Fine search (`IVF.cpp:286-435`, both "sequential" and "combined" variants —
@@ -313,22 +305,12 @@ object KnnBatch {
     * shuffle + skew at 100 TB).
     */
   def topK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.{GraftColumnBridge => B}
     val scored = embeddings
       .join(broadcast(queries.select(col("query_id"), col("embedding").as("q"))))
       .withColumn("sim",
         round(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("q")), 6))
-    val topkAgg = B.column(
-      graft.functions.TopKStructAgg(k,
-        B.expression(struct(col("sim"), col("vec_id"), col("label"))))
-        .toAggregateExpression())
-    scored
-      .groupBy(col("query_id"))
-      .agg(topkAgg.as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("query_id"), col("e.vec_id").as("vec_id"),
-        col("e.label").as("label"), col("e.sim").as("sim"),
-        (col("pos") + 1).cast("long").as("rn"))
+    graft.functions.TopKStructAgg.perGroupTopK(
+      scored, "query_id", col("sim"), col("vec_id"), col("label"), k)
   }
 }
 

@@ -225,25 +225,15 @@ object Relational {
     * plans, one semantics, pick by group cardinality. The agg's declared
     * struct order (field0 DESC, field1 ASC) is exactly the window's ORDER BY
     * (price DESC, orderkey ASC) with the key fields mapped positionally. */
-  def windowTopOrdersAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.{GraftColumnBridge => B}
-    val k = 3
-    val topkAgg = B.column(
-      graft.functions.TopKStructAgg(k,
-        B.expression(struct(
-          col("o_totalprice").cast("double"),
-          col("o_orderkey").cast("long"),
-          lit(0).cast("int"))))
-        .toAggregateExpression())
-    t(spark, sfDir, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(topkAgg.as("top"))
-      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "e")))
-      .select(col("o_custkey"), col("e.vec_id").as("o_orderkey"),
-        col("e.sim").as("o_totalprice"),
-        (col("pos") + 1).cast("long").as("rn"))
+  def windowTopOrdersAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.TopKStructAgg.perGroupTopK(
+      t(spark, sfDir, "orders"), "o_custkey",
+      simCol = col("o_totalprice").cast("double"),
+      idCol = col("o_orderkey").cast("long"),
+      labelCol = lit(0).cast("int"), k = 3)
+      .select(col("o_custkey"), col("vec_id").as("o_orderkey"),
+        col("sim").as("o_totalprice"), col("rn"))
       .orderBy(col("o_custkey"), col("rn"))
-  }
 
   /** Sliding-window frame (the third window family after rank q04 and lag
     * q11): 7-row trailing moving average over the DAILY order totals — the
