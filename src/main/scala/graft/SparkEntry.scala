@@ -144,6 +144,16 @@ object SparkEntry {
       Dedup.nearDupClusters(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "simhash_pairs"          -> ((s, d) =>
+      Dedup.simhashPairs(tbl(s, d, "documents"), 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "sq8_codebook"           -> ((s, d) =>
+      tbl(s, d, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(
+          round(min(col("x")).cast("double"), 6).as("mn"),
+          round(max(col("x")).cast("double"), 6).as("mx"))
+        .orderBy(col("i"))),
     "near_dup_embeddings"    -> ((s, d) =>
       Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
@@ -251,6 +261,21 @@ object SparkEntry {
 
   /** word-list fragment */
   private val W = "string_split(text, ' ')"
+
+  /** SimHash-per-doc CTE chain ending in `sh(doc_id, simhash)` — shared by
+    * the sketch export and the banded pair generator. */
+  private lazy val SimhashCte: String =
+    s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+       |t AS (SELECT doc_id, ${h32Sql("u")} AS h
+       |  FROM (SELECT doc_id, unnest(w) AS u FROM d)),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+       |bits AS (SELECT t.doc_id, g.b,
+       |    COUNT(*) FILTER (WHERE (h >> g.b) & 1 = 1) AS c
+       |  FROM t CROSS JOIN generate_series(0, 31) g(b) GROUP BY 1, 2),
+       |sh AS (SELECT bits.doc_id,
+       |    CAST(SUM(CASE WHEN 2 * c >= n.n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits JOIN n ON n.doc_id = bits.doc_id
+       |  GROUP BY bits.doc_id)""".stripMargin
   /** distinct word-3-shingle fragment over a docs CTE exposing w */
   private val ShinglesFrag = shingles3Sql("w")
 
@@ -647,17 +672,30 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "simhash_docs" ->
-      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
-         |t AS (SELECT doc_id, ${h32Sql("u")} AS h
-         |  FROM (SELECT doc_id, unnest(w) AS u FROM d)),
-         |n AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
-         |bits AS (SELECT t.doc_id, g.b,
-         |    COUNT(*) FILTER (WHERE (h >> g.b) & 1 = 1) AS c
-         |  FROM t CROSS JOIN generate_series(0, 31) g(b) GROUP BY 1, 2)
-         |SELECT bits.doc_id,
-         |  CAST(SUM(CASE WHEN 2 * c >= n.n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits JOIN n ON n.doc_id = bits.doc_id
-         |GROUP BY bits.doc_id ORDER BY bits.doc_id""".stripMargin,
+      s"""$SimhashCte
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""$SimhashCte,
+         |sl AS (SELECT sh.doc_id, documents.lang, sh.simhash
+         |  FROM sh JOIN documents ON documents.doc_id = sh.doc_id),
+         |banded AS (SELECT doc_id, lang, simhash, g.band,
+         |    (simhash >> (8 * g.band)) & 255 AS bv
+         |  FROM sl, generate_series(0, ${Dedup.SimhashBands - 1}) g(band))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b
+         |  ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sq8_codebook" ->
+      s"""SELECT i - 1 AS i,
+         |  round(CAST(MIN(embedding[i]) AS DOUBLE), 6) AS mn,
+         |  round(CAST(MAX(embedding[i]) AS DOUBLE), 6) AS mx
+         |FROM embeddings, generate_series(1, $EmbDim) g(i)
+         |GROUP BY i ORDER BY 1""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

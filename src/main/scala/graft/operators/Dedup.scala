@@ -104,6 +104,43 @@ object Dedup {
   def simhashes(documents: DataFrame, bits: Int = 32): DataFrame =
     documents.select(col("doc_id"), simhash(tokens(col("text")), bits).as("simhash"))
 
+  /** SimHash bands for [[simhashPairs]]: 4 bands × 8 bits of the 32-bit
+    * sketch. Pigeonhole: any pair within Hamming distance 3 differs in at
+    * most 3 bands, so it MATCHES exactly on ≥1 band — banding is exact for
+    * maxHamming ≤ [[SimhashBands]] − 1, never a recall loss. */
+  val SimhashBands = 4
+
+  /** SimHash near-dup pairs: docs whose 32-bit sketches are within
+    * `maxHamming` bits (≤ 3). Manku-style banded candidate generation — the
+    * same bucketed equi-join shape as [[lshCandidatePairs]]: each doc emits
+    * [[SimhashBands]] (band, value) keys, candidates share (lang, band,
+    * value), verification is `bit_count(xor)` (codegen on both engines).
+    * Never an all-pairs join; a hot band bucket splits under AQE. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimhashBands,
+      s"banding is only exact for maxHamming < $SimhashBands")
+    val s = simhashes(documents)
+      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val bandCols = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+    }
+    val banded = s
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .persist()
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** N-gram (word 3-shingle) Jaccard similarity pairs within a blocking key.
     * Blocking on `lang` bounds the join: candidates must share a shingle AND the
     * block — the shingle-postings join is the classic set-similarity join (explode
