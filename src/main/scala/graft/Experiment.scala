@@ -46,6 +46,26 @@ object Experiment {
       val recall = (ids intersect exact).size.toDouble / k
       println(f"$p%8d ${times.sum / runs}%10.1f $recall%10.2f")
     }
+
+    // the ANN variants beyond the reference's grid: same protocol, one row each
+    val dim = SparkEntry.EmbDim
+    val variants: Seq[(String, () => Set[Long])] = Seq(
+      ("lsh_multiprobe", () =>
+        operators.LshAnn.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
+      ("sq8_flat", () =>
+        operators.SqQuant.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
+      ("ivf_sq8_p4", () =>
+        idx.searchQuantized(qv, k, nProbe = 4).collect().map(_.getLong(0)).toSet))
+    println(f"${"variant"}%16s ${"mean_ms"}%10s ${"recall@" + k}%10s")
+    variants.foreach { case (name, run) =>
+      var ids: Set[Long] = Set.empty
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        ids = run()
+        (System.nanoTime() - t0) / 1e6
+      }
+      println(f"$name%16s ${times.sum / runs}%10.1f ${(ids intersect exact).size.toDouble / k}%10.2f")
+    }
     spark.stop()
   }
 }
