@@ -228,8 +228,12 @@ object SparkEntry {
 
   /** IVF probe replay oracle, shared by `ann_ivf_probe` (API composition) and
     * `knn_rule_probe` (Catalyst-rule composition): coarse over the exported
-    * centroid table, fine over the exported assignment join. */
-  private lazy val IvfProbeOracle: String =
+    * centroid table, fine over the exported assignment join. A `def`, not a
+    * `lazy val`: it interpolates the mutable [[IvfIndex.oracleExportDir]], so
+    * every oracleSql render must read the CURRENT export path — a lazy val
+    * would freeze the first render and replay a stale export if oracleSql is
+    * rendered before queries run or for a second scale factor. */
+  private def IvfProbeOracle: String =
     s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
        |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
        |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),

@@ -242,6 +242,12 @@ object Dedup {
     // labels' lineage is checkpoint-truncated, so the edge cache is dead
     // weight after convergence — release it instead of waiting for LRU
     sym.unpersist()
+    // the 50-round cap is a runaway guard, not a tolerated outcome: labels
+    // from a non-converged propagation are NOT a valid clustering
+    require(converged,
+      s"nearDupClusters did not converge within $rounds rounds — " +
+        "component diameter exceeds the cap; use a logarithmic-round " +
+        "formulation (large-star/small-star) for this graph")
     labels.select(col("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -93,7 +93,6 @@ final case class IvfIndex(
     * broadcast-small by contract.
     */
   def searchBatch(queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.{GraftColumnBridge => B}
     val qs = queries.select(col("query_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray))
     val probePairs = qs.toSeq.flatMap { case (qid, qv) =>
@@ -231,8 +230,14 @@ object IvfIndex {
     val df = spark.read.parquet(indexDir)
     val dim = df.select(size(col("embedding"))).head().getInt(0)
     val cdir = centroidsDir(indexDir)
+    // resolve through Hadoop FileSystem, not java.io.File: the index can live
+    // on HDFS/S3 in production, where a local-file exists() would silently
+    // miss the artifact and fall into the recompute path (per-cluster means ≠
+    // stored model.clusterCenters when k-means stopped on maxIter)
+    val cpath = new org.apache.hadoop.fs.Path(cdir)
+    val cfs = cpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cents =
-      if (new java.io.File(cdir).exists()) {
+      if (cfs.exists(cpath)) {
         spark.read.parquet(cdir).collect().map { r =>
           (r.getAs[Int]("cluster"), r.getAs[Seq[Float]]("centroid").toArray)
         }
