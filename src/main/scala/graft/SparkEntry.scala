@@ -45,6 +45,11 @@ object SparkEntry {
   private val TopK = 10
   /** nProbe for the approximate IVF query (4 of 16 clusters probed). */
   private val AnnProbe = 4
+  /** BM25 / hybrid query terms: two mid-frequency tokens + one rare token
+    * ("dup", df≈5% — high idf), all present in the synthetic vocabulary. */
+  private val RetrievalTerms = Seq("vector", "query", "dup")
+  /** Candidate-list depth for reciprocal-rank fusion (per list, pre-fusion). */
+  private val RrfDepth = 50
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (SURVEY §2 Table B) ----
@@ -120,6 +125,21 @@ object SparkEntry {
         col("vec_id"),
         round(l2Norm(col("embedding")), 6).as("norm"),
         size(col("embedding")).as("dim")).orderBy(col("vec_id"))),
+    // ---- retrieval: lexical + hybrid (beyond-reference surface) ----
+    "bm25_topk"              -> ((s, d) =>
+      Retrieval.bm25TopK(tbl(s, d, "documents"), RetrievalTerms, TopK)),
+    "hybrid_rrf"             -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      Retrieval.hybridRrf(tbl(s, d, "documents"), emb, RetrievalTerms,
+        KnnExact.queryVector(emb, 0L), TopK, RrfDepth)
+    }),
+    "ivf_assign_new"         -> ((s, d) => {
+      // incremental index maintenance: pretend every 10th vector is a new
+      // arrival and assign it to its nearest existing centroid
+      val idx = IvfIndex.forSfDir(s, d, NumClusters)
+      idx.assignNew(tbl(s, d, "embeddings").where(col("vec_id") % 10 === 0))
+        .orderBy(col("vec_id"))
+    }),
     // ---- LLM-data-pipeline: dedup ----
     "dedup_exact"            -> ((s, d) =>
       Dedup.exact(tbl(s, d, "documents")).orderBy(col("text_md5"))),
@@ -181,6 +201,10 @@ object SparkEntry {
     "lang_sample"            -> ((s, d) =>
       TextAnalysis.langBalancedSample(tbl(s, d, "documents"),
         Map("en" -> 0.5, "de" -> 0.8), defaultRate = 0.25).orderBy(col("doc_id"))),
+    "unigram_logprob"        -> ((s, d) =>
+      TextAnalysis.unigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "contamination_flags"    -> ((s, d) =>
+      Dedup.benchmarkContamination(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -810,6 +834,49 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "multimodal_meta" -> Multimodal.metadataOracleSql("documents")
+    "multimodal_meta" -> Multimodal.metadataOracleSql("documents"),
+
+    "bm25_topk" -> Retrieval.bm25OracleSql("documents", RetrievalTerms, TopK),
+
+    "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(
+      "documents", "embeddings", RetrievalTerms, 0L, TopK, RrfDepth),
+
+    "unigram_logprob" -> TextAnalysis.unigramLogprobOracleSql("documents"),
+
+    "contamination_flags" -> {
+      val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |ds AS (SELECT doc_id, $ShinglesFrag AS sh FROM d),
+         |p AS (SELECT doc_id, ${h60Sql("s")} AS s
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM ds WHERE len(sh) > 0)),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN $hash % 100 < 80 THEN 'train'
+         |       WHEN $hash % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM documents),
+         |pj AS (SELECT p.doc_id, p.s, sp.split FROM p JOIN sp USING (doc_id))
+         |SELECT a.doc_id, COUNT(DISTINCT a.s) AS n_shingles,
+         |  COUNT(DISTINCT b.doc_id) AS n_test_docs
+         |FROM pj a JOIN pj b ON a.s = b.s
+         |  AND a.split = 'train' AND b.split = 'test'
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+    },
+
+    // incremental-assignment replay over the exported centroid artifact:
+    // per new vector, the nearest centroid by reference-formula cosine
+    // (sim DESC, cluster ASC tie-break — same as the coarse search order)
+    "ivf_assign_new" ->
+      s"""WITH nv AS (SELECT vec_id, $EmbDouble AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |sc AS (SELECT vec_id, cluster,
+         |    round(list_dot_product(v, c) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)) + 1e-8), 6) AS sim
+         |  FROM nv, cent),
+         |r AS (SELECT vec_id, cluster, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cluster ASC) AS rn
+         |  FROM sc)
+         |SELECT vec_id, cluster, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -226,16 +226,16 @@ object Dedup {
     while (!converged && rounds < 50) {
       val prop = sym.join(labels, sym("src") === labels("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+      // carry the previous label through the propagation join so convergence
+      // is a FILTER over the checkpointed result, not a second join+shuffle
+      // against the old labels (halves the per-round shuffle count)
       val next = labels
         .join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint() // eager: materializes AND truncates lineage
-      val changes = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
-      labels = next
+      val changes = next.where(col("label") =!= col("prev")).count()
+      labels = next.select(col("doc_id"), col("label"))
       converged = changes == 0
       rounds += 1
     }
@@ -270,6 +270,38 @@ object Dedup {
       .where(col("sa.split") =!= col("sb.split"))
       .select(col("doc_a"), col("doc_b"), col("jaccard"),
         col("sa.split").as("split_a"), col("sb.split").as("split_b"))
+  }
+
+  /** Benchmark/eval contamination scan — the decontamination pass every
+    * training corpus needs: flag TRAIN docs that share ANY word-3-shingle
+    * with a doc in the TEST split (the benchmark stand-in; a real pipeline
+    * points the bench side at its eval suites). Stricter than
+    * [[splitLeakPairs]], which only reports verified near-dup pairs
+    * (Jaccard ≥ τ) — n-gram contamination matters at much lower overlap.
+    *
+    * Per flagged train doc: how many distinct shingles leak and how many
+    * test docs they touch. Plan shape: shingle-hash postings (60-bit hashes
+    * shuffled, never strings) equi-joined on the shingle — the test side is
+    * the split fraction (~10%) of the corpus, so AQE broadcast-joins it when
+    * small; at 100 TB with a fixed benchmark suite the bench posting list is
+    * KBs and the scan stays map-side.
+    */
+  def benchmarkContamination(documents: DataFrame): DataFrame = {
+    val splits = TextAnalysis.trainValTestSplit(documents)
+      .select(col("doc_id"), col("split"))
+    val postings = documents
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("s"))
+      .join(splits, Seq("doc_id"))
+    postings.where(col("split") === "train").as("a")
+      .join(postings.where(col("split") === "test").as("b"),
+        col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(
+        countDistinct(col("a.s")).as("n_shingles"),
+        countDistinct(col("b.doc_id")).as("n_test_docs"))
   }
 
   /** Incremental exact dedup — the daily-ingest pattern: drop new docs whose

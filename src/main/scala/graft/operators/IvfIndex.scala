@@ -116,6 +116,34 @@ final case class IvfIndex(
       scored, "query_id", col("sim"), col("vec_id"), col("label"), k)
   }
 
+  /** Incremental index maintenance — the daily-ingest path: assign a batch of
+    * NEW vectors to their nearest existing centroid (max cosine, ties to the
+    * lower cluster id) without re-clustering. A production pipeline appends
+    * the result to the partitioned index (`write.mode("append")
+    * .partitionBy("cluster")`) and re-trains centroids on drift — the
+    * reference has no incremental story at all (full `clusters.py` re-run).
+    *
+    * Plan shape: broadcast the k-row centroid table against the new-vector
+    * scan, per-vector argmax via `max(struct(sim, -cluster))` (partial+final
+    * aggregate — the shuffle carries one row per new vector, and the k-way
+    * fan-out collapses map-side). Zero full-index access.
+    */
+  def assignNew(newVectors: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cents = centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cluster", "centroid")
+      .select(col("cluster"), col("centroid").cast("array<float>").as("centroid"))
+    newVectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .withColumn("sim", round(cosineSim(col("embedding"), col("centroid")), 6))
+      .groupBy(col("vec_id"))
+      // lexicographic struct max = highest sim, then highest -cluster
+      // (= lowest cluster id) — the engine-wide deterministic tie-break
+      .agg(max(struct(col("sim"), (-col("cluster")).as("negc"))).as("best"))
+      .select(col("vec_id"), (-col("best.negc")).as("cluster"),
+        col("best.sim").as("sim"))
+  }
+
   /** Fine search (`IVF.cpp:286-435`, both "sequential" and "combined" variants —
     * Spark's per-partition partial top-k + merge in TakeOrderedAndProject is the
     * same algorithm as the reference's per-cluster heaps + merge).

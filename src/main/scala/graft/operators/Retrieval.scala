@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Keyword and hybrid retrieval over the document corpus — the lexical
+  * complement to the vector-search surface ([[KnnExact]]/[[IvfIndex]]). A
+  * training-data pipeline needs both: BM25 for term-precise recall (rare
+  * tokens, identifiers) and embeddings for semantic recall; hybrid fusion is
+  * the standard serving shape (reference corpus retrieval is embedding-only —
+  * `IVF.cpp` — so this is declared surface beyond the reference, like the
+  * dedup/streaming families).
+  *
+  * Oracle parity rules (see [[Relational]]): every floating constant is
+  * interpolated from the SAME Scala double into both the Column expression and
+  * the DuckDB SQL (Double.toString round-trips, so both engines parse the
+  * identical bit pattern), expression trees mirror the SQL shape node for node,
+  * per-doc term scores are combined in a FIXED order (one conditional aggregate
+  * per term, added left-to-right — never an order-nondeterministic SUM of
+  * doubles), and ranks/scores are rounded to 6 dp before any LIMIT boundary.
+  */
+object Retrieval {
+
+  /** BM25 parameters (standard Robertson defaults). */
+  val K1 = 1.2
+  val B = 0.75
+  /** K1 + 1 and 1 − B, written as their own literals: both engines parse the
+    * short decimal string to the identical double, whereas computing 1.2 + 1
+    * in one engine and parsing "2.2" in the other could differ in the last
+    * ulp. All four constants render into the oracle SQL via Double.toString
+    * (round-trip exact) wrapped in CAST(… AS DOUBLE) — DuckDB parses bare
+    * decimal literals as DECIMAL, whose arithmetic diverges from double. */
+  val K1Plus1 = 2.2
+  val OneMinusB = 0.25
+
+  /** Rank constant in reciprocal-rank fusion (the value from the original
+    * Cormack/Clarke RRF paper; larger damps the head of each list). */
+  val RrfK = 60.0
+
+  /** DuckDB rendering of a Scala double as a DOUBLE literal (never DECIMAL). */
+  private def d(x: Double): String = s"CAST($x AS DOUBLE)"
+
+  /** BM25 top-k over whitespace tokens.
+    *
+    * Plan shape (and why it scales): the per-row stage keeps only the query
+    * terms (`filter` HOF — scan-speed, nothing but matches survives into the
+    * Generate), so the tf shuffle carries one row per (matching doc, term) —
+    * at 100 TB that is proportional to the posting lists of the query terms,
+    * never the corpus. Corpus stats (N, avgdl) are one tiny aggregate cross-
+    * joined back (broadcast); document frequencies are |terms| rows
+    * (broadcast). Final ranking is TakeOrderedAndProject on the 6-dp-rounded
+    * score. A production engine would precompute dl and the df table as
+    * corpus side outputs; the query-time plan is identical from tf onward.
+    */
+  def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      .select(col("doc_id"), size(col("c.w")).as("dl"),
+        filter(col("c.w"), t => terms.map(t === lit(_)).reduce(_ || _)).as("m"))
+    // avgdl as exact-int sum / count (not avg()): both engines then perform
+    // the same single double division — q10's avg_chars parity pattern
+    val stats = staged.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = staged
+      .select(col("doc_id"), col("dl"), explode(col("m")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // Lucene-style BM25: idf = ln((N - df + 0.5)/(df + 0.5) + 1) — always
+    // positive; constants mirrored into the oracle from these same doubles
+    val scored = tf
+      .join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf") * lit(K1Plus1)) /
+          (col("tf") + lit(K1) * (lit(OneMinusB) + lit(B) * col("dl") / col("avgdl"))))
+    // fixed-order per-term combination: each conditional aggregate collapses
+    // to the single (doc, term) score, then the terms are added left-to-right
+    // — bit-identical on both engines, unlike SUM over rows in engine order
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("tok") === t, col("w"))).as(s"w$i")
+    }
+    scored.groupBy(col("doc_id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25",
+        round(terms.indices.map(i => coalesce(col(s"w$i"), lit(0.0)))
+          .reduce(_ + _), 6))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("bm25"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 list and the exact
+    * cosine k-NN list (doc_id ≡ vec_id — the corpus/embedding alignment the
+    * flagship entry() join relies on).
+    *
+    * rrf = Σ_lists 1/(60 + rank), missing list ⇒ 0 contribution. Ranks are
+    * integers, so the fusion arithmetic is bit-deterministic across engines.
+    * Plan shape: both candidate lists are already LIMIT n results (≤ n rows,
+    * physically a single partition each), so the rank windows and the full
+    * outer join run on driver-scale data — the heavy lifting happened inside
+    * the two top-k plans, which keep their distributed shapes.
+    */
+  def hybridRrf(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      query: Array[Float],
+      k: Int,
+      n: Int): DataFrame = {
+    val lex = bm25TopK(documents, terms, n)
+      .withColumn("rn_lex", row_number()
+        .over(Window.orderBy(desc("bm25"), asc("doc_id"))).cast("long"))
+    val vec = KnnExact.topK(embeddings, query, n)
+      .withColumn("rn_vec", row_number()
+        .over(Window.orderBy(desc("sim"), asc("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("rn_vec"))
+    lex.select(col("doc_id"), col("rn_lex"))
+      .join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rn_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rn_vec")), lit(0.0)), 6))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("rrf"), col("rn_lex"), col("rn_vec"))
+  }
+
+  // ------------------------------------------------------------ oracles
+
+  /** DuckDB CTE chain ending in `bm(doc_id, bm25)` — mirrors [[bm25TopK]]
+    * node for node (same constants via Double.toString round-trip). */
+  def bm25OracleCte(table: String, terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val w = s"string_split(text, ' ')"
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN tok = '$t' THEN w END) AS w$i"
+    }.mkString(",\n    ")
+    val combined = terms.indices.map(i => s"COALESCE(w$i, ${d(0.0)})").mkString(" + ")
+    s"""d AS (SELECT doc_id, len($w) AS dl,
+       |    list_filter($w, t -> t IN ($inList)) AS m FROM $table),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d),
+       |tf AS (SELECT doc_id, dl, tok, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(m) AS tok FROM d) GROUP BY 1, 2, 3),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       |wt AS (SELECT tf.doc_id, tf.tok,
+       |    ln((n_docs - df + ${d(0.5)}) / (df + ${d(0.5)}) + ${d(1.0)}) *
+       |      (tf * ${d(K1Plus1)}) /
+       |      (tf + ${d(K1)} * (${d(OneMinusB)} + ${d(B)} * dl / avgdl)) AS w
+       |  FROM tf JOIN dfq USING (tok), stats),
+       |pt AS (SELECT doc_id,
+       |    $perTerm
+       |  FROM wt GROUP BY doc_id),
+       |bm AS (SELECT doc_id, round($combined, 6) AS bm25 FROM pt)""".stripMargin
+  }
+
+  /** Full BM25 top-k oracle. */
+  def bm25OracleSql(table: String, terms: Seq[String], k: Int): String =
+    s"""WITH ${bm25OracleCte(table, terms)}
+       |SELECT doc_id, bm25 FROM bm
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Hybrid RRF oracle: BM25 CTE + exact-cosine CTE, ranked, fused. */
+  def hybridRrfOracleSql(
+      docTable: String,
+      embTable: String,
+      terms: Seq[String],
+      queryVecId: Long,
+      k: Int,
+      n: Int): String = {
+    val embD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    s"""WITH ${bm25OracleCte(docTable, terms)},
+       |lex AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rn_lex
+       |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT $n)),
+       |q AS (SELECT $embD AS v FROM $embTable WHERE vec_id = $queryVecId),
+       |e AS (SELECT vec_id, $embD AS v FROM $embTable),
+       |kn AS (SELECT e.vec_id,
+       |    round(list_dot_product(e.v, q.v) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |  FROM e, q ORDER BY sim DESC, e.vec_id ASC LIMIT $n),
+       |vec AS (SELECT vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn_vec
+       |  FROM kn),
+       |fused AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+       |    rn_lex, rn_vec,
+       |    round(COALESCE(${d(1.0)} / (${d(RrfK)} + rn_lex), ${d(0.0)}) +
+       |          COALESCE(${d(1.0)} / (${d(RrfK)} + rn_vec), ${d(0.0)}), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, rrf, rn_lex, rn_vec FROM fused
+       |ORDER BY rrf DESC, doc_id ASC LIMIT $k""".stripMargin
+  }
+}

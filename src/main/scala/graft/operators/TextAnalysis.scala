@@ -248,6 +248,61 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Per-doc unigram language-model score — the cheap perplexity proxy a
+    * quality-filtering pipeline runs before anything model-based: avg over
+    * the doc's tokens of ln(corpus_tf(token) / corpus_total). Low scores flag
+    * docs full of rare/garbled tokens; high scores flag stopword soup — both
+    * ends get clipped in a C4-style mix.
+    *
+    * Plan shape: one corpus-wide token count (partial+final — the shuffle is
+    * distinct-tokens×partitions, never the corpus), joined back to the
+    * per-(doc, token) counts (AQE broadcasts the vocab side when it measures
+    * small — at 100 TB the vocab table is MBs vs the corpus' TBs).
+    *
+    * Parity note: the per-doc combination folds `c·ln(p)` terms in SORTED
+    * token order (sort_array + aggregate here, `list(… ORDER BY tok)` +
+    * list_reduce in the oracle) — a plain SUM over doubles would accumulate
+    * in engine-dependent row order and can flip the 6-dp rounding on
+    * near-boundary values. The fold is over a doc's DISTINCT tokens (bounded
+    * by vocab), not its length.
+    */
+  def unigramLogprob(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val perDoc = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val total = tf.agg(sum(col("n")).as("total"))
+    val scored = perDoc
+      .join(tf, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tok"), col("c"),
+        (col("c") * log(col("n").cast("double") / col("total"))).as("wlp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("wlp")))).as("l"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(
+          aggregate(col("l"), lit(0.0), (acc, e) => acc + e.getField("wlp")) /
+            col("n_tokens"), 6).as("avg_logp"))
+  }
+
+  /** DuckDB oracle for [[unigramLogprob]] — mirrors the sorted-fold contract
+    * (list_reduce seeds with the first element; the Spark fold seeds with
+    * 0.0 + first, which is bit-identical). */
+  def unigramLogprobOracleSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $table),
+       |ct AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |tf AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+       |tot AS (SELECT SUM(n) AS total FROM tf),
+       |w AS (SELECT doc_id, tok, c,
+       |    c * ln(CAST(n AS DOUBLE) / total) AS wlp
+       |  FROM ct JOIN tf USING (tok), tot),
+       |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    list(wlp ORDER BY tok) AS l
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  round(list_reduce(l, (acc, x) -> acc + x) / n_tokens, 6) AS avg_logp
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 

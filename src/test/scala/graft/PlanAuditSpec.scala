@@ -12,13 +12,19 @@ class PlanAuditSpec extends SparkSpec {
       name -> fn(spark, sf0001).queryExecution.executedPlan.toString
     }
 
-  /** Two queries nested-loop BY DESIGN, both against a broadcast side that is
+  /** Queries that nested-loop BY DESIGN, all against a broadcast side that is
     * bounded-tiny by contract: q19 is the broadcast RANGE join (no equi-key
     * exists — the loop is a per-row interval check over a 4-row literal tier
-    * table) and knn_batch broadcast-cross-joins the k-row query batch against
+    * table); knn_batch broadcast-cross-joins the k-row query batch against
     * the scan (the loop IS the multi-query scoring kernel — each scanned row
-    * scores against every query). Everything else must never nested-loop. */
-  private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch")
+    * scores against every query); ivf_assign_new does the same against the
+    * k-row centroid table (nearest-centroid needs every (vector, centroid)
+    * pair); bm25_topk / hybrid_rrf / unigram_logprob cross-join a ONE-ROW
+    * corpus-stats aggregate (N + avgdl / token total) back onto the scored
+    * rows — the canonical scalar-broadcast shape. Everything else must never
+    * nested-loop. */
+  private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch",
+    "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob")
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>
