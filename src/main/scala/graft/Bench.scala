@@ -37,6 +37,11 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
     }
+    // PQ codebook training + encoding is likewise offline index build
+    try graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pq prewarm failed: ${e.getMessage}")
+    }
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

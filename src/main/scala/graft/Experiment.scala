@@ -49,13 +49,17 @@ object Experiment {
 
     // the ANN variants beyond the reference's grid: same protocol, one row each
     val dim = SparkEntry.EmbDim
+    val (pqModel, pqCodes) = operators.PqQuant.forSfDir(spark, sfDir, dim)
     val variants: Seq[(String, () => Set[Long])] = Seq(
       ("lsh_multiprobe", () =>
         operators.LshAnn.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
       ("sq8_flat", () =>
         operators.SqQuant.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
       ("ivf_sq8_p4", () =>
-        idx.searchQuantized(qv, k, nProbe = 4).collect().map(_.getLong(0)).toSet))
+        idx.searchQuantized(qv, k, nProbe = 4).collect().map(_.getLong(0)).toSet),
+      ("pq_adc", () =>
+        operators.PqQuant.search(pqCodes, pqModel, qv, k)
+          .collect().map(_.getLong(0)).toSet))
     println(f"${"variant"}%16s ${"mean_ms"}%10s ${"recall@" + k}%10s")
     variants.foreach { case (name, run) =>
       var ids: Set[Long] = Set.empty

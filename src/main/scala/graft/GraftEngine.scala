@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, SqQuant, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -78,6 +78,33 @@ final class GraftEngine(val spark: SparkSession,
       dim: Int = 384): DataFrame =
     SqQuant.search(embeddings, query, k, dim)
 
+  /** Train a product quantizer + encode the corpus (PQ — up to 32× smaller
+    * scanned bytes; pair with [[searchPq]]). */
+  def buildPq(embeddings: DataFrame, dim: Int): (PqQuant.Model, DataFrame) = {
+    val model = PqQuant.train(embeddings, dim)
+    (model, PqQuant.encode(spark, embeddings, model))
+  }
+
+  /** ADC search over a PQ-encoded table. */
+  def searchPq(codes: DataFrame, model: PqQuant.Model, query: Array[Float],
+      k: Int = 5): DataFrame =
+    PqQuant.search(codes, model, query, k)
+
+  /** BM25 keyword top-k (lexical retrieval). */
+  def searchKeywords(documents: DataFrame, terms: Seq[String], k: Int = 5): DataFrame =
+    Retrieval.bm25TopK(documents, terms, k)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of BM25 + exact cosine k-NN. */
+  def searchHybrid(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], query: Array[Float], k: Int = 5,
+      depth: Int = 50): DataFrame =
+    Retrieval.hybridRrf(documents, embeddings, terms, query, k, depth)
+
+  /** Assign new vectors to an existing index's nearest centroids
+    * (incremental index maintenance). */
+  def assignToIndex(index: IvfIndex, newVectors: DataFrame): DataFrame =
+    index.assignNew(newVectors)
+
   // ---- training-data pipeline facade ----
   def exactDuplicates(documents: DataFrame): DataFrame = Dedup.exact(documents)
   def nearDuplicateCandidates(documents: DataFrame): DataFrame =
@@ -101,6 +128,10 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.langBalancedSample(documents, rates, defaultRate)
   def vocabulary(documents: DataFrame, k: Int): DataFrame =
     TextAnalysis.vocabulary(documents, k)
+  def languageModelScore(documents: DataFrame): DataFrame =
+    TextAnalysis.unigramLogprob(documents)
+  def contaminationScan(documents: DataFrame): DataFrame =
+    Dedup.benchmarkContamination(documents)
 
   /** Canonical corpus export — the pipeline's output side: Hive-partitioned
     * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so

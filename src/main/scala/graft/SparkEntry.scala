@@ -120,6 +120,21 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       SqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
     }),
+    "pq_codes"               -> ((s, d) => {
+      // product-quantized index artifact: one 4-bit-able code per subspace
+      val (_, codes) = PqQuant.forSfDir(s, d, EmbDim)
+      codes.select((col("vec_id") +: col("label") +:
+        (0 until PqQuant.M).map(m =>
+          element_at(col("codes"), m + 1).as(s"c$m"))): _*)
+        .orderBy(col("vec_id"))
+    }),
+    "ann_pq"                 -> ((s, d) => {
+      // ADC search: per-row code lookups against the per-query tables —
+      // the 32x-compressed scan path (codes only, raw vectors never read)
+      val (model, codes) = PqQuant.forSfDir(s, d, EmbDim)
+      val emb = tbl(s, d, "embeddings")
+      PqQuant.search(codes, model, KnnExact.queryVector(emb, 0L), TopK)
+    }),
     "vec_norms"              -> ((s, d) =>
       tbl(s, d, "embeddings").select(
         col("vec_id"),
@@ -534,6 +549,11 @@ object SparkEntry {
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     "ann_sq8" -> SqQuant.searchOracleSql("embeddings", EmbDim, TopK, 0L),
+
+    // PQ replays over the exported codebook/codes artifacts (MLlib k-means
+    // per subspace — like the IVF export, the oracle replays, never re-trains)
+    "pq_codes" -> PqQuant.codesOracleSql("embeddings", EmbDim / PqQuant.M),
+    "ann_pq" -> PqQuant.searchOracleSql("embeddings", EmbDim / PqQuant.M, TopK, 0L),
 
     // quantized IVF replay: probes from the exported centroids, candidates
     // from the exported assignment, SQ8 quantize/dequantize, double cosine
