@@ -289,12 +289,16 @@ object Dedup {
   def benchmarkContamination(documents: DataFrame): DataFrame = {
     val splits = TextAnalysis.trainValTestSplit(documents)
       .select(col("doc_id"), col("split"))
+    // persist: the posting table feeds BOTH sides of the train/test join —
+    // without materialization the shingle+hash pipeline runs twice (same
+    // write-then-read posture as ngramJaccardPairs)
     val postings = documents
       .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("s"))
       .join(splits, Seq("doc_id"))
+      .persist()
     postings.where(col("split") === "train").as("a")
       .join(postings.where(col("split") === "test").as("b"),
         col("a.s") === col("b.s"))
