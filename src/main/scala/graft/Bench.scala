@@ -38,8 +38,11 @@ object Bench {
       System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
     }
     // PQ codebook training + encoding is likewise offline index build
-    try graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim)
-    catch { case e: Throwable =>
+    try {
+      graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim)
+      graft.operators.PqQuant.forSfDirIvf(
+        spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] pq prewarm failed: ${e.getMessage}")
     }
 

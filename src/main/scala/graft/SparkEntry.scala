@@ -135,6 +135,16 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       PqQuant.search(codes, model, KnnExact.queryVector(emb, 0L), TopK)
     }),
+    "ivf_pq_probe"           -> ((s, d) => {
+      // BOTH scale levers: probe-pruned partitions (nProbe/k of the data)
+      // times PQ codes (8 ints per row instead of the raw vector)
+      val idx = IvfIndex.forSfDir(s, d, NumClusters)
+      val (model, codes) = PqQuant.forSfDirIvf(s, d, EmbDim, NumClusters)
+      val qv = KnnExact.queryVector(tbl(s, d, "embeddings"), 0L)
+      PqQuant.search(
+        codes.where(col("cluster").isin(idx.coarseProbes(qv, AnnProbe): _*)),
+        model, qv, TopK)
+    }),
     "vec_norms"              -> ((s, d) =>
       tbl(s, d, "embeddings").select(
         col("vec_id"),
@@ -554,6 +564,8 @@ object SparkEntry {
     // per subspace — like the IVF export, the oracle replays, never re-trains)
     "pq_codes" -> PqQuant.codesOracleSql("embeddings", EmbDim / PqQuant.M),
     "ann_pq" -> PqQuant.searchOracleSql("embeddings", EmbDim / PqQuant.M, TopK, 0L),
+    "ivf_pq_probe" -> PqQuant.searchIvfPqOracleSql(
+      "embeddings", EmbDim / PqQuant.M, TopK, 0L, AnnProbe, IvfIndex.oracleExportDir),
 
     // quantized IVF replay: probes from the exported centroids, candidates
     // from the exported assignment, SQ8 quantize/dequantize, double cosine

@@ -163,6 +163,34 @@ object PqQuant {
     result
   }
 
+  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** IVF×PQ composition — BOTH scale levers in one artifact: the PQ codes
+    * written INSIDE the cluster-partitioned inverted file, so a probe-pruned
+    * fine scan (`PartitionFilters` on `cluster`) reads nProbe/k of the
+    * corpus AND only 8 int codes per row instead of the raw vector. This is
+    * the layout a 100 TB ANN deployment actually serves from (FAISS
+    * IVFPQ's directory analog); [[IvfIndex.searchQuantized]] is the same
+    * composition at SQ8 compression. Codes are identical to [[forSfDir]]'s
+    * (same model, same vectors), so the flat-ADC oracle artifacts replay
+    * this search too. */
+  def forSfDirIvf(spark: SparkSession, sfDir: String, dim: Int,
+      numClusters: Int): (Model, DataFrame) = {
+    val (model, _) = forSfDir(spark, sfDir, dim)
+    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get("target", "pq-export", s"$safe-ivfcodes")
+      .toAbsolutePath.toString
+    val codes = ivfCache.getOrElseUpdate(s"$sfDir#$numClusters", {
+      val idx = IvfIndex.forSfDir(spark, sfDir, numClusters)
+      encode(spark, idx.vectors, model)
+        .join(idx.vectors.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+        .repartition(numClusters, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(dir)
+      spark.read.parquet(dir)
+    })
+    (model, codes)
+  }
+
   // --------------------------------------------------------------- oracles
 
   /** DuckDB fragment: subspace-m slice of a double list `v` (1-based). */
@@ -190,6 +218,47 @@ object PqQuant {
        |    $codeCols
        |FROM r WHERE rn = 1 GROUP BY vec_id, label ORDER BY vec_id""".stripMargin
   }
+
+  /** Oracle for the IVF×PQ probe search: coarse probes replayed from the IVF
+    * centroid export, candidate set from the IVF assignment export, ADC over
+    * the (flat) PQ code export — the same rows and codes the pruned
+    * partitioned scan reads. */
+  def searchIvfPqOracleSql(embTable: String, sub: Int, k: Int,
+      queryVecId: Long, nProbe: Int, ivfExportDir: String): String =
+    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM $embTable WHERE vec_id = $queryVecId),
+       |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM read_parquet('$ivfExportDir/centroids/*.parquet')),
+       |probes AS (SELECT cluster FROM cent, q
+       |  ORDER BY list_dot_product(c, q.v) /
+       |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
+       |    cluster ASC
+       |  LIMIT $nProbe),
+       |cand AS (SELECT vec_id FROM read_parquet('$ivfExportDir/assign/*.parquet')
+       |  WHERE cluster IN (SELECT cluster FROM probes)),
+       |cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM read_parquet('$oracleExportDir/codebook/*.parquet')),
+       |tn AS (SELECT m, code,
+       |    list_dot_product(${sliceSql("q.v", sub)}, c) AS t,
+       |    list_dot_product(c, c) AS nn
+       |  FROM cb, q),
+       |ex AS (SELECT e.vec_id, e.label, e.codes
+       |  FROM read_parquet('$oracleExportDir/codes/*.parquet') e
+       |  JOIN cand ON cand.vec_id = e.vec_id),
+       |pm AS (SELECT vec_id, label, m, codes[m + 1] AS code
+       |  FROM ex, generate_series(0, ${M - 1}) g(m)),
+       |j AS (SELECT pm.vec_id, pm.label, pm.m, tn.t, tn.nn
+       |  FROM pm JOIN tn ON tn.m = pm.m AND tn.code = pm.code),
+       |s AS (SELECT vec_id, label,
+       |    list(t ORDER BY m) AS ts, list(nn ORDER BY m) AS ns
+       |  FROM j GROUP BY 1, 2)
+       |SELECT vec_id, label,
+       |  round(list_reduce(ts, (a, b) -> a + b) /
+       |    (sqrt(list_reduce(ns, (a, b) -> a + b)) *
+       |     sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |FROM s, q
+       |ORDER BY sim DESC, vec_id ASC
+       |LIMIT $k""".stripMargin
 
   /** Oracle for [[search]]: T/N lookup tables from the exported codebook,
     * codes from the exported code table, subspace-order folds. */

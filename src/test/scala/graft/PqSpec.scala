@@ -63,6 +63,26 @@ class PqSpec extends SparkSpec {
         s"codebook ($m, $c) differs across rebuilds")
   }
 
+  test("IVF×PQ at full probe ≡ flat ADC (pruning is exhaustive at nProbe=k)") {
+    val idx = graft.operators.IvfIndex.forSfDir(spark, sf0001, SparkEntry.NumClusters)
+    val (m2, flat) = PqQuant.forSfDir(spark, sf0001, dim)
+    val (_, ivfCodes) = PqQuant.forSfDirIvf(spark, sf0001, dim, SparkEntry.NumClusters)
+    val qv = KnnExact.queryVector(emb, 0L)
+    val probes = idx.coarseProbes(qv, SparkEntry.NumClusters)
+    val full = PqQuant.search(
+      ivfCodes.where(col("cluster").isin(probes: _*)), m2, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val adc = PqQuant.search(flat, m2, qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(full == adc, s"full-probe IVF-PQ must equal flat ADC:\n$full\n$adc")
+    // the pruned scan must show PartitionFilters on cluster
+    val plan = PqQuant.search(
+      ivfCodes.where(col("cluster").isin(probes.take(4): _*)), m2, qv, 10)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      s"IVF-PQ fine scan lost partition pruning:\n${plan.take(800)}")
+  }
+
   test("ADC search clears the data-limited recall floor and ranks deterministically") {
     // the persisted-artifact shape (forSfDir reads codes back from parquet):
     // what production scans, and what the zero-shuffle claim is about — the
