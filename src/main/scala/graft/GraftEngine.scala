@@ -133,6 +133,12 @@ final class GraftEngine(val spark: SparkSession,
   def contaminationScan(documents: DataFrame): DataFrame =
     Dedup.benchmarkContamination(documents)
 
+  /** The composed five-stage curation pipeline (filter → exact dedup →
+    * near-dup survivors → PII audit → split); pair with [[exportCorpus]]
+    * partitioned by `split` for the output side. */
+  def curate(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    operators.CorpusPipeline.curate(documents, minJaccard)
+
   /** Canonical corpus export — the pipeline's output side: Hive-partitioned
     * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so
     * parquet row-group min/max statistics support data skipping on the read

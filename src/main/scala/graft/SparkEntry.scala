@@ -230,6 +230,8 @@ object SparkEntry {
       TextAnalysis.unigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "contamination_flags"    -> ((s, d) =>
       Dedup.benchmarkContamination(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "corpus_curate"          -> ((s, d) =>
+      CorpusPipeline.curate(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -874,6 +876,11 @@ object SparkEntry {
       "documents", "embeddings", RetrievalTerms, 0L, TopK, RrfDepth),
 
     "unigram_logprob" -> TextAnalysis.unigramLogprobOracleSql("documents"),
+
+    // the composed five-stage pipeline: quality filter -> exact dedup ->
+    // near-dup survivors -> PII audit -> split, each stage the same SQL as
+    // its standalone oracle
+    "corpus_curate" -> CorpusPipeline.curateOracleSql("documents", 0.5),
 
     "contamination_flags" -> {
       val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")
