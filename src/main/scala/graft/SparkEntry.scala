@@ -75,6 +75,7 @@ object SparkEntry {
     "q20_purchase_attribution" -> ((s, d) => Relational.purchaseAttribution(s, d)),
     "q21_moving_avg"         -> ((s, d) => Relational.movingAvgDaily(s, d)),
     "q22_top_orders_agg"     -> ((s, d) => Relational.windowTopOrdersAgg(s, d)),
+    "q23_next_purchase"      -> ((s, d) => Relational.viewToNextPurchase(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -232,6 +233,9 @@ object SparkEntry {
       Dedup.benchmarkContamination(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "corpus_curate"          -> ((s, d) =>
       CorpusPipeline.curate(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+    "doc_chunks"             -> ((s, d) =>
+      TextAnalysis.chunk(tbl(s, d, "documents"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -520,6 +524,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND v.view_sec <= p.buy_sec
         |ORDER BY p.event_id""".stripMargin,
+
+    "q23_next_purchase" ->
+      """WITH p AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS buy_sec
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS view_sec
+        |  FROM events WHERE event_type = 'view')
+        |SELECT v.event_id, v.user_id, v.view_sec, p.buy_sec,
+        |  p.buy_sec - v.view_sec AS lag_sec
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.user_id AND p.buy_sec >= v.view_sec
+        |ORDER BY v.event_id""".stripMargin,
 
     "q21_moving_avg" ->
       """WITH daily AS (
@@ -881,6 +896,8 @@ object SparkEntry {
     // near-dup survivors -> PII audit -> split, each stage the same SQL as
     // its standalone oracle
     "corpus_curate" -> CorpusPipeline.curateOracleSql("documents", 0.5),
+
+    "doc_chunks" -> TextAnalysis.chunkOracleSql("documents"),
 
     "contamination_flags" -> {
       val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")

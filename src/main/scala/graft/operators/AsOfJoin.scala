@@ -47,4 +47,28 @@ object AsOfJoin {
       .where(col("_kind") === 1)
       .drop("_kind", "_t")
   }
+
+  /** Forward as-of: `asOfCol` = smallest right `rTime` with `rTime >= lTime`
+    * for the same `key` (null if none follows). Same union+one-window shape
+    * as [[asOf]], scanned with a forward frame; a right row at exactly
+    * `lTime` IS visible (ASOF `>=`), encoded by sorting left rows (`_kind` 0)
+    * before right rows (`_kind` 1) at equal timestamps so the left row's
+    * forward frame includes it. */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  lTime: String, rTime: String, asOfCol: String): DataFrame = {
+    val l = left
+      .withColumn("_t", col(lTime).cast("long"))
+      .withColumn("_kind", lit(0))
+    val r = right
+      .select(col(key), col(rTime).cast("long").as("_t"))
+      .withColumn("_kind", lit(1))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_t").asc, col("_kind").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(asOfCol,
+        first(when(col("_kind") === 1, col("_t")), ignoreNulls = true).over(w))
+      .where(col("_kind") === 0)
+      .drop("_kind", "_t")
+  }
 }

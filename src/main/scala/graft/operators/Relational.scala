@@ -340,6 +340,22 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of query — the conversion-lag complement of
+    * [[purchaseAttribution]]: each view picks up the EARLIEST subsequent (or
+    * simultaneous) purchase by the same user. Same shuffle-once union+window
+    * formulation, forward frame ([[AsOfJoin.asOfForward]]). */
+  def viewToNextPurchase(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = events(spark, sfDir)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("view_sec"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_sec")).distinct()
+    AsOfJoin.asOfForward(views, buys, "user_id", "view_sec", "ts_sec", "buy_sec")
+      .select(col("event_id"), col("user_id"), col("view_sec"), col("buy_sec"),
+        (col("buy_sec") - col("view_sec")).as("lag_sec"))
+      .orderBy(col("event_id"))
+  }
+
   /** Semi-structured extraction: regexp over the JSON-ish props column (the
     * reference's only JSON field access is `["text"]`, IVF.cpp:117 — this is
     * the engine's general version). Guarded cast: ANSI-safe on no-match. */

@@ -212,6 +212,65 @@ object TextAnalysis {
       .withColumn("keep", col("reason").isNull)
   }
 
+  /** Default chunk window (tokens) and stride for [[chunk]]; stride <
+    * window ⇒ 16-token overlap between consecutive chunks. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  /** Document chunking — the context-length-bounded slicing every LLM
+    * training pipeline runs between curation and tokenization: sliding
+    * windows of [[ChunkTokens]] whitespace tokens advancing by
+    * [[ChunkStride]] (overlap keeps boundary-spanning context in some
+    * chunk). A doc emits chunks at starts 0, S, 2S, … and stops once a
+    * window reaches the end of the doc; the final chunk may be short. Chunk
+    * text exports as a 60-bit hash + token count (narrow at 100 TB — the
+    * text itself ships via the corpus export, same posture as [[normalize]]).
+    *
+    * Pure per-row computation: the token array is staged once behind a
+    * Generate barrier, the window enumeration is an index-lambda transform
+    * over it (`w` is a bound attribute, so nothing re-evaluates), and the
+    * explode is the only fan-out — scan speed, zero shuffle.
+    */
+  def chunk(documents: DataFrame,
+      c: Int = ChunkTokens, s: Int = ChunkStride): DataFrame = {
+    require(c > 0 && s > 0 && s <= c, s"need 0 < stride <= window, got ($c, $s)")
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("t"))
+      .select(col("doc_id"), col("t.w").as("w"), size(col("t.w")).as("n"))
+    // last chunk index: 0 when the doc fits one window, else ceil((n-c)/s)
+    val lastIdx = when(col("n") > c,
+      floor((col("n") - c + (s - 1)) / lit(s)).cast("int")).otherwise(lit(0))
+    staged
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), lastIdx), i => struct(
+          i.as("chunk_idx"),
+          size(slice(col("w"), i * s + 1, lit(c))).as("n_chunk_tokens"),
+          h60(array_join(slice(col("w"), i * s + 1, lit(c)), " "))
+            .as("chunk_h60")))).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.n_chunk_tokens").as("n_chunk_tokens"),
+        col("ch.chunk_h60").as("chunk_h60"))
+  }
+
+  /** DuckDB oracle for [[chunk]] — same window enumeration and 1-based
+    * inclusive slicing (both engines truncate the trailing window). */
+  def chunkOracleSql(table: String,
+      c: Int = ChunkTokens, s: Int = ChunkStride): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM $table),
+       |nn AS (SELECT doc_id, w, len(w) AS n FROM d),
+       |ch AS (SELECT doc_id, unnest(list_transform(generate_series(0,
+       |      CASE WHEN n > $c
+       |        THEN CAST(floor((n - $c + ${s - 1}) / CAST($s AS DOUBLE)) AS INT)
+       |        ELSE 0 END),
+       |    i -> struct_pack(chunk_idx := i,
+       |      toks := w[(i * $s + 1):(i * $s + $c)]))) AS e
+       |  FROM nn)
+       |SELECT doc_id, CAST(e.chunk_idx AS INT) AS chunk_idx,
+       |  CAST(len(e.toks) AS INT) AS n_chunk_tokens,
+       |  ${h60Sql("array_to_string(e.toks, ' ')")} AS chunk_h60
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Salt for [[langBalancedSample]]. */
   val SampleSalt = "graftsample"
 

@@ -51,6 +51,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1).getAs[Long]("asof") === 150L)
   }
 
+  private def runFwd(left: Seq[(Long, Long)], right: Seq[(Long, Long)]): Map[(Long, Long), Option[Long]] = {
+    val l = left.toDF("k", "lt")
+    val r = right.toDF("k", "rt")
+    AsOfJoin.asOfForward(l, r, "k", "lt", "rt", "asof")
+      .collect()
+      .map(row => (row.getAs[Long]("k"), row.getAs[Long]("lt")) ->
+        Option(row.getAs[Any]("asof")).map(_.asInstanceOf[Long]))
+      .toMap
+  }
+
+  test("forward: picks the earliest right time at or after each left time, per key") {
+    val res = runFwd(
+      left = Seq((1L, 100L), (1L, 250L), (2L, 50L)),
+      right = Seq((1L, 90L), (1L, 200L), (1L, 300L), (2L, 10L)))
+    assert(res((1L, 100L)) === Some(200L))
+    assert(res((1L, 250L)) === Some(300L))
+    assert(res((2L, 50L)) === None)
+  }
+
+  test("forward: a right row at exactly the left time is visible (>= semantics)") {
+    val res = runFwd(left = Seq((1L, 100L)), right = Seq((1L, 100L)))
+    assert(res((1L, 100L)) === Some(100L))
+  }
+
   test("single shuffle: plan has exactly one exchange for the union+window") {
     val l = Seq((1L, 100L)).toDF("k", "lt")
     val r = Seq((1L, 90L)).toDF("k", "rt")

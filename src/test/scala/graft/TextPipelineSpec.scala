@@ -94,4 +94,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(r2.getAs[Double]("uniq_shingle_ratio") == 1.0)
     assert(got(2).isNullAt(got(2).fieldIndex("uniq_shingle_ratio")))
   }
+
+  test("chunking: sliding windows with overlap, short tail, single-window docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b c"),                          // fits one window
+      (3L, "x1 x2 x3 x4")                     // exactly one window
+    ).toDF("doc_id", "text")
+    // window 4, stride 3: doc1 -> ceil((10-4)/3)=2 -> chunks 0,1,2
+    val got = TextAnalysis.chunk(docs, c = 4, s = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4), // starts 1, 4, 7 (1-based)
+      (2L, 0, 3),
+      (3L, 0, 4)), s"got ${got.toSeq}")
+    // consecutive chunks overlap by window - stride tokens
+    val h = TextAnalysis.chunk(docs, c = 4, s = 3).collect()
+    assert(h.map(_.getLong(3)).distinct.length == h.length,
+      "distinct windows over distinct tokens must hash distinctly")
+  }
 }
