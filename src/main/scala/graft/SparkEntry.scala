@@ -236,6 +236,10 @@ object SparkEntry {
     "doc_chunks"             -> ((s, d) =>
       TextAnalysis.chunk(tbl(s, d, "documents"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
+    "boilerplate_chunks"     -> ((s, d) =>
+      TextAnalysis.boilerplate(tbl(s, d, "documents")).orderBy(col("chunk_h60"))),
+    "oov_rate"               -> ((s, d) =>
+      TextAnalysis.oovRate(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -898,6 +902,10 @@ object SparkEntry {
     "corpus_curate" -> CorpusPipeline.curateOracleSql("documents", 0.5),
 
     "doc_chunks" -> TextAnalysis.chunkOracleSql("documents"),
+
+    "boilerplate_chunks" -> TextAnalysis.boilerplateOracleSql("documents"),
+
+    "oov_rate" -> TextAnalysis.oovRateOracleSql("documents"),
 
     "contamination_flags" -> {
       val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")

@@ -271,6 +271,79 @@ object TextAnalysis {
        |  ${h60Sql("array_to_string(e.toks, ' ')")} AS chunk_h60
        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Window for [[boilerplate]] — shorter than [[ChunkTokens]] and disjoint
+    * (stride = window) so repeated fragments align without overlap inflation. */
+  val BoilerplateTokens = 16
+
+  /** Boilerplate detection — repeated chunks ACROSS documents (headers,
+    * footers, license blocks, templated paragraphs): the chunk-granular
+    * complement of document-level dedup, and the pass that catches shared
+    * fragments document dedup can't (two distinct docs sharing one template
+    * paragraph). Disjoint [[BoilerplateTokens]]-token windows, grouped by
+    * chunk hash, kept when >1 distinct doc contains the chunk. A production
+    * pipeline anti-joins flagged hashes back onto the chunk table to strip
+    * them. One shuffle on the 60-bit chunk hash — uniformly keyed, count
+    * rows only. */
+  def boilerplate(documents: DataFrame): DataFrame =
+    chunk(documents, c = BoilerplateTokens, s = BoilerplateTokens)
+      .groupBy(col("chunk_h60"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"))
+      .where(col("n_docs") > 1)
+
+  /** DuckDB oracle for [[boilerplate]]. */
+  def boilerplateOracleSql(table: String): String = {
+    val c = BoilerplateTokens
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM $table),
+       |nn AS (SELECT doc_id, w, len(w) AS n FROM d),
+       |ch AS (SELECT doc_id, unnest(list_transform(generate_series(0,
+       |      CASE WHEN n > $c
+       |        THEN CAST(floor((n - $c + ${c - 1}) / CAST($c AS DOUBLE)) AS INT)
+       |        ELSE 0 END),
+       |    i -> array_to_string(w[(i * $c + 1):(i * $c + $c)], ' '))) AS t
+       |  FROM nn)
+       |SELECT ${h60Sql("t")} AS chunk_h60,
+       |  COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks
+       |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY chunk_h60""".stripMargin
+  }
+
+  /** Vocabulary size for [[oovRate]] — the synthetic corpus has ~31 distinct
+    * tokens, so a 25-token vocab leaves a real out-of-vocabulary tail. */
+  val OovVocabK = 25
+
+  /** Out-of-vocabulary rate per doc against the corpus top-[[OovVocabK]]
+    * vocabulary — the tokenizer-coverage signal (docs with high OOV rates
+    * blow up into byte-fallback tokens and waste sequence budget). The vocab
+    * is a deterministic LIMIT boundary (count DESC, token ASC — same
+    * contract as [[vocabulary]]) broadcast against the token stream; counts
+    * are exact integers so the rate is engine-portable. */
+  def oovRate(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame = {
+    val vocab = vocabulary(documents, vocabK)
+      .select(col("token")).withColumn("in_v", lit(1))
+    documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** DuckDB oracle for [[oovRate]]. */
+  def oovRateOracleSql(table: String, vocabK: Int = OovVocabK): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $table),
+       |v AS (SELECT token FROM t GROUP BY token
+       |  ORDER BY COUNT(*) DESC, token ASC LIMIT $vocabK)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM v)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(SUM(CASE WHEN token NOT IN (SELECT token FROM v)
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Salt for [[langBalancedSample]]. */
   val SampleSalt = "graftsample"
 

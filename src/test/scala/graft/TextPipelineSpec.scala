@@ -114,4 +114,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(h.map(_.getLong(3)).distinct.length == h.length,
       "distinct windows over distinct tokens must hash distinctly")
   }
+
+  test("boilerplate: flags chunks repeated across docs, not within one doc") {
+    val shared = (1 to TextAnalysis.BoilerplateTokens).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " unique1a unique1b"),
+      (2L, shared + " unique2a unique2b"),     // shares chunk 0 with doc 1
+      (3L, (shared + " ") + shared),           // repeats the chunk WITHIN one doc
+      (4L, "totally different words here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplate(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // exactly one flagged chunk: the shared prefix, in docs 1, 2, 3 (4 copies)
+    assert(got.toSeq == Seq((3L, 4L)), s"got ${got.toSeq}")
+  }
+
+  test("oov rate: tokens outside the top-k vocab are counted") {
+    val docs = Seq(
+      (1L, "a a a b"),   // 'a' x3 + 'b'
+      (2L, "a b c")      // corpus counts: a=4, b=2, c=1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, vocabK = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // vocab (k=2) = {a, b}; only 'c' is OOV
+    assert(got(1L) == ((4L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
 }
