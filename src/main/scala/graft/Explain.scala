@@ -42,7 +42,15 @@ object Explain {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
           try {
             val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-            val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+            // count DISTINCT exchange nodes by plan_id: a persisted subtree
+            // (InMemoryRelation) prints once per reference, but its exchanges
+            // carry the same plan_id and execute once — raw string counts
+            // over-report fan-out pipelines like corpus_curate many-fold
+            val ids = "(?<!Broadcast)Exchange [^\n]*?plan_id=(\\d+)".r
+              .findAllMatchIn(plan).map(_.group(1)).toSet
+            val exchanges =
+              if (ids.nonEmpty) ids.size
+              else "(?<!Broadcast)Exchange".r.findAllIn(plan).size
             val flags = Seq(
               Option.when(plan.contains("CartesianProduct"))("CARTESIAN!"),
               Option.when(plan.contains("SortMergeJoin"))("sortmerge"),
