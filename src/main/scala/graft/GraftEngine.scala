@@ -139,6 +139,12 @@ final class GraftEngine(val spark: SparkSession,
   def curate(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     operators.CorpusPipeline.curate(documents, minJaccard)
 
+  /** Continuous-ingest twin of [[curate]] (per-row quality rules +
+    * watermark-bounded dedup + split); near-dup dedup remains the nightly
+    * batch pass — the standard lambda split. */
+  def curateStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    streaming.EventStreams.curateDocStream(docs, horizon)
+
   /** Canonical corpus export — the pipeline's output side: Hive-partitioned
     * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so
     * parquet row-group min/max statistics support data skipping on the read

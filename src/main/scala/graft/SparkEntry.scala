@@ -76,6 +76,8 @@ object SparkEntry {
     "q21_moving_avg"         -> ((s, d) => Relational.movingAvgDaily(s, d)),
     "q22_top_orders_agg"     -> ((s, d) => Relational.windowTopOrdersAgg(s, d)),
     "q23_next_purchase"      -> ((s, d) => Relational.viewToNextPurchase(s, d)),
+    "q24_cube_orders"        -> ((s, d) => Relational.cubeOrderStats(s, d)),
+    "q25_cust_max_order"     -> ((s, d) => Relational.customerMaxOrder(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -539,6 +541,19 @@ object SparkEntry {
         |FROM v ASOF LEFT JOIN p
         |  ON v.user_id = p.user_id AND p.buy_sec >= v.view_sec
         |ORDER BY v.event_id""".stripMargin,
+
+    "q24_cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q25_cust_max_order" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT MAX(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q21_moving_avg" ->
       """WITH daily AS (

@@ -193,6 +193,34 @@ object Relational {
         sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE over (priority, status) — the full grouping-sets lattice (q13's
+    * ROLLUP covers the prefix chain only): every (priority, status) cell plus
+    * all three marginals. Same partial+final aggregation plan; grouping-set
+    * expansion happens map-side. */
+  def cubeOrderStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Correlated SCALAR subquery — the remaining subquery form (q08 covers
+    * NOT EXISTS): each customer's max order value inline. Catalyst decorrelates
+    * this into a left outer aggregate join — free optimizer machinery the
+    * reference has no analog for. MAX is order-independent, so plain double
+    * compares exactly across engines (no decimal detour needed). */
+  def customerMaxOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "orders").createOrReplaceTempView("g_orders")
+    t(spark, sfDir, "customer").createOrReplaceTempView("g_customer")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT MAX(o_totalprice) FROM g_orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM g_customer ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Exact interpolated percentiles per group (order statistics — the general
     * form of the reference's top-k order statistic). percentile() is exact
     * (sorts within group); at 100 TB one would switch to approx_percentile

@@ -177,6 +177,42 @@ class StreamingSpec extends SparkSpec {
       s"same-instant duplicates must dedup within the watermark: ${got.length}")
   }
 
+  test("streaming curation applies batch thresholds, dedups, and splits") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 10000L))
+    val dir = Files.createTempDirectory(Paths.get("target"), "curatestream").toString
+    doubled.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(dir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.curateDocStream(stream, "10 minutes"), "curate_stream_out")
+
+    // batch twin of the same per-row rules over the same (distinct) corpus
+    import graft.operators.TextAnalysis
+    val w = org.apache.spark.sql.functions.split(col("text"), " ")
+    val wantIds = docs
+      .withColumn("n", size(w))
+      .withColumn("u", round(size(array_distinct(w)).cast("double") / size(w), 6))
+      .where(col("n") >= TextAnalysis.MinTokens && col("u") >= TextAnalysis.MinUniqRatio)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // every survivor id is a quality-passing doc; exactly one of each dup
+    // pair survives (the corpus was doubled with disjoint id ranges)
+    val gotIds = got.map(_.getAs[Long]("doc_id")).toSet
+    assert(got.length == wantIds.size,
+      s"one survivor per distinct passing text: ${got.length} vs ${wantIds.size}")
+    assert(gotIds.map(id => if (id >= 10000L) id - 10000L else id) == wantIds)
+    // split matches the deterministic batch assignment
+    val splits = TextAnalysis.trainValTestSplit(
+      doubled.select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    got.foreach { r =>
+      assert(r.getAs[String]("split") == splits(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("stream-static enrichment join preserves stream rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
