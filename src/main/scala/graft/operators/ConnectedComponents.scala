@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star/small-star
+  * (the MapReduce CC formulation with provably O(log n) rounds) — the
+  * scale-proof replacement for plain min-label propagation, whose round
+  * count is the graph DIAMETER: a 10⁶-doc duplicate chain would need 10⁶
+  * propagation rounds but ~20 star rounds.
+  *
+  * Each round is two grouped aggregations + joins keyed by node id — the
+  * same shuffle shapes as the propagation loop, just fewer rounds. Edges are
+  * localCheckpoint'ed per round (lineage truncation — see
+  * [[Dedup.nearDupClusters]]'s original loop for why).
+  *
+  * Operations (on the undirected edge set):
+  *  - large-star(u): connect every STRICTLY LARGER neighbor of u to
+  *    m = min(Γ⁺(u)) — hangs big nodes under the local minimum.
+  *  - small-star(u): orient edges to the larger endpoint, then connect u and
+  *    all its (smaller) neighbors to m — flattens chains into stars.
+  * At the fixed point every edge is (node, componentMin).
+  */
+object ConnectedComponents {
+
+  /** `pairs`: (src BIGINT, dst BIGINT) undirected edges. Returns
+    * (doc_id, cluster_rep) for every node with ≥1 edge, cluster_rep = the
+    * component's minimum node id (component minima label themselves). */
+  def run(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    // canonical storage is (u = larger endpoint, v = smaller): at the fixed
+    // point every edge reads (member, componentMin), and the per-round set
+    // compare sees a stable orientation from round one
+    var edges = pairs
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // ---- large-star over symmetric neighborhoods
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // ---- small-star on larger-endpoint-oriented edges
+      val oriented = ls.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val withM = oriented.join(mins2, Seq("u"))
+      val ss = withM.select(col("v").as("n"), col("m"))
+        .union(withM.select(col("u").as("n"), col("m")))
+        .where(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"),
+          least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint()
+      val changed =
+        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
+      converged = changed
+      edges = ss
+      rounds += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxRounds star rounds")
+    // fixed point: every edge is (member, componentMin); centers label themselves
+    val members = edges.select(col("u").as("doc_id"), col("v").as("label"))
+    val centers = edges.select(col("v").as("doc_id")).distinct()
+      .join(edges.select(col("u").as("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("label", col("doc_id"))
+    members.unionByName(centers)
+  }
+}

@@ -200,56 +200,15 @@ object Dedup {
   /** Near-duplicate CLUSTERS — connected components over the verified pair
     * graph, labeling every clustered doc with its component's minimum doc_id
     * (the survivor under the keep-min policy; docs in no pair are not
-    * emitted). Min-label propagation to fixpoint: each round is one
-    * shuffle-join of the symmetric edge list against current labels, and the
-    * round count is the graph DIAMETER — near-dup components are shallow
-    * (chains of a few docs), so this converges in a handful of rounds; a
-    * web-scale graph with adversarial chains would switch to the
-    * large-star/small-star formulation (same join shapes, provably
-    * logarithmic rounds). The driver loop only compares counts — labels
-    * never leave the cluster. */
-  def nearDupClusters(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val edges = ngramJaccardPairs(documents, minJaccard)
-      .select(col("doc_a"), col("doc_b"))
-    val sym = edges
-      .union(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst")
-      .persist()
-    // localCheckpoint (not persist): iterative algorithms must TRUNCATE
-    // lineage each round or the plan grows by one join-tree per iteration —
-    // unbounded analysis cost and a full-history recompute on eviction
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val prop = sym.join(labels, sym("src") === labels("doc_id"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
-      // carry the previous label through the propagation join so convergence
-      // is a FILTER over the checkpointed result, not a second join+shuffle
-      // against the old labels (halves the per-round shuffle count)
-      val next = labels
-        .join(prop, labels("doc_id") === prop("dst"), "left")
-        .select(col("doc_id"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      val changes = next.where(col("label") =!= col("prev")).count()
-      labels = next.select(col("doc_id"), col("label"))
-      converged = changes == 0
-      rounds += 1
-    }
-    // labels' lineage is checkpoint-truncated, so the edge cache is dead
-    // weight after convergence — release it instead of waiting for LRU
-    sym.unpersist()
-    // the 50-round cap is a runaway guard, not a tolerated outcome: labels
-    // from a non-converged propagation are NOT a valid clustering
-    require(converged,
-      s"nearDupClusters did not converge within $rounds rounds — " +
-        "component diameter exceeds the cap; use a logarithmic-round " +
-        "formulation (large-star/small-star) for this graph")
-    labels.select(col("doc_id"), col("label").as("cluster_rep"))
-  }
+    * emitted). Delegates to [[ConnectedComponents]] (alternating
+    * large-star/small-star, provably O(log n) rounds) so an adversarially
+    * deep duplicate chain — a million-doc boilerplate lineage — converges in
+    * ~20 rounds instead of diameter-many min-label propagations. */
+  def nearDupClusters(documents: DataFrame, minJaccard: Double): DataFrame =
+    ConnectedComponents.run(
+      ngramJaccardPairs(documents, minJaccard)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("doc_id"), col("label").as("cluster_rep"))
 
   /** Train/test contamination check — near-duplicate pairs that STRADDLE
     * split boundaries: even a deduplicated corpus leaks evaluation data when

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.ConnectedComponents
+
+/** Validates the alternating-star connected-components against brute-force
+  * union-find on random graphs, and pins the logarithmic-round property on a
+  * deep path graph (the adversarial shape that defeats min-label
+  * propagation, whose round count is the diameter). */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteForce(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], maxRounds: Int = 30): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("src", "dst"), maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val want = bruteForce(edges)
+      val got = run(edges)
+      assert(got == want, s"trial $trial: got $got\nwant $want")
+    }
+  }
+
+  test("deep path graph converges in logarithmic rounds") {
+    // a 200-node chain: min-label propagation needs ~200 rounds; the
+    // alternating-star loop must finish well inside 15
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = run(edges, maxRounds = 15)
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L), "every chain node labels to the minimum")
+  }
+
+  test("separate components keep separate minima; isolated nodes are absent") {
+    val got = run(Seq((5L, 9L), (9L, 7L), (20L, 21L)))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
+  }
+}
