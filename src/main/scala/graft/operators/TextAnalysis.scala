@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -184,26 +184,38 @@ object TextAnalysis {
     * identical rounded values — see [[repetition]]). Plan shape: one two-level
     * aggregation (token mode) joined to per-row signals; everything else is
     * scan-speed projection. */
+  /** Per-row token-mode count: max frequency of any token, computed as the
+    * longest equal-run of the SORTED token array — one HOF fold, zero
+    * shuffle. Value-identical to the explode→groupBy count formulation (the
+    * oracle keeps that SQL shape), but the whole filter stays at scan speed:
+    * at 100 TB the groupBy form shuffles one row per (doc, distinct token),
+    * this form shuffles nothing. */
+  private def tokenModeCount(words: Column): Column =
+    aggregate(
+      sort_array(words),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("mx"), run).as("mx"))
+      },
+      acc => acc.getField("mx"))
+
   def corpusFilter(documents: DataFrame): DataFrame = {
-    // only the signals the rules consume: the token-mode aggregation and the
-    // per-row distinct ratio. (NOT built on [[repetition]], whose
-    // uniq_shingle_ratio sits behind a Generate barrier Catalyst can't prune
-    // away — reusing it would pay the full shingle pipeline for a column
-    // this filter discards.)
-    val top = documents
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_tokens"), max(col("c")).as("max_c"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("max_c").cast("double") / col("n_tokens"), 6).as("top_tok_ratio"))
-    val perRow = documents.select(
+    // all three signals are per-row HOFs over ONE staged token array (see
+    // [[quality]] for the Generate-barrier rationale): token floor, mode
+    // ratio ([[tokenModeCount]]), distinct ratio — the keep/drop decision
+    // runs at scan speed with zero shuffle
+    documents.select(
       col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
       .select(col("doc_id"),
+        size(col("c.w")).cast("long").as("n_tokens"),
+        round(tokenModeCount(col("c.w")).cast("double") / size(col("c.w")), 6)
+          .as("top_tok_ratio"),
         round(size(array_distinct(col("c.w"))).cast("double") / size(col("c.w")), 6)
           .as("uniq_ratio"))
-    top.join(perRow, Seq("doc_id"))
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("top_tok_ratio") > MaxTopTokRatio, "repeated_token")
