@@ -148,22 +148,34 @@ object Dedup {
     * At 100 TB one would add a prefix filter; the join shape stays identical.
     * Returns pairs with jaccard >= minJaccard, rounded to 6 dp.
     */
+  /** Shingled docs (persisted): the shared upstream of every shingle-family
+    * operator. Callers building from the SAME `documents` expression get the
+    * same analyzed plan, so Spark's cache manager reuses one materialization
+    * across [[ngramJaccardPairs]], [[benchmarkContamination]], and their
+    * dependents within a session. */
+  private[operators] def shingledDocs(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+
+  /** Shingle-hash postings over [[shingledDocs]] (persisted): joins run on
+    * the 60-bit hash, not the string — same equality classes
+    * (md5-collision-free in practice), ~3× smaller shuffle rows. */
+  private[operators] def shinglePostings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("lang"), h60(col("s")).as("s"))
+      .persist()
+
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
     // persist the shingled docs: they feed sizes AND postings, and postings
     // feeds both sides of the self-join — without materialization the
     // shingle pipeline evaluates 3×. Same write-then-read posture as
     // [[lshCandidatePairs]].
-    val docs = documents
-      .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
+    val docs = shingledDocs(documents)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    // join on the 60-bit shingle hash, not the string: same equality classes
-    // (md5-collision-free in practice), ~3× smaller shuffle rows
-    val postings = docs
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("lang"), h60(col("s")).as("s"))
-      .persist()
+    val postings = shinglePostings(docs)
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
@@ -248,14 +260,12 @@ object Dedup {
   def benchmarkContamination(documents: DataFrame): DataFrame = {
     val splits = TextAnalysis.trainValTestSplit(documents)
       .select(col("doc_id"), col("split"))
-    // persist: the posting table feeds BOTH sides of the train/test join —
-    // without materialization the shingle+hash pipeline runs twice (same
-    // write-then-read posture as ngramJaccardPairs)
-    val postings = documents
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), h60(col("s")).as("s"))
+    // built on the SAME persisted posting subtree as the ngram-Jaccard
+    // family (identical analyzed plan → one cache entry serves both query
+    // families); the split column joins on top, and the joined table is
+    // persisted because it feeds BOTH sides of the train/test join
+    val postings = shinglePostings(shingledDocs(documents))
+      .select(col("doc_id"), col("s"))
       .join(splits, Seq("doc_id"))
       .persist()
     postings.where(col("split") === "train").as("a")
