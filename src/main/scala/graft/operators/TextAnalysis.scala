@@ -412,8 +412,12 @@ object TextAnalysis {
     */
   def unigramLogprob(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // corpus tf rolls up from the per-doc counts (one explode pass; the
+    // second aggregation reduces the already-collapsed (doc, tok, c) table,
+    // never the raw token stream) — value-identical to counting the stream
     val perDoc = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .persist()
+    val tf = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("n"))
     val total = tf.agg(sum(col("n")).as("total"))
     val scored = perDoc
       .join(tf, Seq("tok"))
