@@ -50,6 +50,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("retrieval/pipeline ops on degenerate inputs") {
+    // BM25: a term absent from every doc contributes nothing; all-absent
+    // terms -> empty result (no doc matches)
+    assert(graft.operators.Retrieval
+      .bm25TopK(emptyDocs, Seq("nosuchterm"), 5).count() == 0)
+    val one = Seq((1L, "alpha beta", "en", 10L)).toDF("doc_id", "text", "lang", "n_chars")
+    val r = graft.operators.Retrieval.bm25TopK(one, Seq("alpha", "missing"), 5).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 1L && r.head.getDouble(1) > 0)
+    // chunking: empty corpus, and a doc shorter than the stride
+    assert(TextAnalysis.chunk(emptyDocs).count() == 0)
+    assert(TextAnalysis.boilerplate(emptyDocs).count() == 0)
+    assert(TextAnalysis.unigramLogprob(emptyDocs).count() == 0)
+    assert(TextAnalysis.oovRate(emptyDocs).count() == 0)
+    assert(Dedup.benchmarkContamination(emptyDocs).count() == 0)
+    assert(graft.operators.CorpusPipeline.curate(emptyDocs).count() == 0)
+  }
+
+  test("assignNew with an empty batch and connected components on no edges") {
+    val idx = graft.operators.IvfIndex.forSfDir(spark, sf0001, SparkEntry.NumClusters)
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(idx.assignNew(emptyVecs).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.operators.ConnectedComponents.run(noEdges).count() == 0)
+  }
+
   test("quantization of a constant column (zero range) is stable zeros") {
     val df = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(1f, 2f))).toDF("embedding")
     val mns = Array(1.0, 2.0)
