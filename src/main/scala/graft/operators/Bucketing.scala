@@ -26,8 +26,9 @@ object Bucketing {
   /** Join two bucketed tables on their bucket key — plans shuffle-free when
     * both were written with [[writeBucketed]] and equal bucket counts. */
   def colocatedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable).join(
-      spark.table(rightTable),
-      spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

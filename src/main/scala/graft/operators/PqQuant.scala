@@ -51,11 +51,19 @@ object PqQuant {
     val cbs = (0 until M).map { m =>
       val sliced = embeddings.select(
         array_to_vector(slice(col("embedding"), m * sub + 1, sub)).as("features"))
-      new KMeans()
+      val centers = new KMeans()
         .setK(SubCodes).setSeed(seed + m).setMaxIter(20)
         .setFeaturesCol("features").setPredictionCol("code")
         .fit(sliced)
         .clusterCenters.map(_.toArray.map(_.toFloat))
+      // MLlib returns FEWER centers when a subspace has < SubCodes distinct
+      // subvectors; search()'s flattened lookup tables assume the full
+      // SubCodes stride per subspace — fail loudly at train time instead of
+      // an index-out-of-bounds at query time
+      require(centers.length == SubCodes,
+        s"subspace $m trained ${centers.length} < $SubCodes codewords — " +
+          "the corpus has too few distinct subvectors for PQ at this width")
+      centers
     }.toArray
     Model(sub, cbs)
   }
@@ -178,8 +186,11 @@ object PqQuant {
       numClusters: Int): (Model, DataFrame) = {
     val (model, _) = forSfDir(spark, sfDir, dim)
     val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = java.nio.file.Paths.get("target", "pq-export", s"$safe-ivfcodes")
-      .toAbsolutePath.toString
+    // keyed per (sfDir, numClusters) like the cache entry: a fixed path
+    // would let a later build for a different cluster count overwrite the
+    // files a live cached DataFrame lazily re-lists
+    val dir = java.nio.file.Paths.get("target", "pq-export",
+      s"$safe-ivfcodes-k$numClusters").toAbsolutePath.toString
     val codes = ivfCache.getOrElseUpdate(s"$sfDir#$numClusters", {
       val idx = IvfIndex.forSfDir(spark, sfDir, numClusters)
       encode(spark, idx.vectors, model)

@@ -202,6 +202,20 @@ object TextAnalysis {
       },
       acc => acc.getField("mx"))
 
+  /** First failing quality rule over a staged token array (null when the doc
+    * passes) — the ONE definition of the keep/drop rules, shared by the
+    * batch filter, the composed pipeline, and the streaming ingest. `w` must
+    * be a bound attribute (staged behind a Generate barrier), not a raw
+    * expression — see [[quality]]. */
+  def qualityReason(w: Column): Column = {
+    val n = size(w)
+    when(n < MinTokens, "too_short")
+      .when(round(tokenModeCount(w).cast("double") / n, 6) > MaxTopTokRatio,
+        "repeated_token")
+      .when(round(size(array_distinct(w)).cast("double") / n, 6) < MinUniqRatio,
+        "low_diversity")
+  }
+
   def corpusFilter(documents: DataFrame): DataFrame = {
     // all three signals are per-row HOFs over ONE staged token array (see
     // [[quality]] for the Generate-barrier rationale): token floor, mode
@@ -212,15 +226,7 @@ object TextAnalysis {
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
       .select(col("doc_id"),
         size(col("c.w")).cast("long").as("n_tokens"),
-        round(tokenModeCount(col("c.w")).cast("double") / size(col("c.w")), 6)
-          .as("top_tok_ratio"),
-        round(size(array_distinct(col("c.w"))).cast("double") / size(col("c.w")), 6)
-          .as("uniq_ratio"))
-      .select(col("doc_id"), col("n_tokens"),
-        when(col("n_tokens") < MinTokens, "too_short")
-          .when(col("top_tok_ratio") > MaxTopTokRatio, "repeated_token")
-          .when(col("uniq_ratio") < MinUniqRatio, "low_diversity")
-          .as("reason"))
+        qualityReason(col("c.w")).as("reason"))
       .withColumn("keep", col("reason").isNull)
   }
 
@@ -454,6 +460,15 @@ object TextAnalysis {
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 
+  /** The split label for a doc id — the ONE place the salted-hash bucket and
+    * the 80/10/10 thresholds live; [[trainValTestSplit]] (batch + oracle
+    * parity) and the streaming curation ingest both render this column, so
+    * the assignments cannot desynchronize. */
+  def splitFor(docId: Column): Column = {
+    val bucket = h60(concat(lit(SplitSalt), lit("#"), docId.cast("string"))) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   /** Deterministic train/val/test assignment (80/10/10) by portable hash of
     * the salted id — the standard leak-proof split for training corpora:
     * stable across runs, clusters, and engine versions (md5 contract), no
@@ -463,7 +478,6 @@ object TextAnalysis {
     documents.select(
       col("doc_id"),
       bucket.as("bucket"),
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-        .as("split"))
+      splitFor(col("doc_id")).as("split"))
   }
 }

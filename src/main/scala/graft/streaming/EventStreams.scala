@@ -112,34 +112,32 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("text_md5")
 
   /** Streaming curation ingest — the continuous twin of
-    * [[graft.operators.CorpusPipeline.curate]]'s per-row stages: quality
-    * rules that are per-row in streaming (each row carries its whole doc, so
-    * token floor and distinct-token ratio are scan-speed HOFs — the same
-    * thresholds as the batch filter), watermark-bounded exact dedup, and the
-    * deterministic split assignment. Near-dup dedup stays batch: its blocked
-    * self-joins aren't expressible incrementally, so the 24/7 design is this
-    * stream for ingest + the nightly [[graft.operators.Dedup]] batch pass —
-    * the standard lambda split. `docs` must carry (doc_id, text, ts). */
+    * [[graft.operators.CorpusPipeline.curate]]'s per-row stages: ALL THREE
+    * batch quality rules (each row carries its whole doc, so token floor,
+    * top-token-mode ratio, and distinct-token ratio are scan-speed HOFs —
+    * same thresholds, same rule order as
+    * [[graft.operators.TextAnalysis.corpusFilter]]), watermark-bounded exact
+    * dedup, and the shared deterministic split assignment
+    * ([[graft.operators.TextAnalysis.splitFor]]). Near-dup dedup stays
+    * batch: its blocked self-joins aren't expressible incrementally, so the
+    * 24/7 design is this stream for ingest + the nightly
+    * [[graft.operators.Dedup]] batch pass — the standard lambda split.
+    * `docs` must carry (doc_id, text, ts). */
   def curateDocStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
-    import graft.functions.GraftFunctions.{h60, tokens}
-    val staged = docs.select(
+    import graft.functions.GraftFunctions.tokens
+    import graft.operators.TextAnalysis
+    docs.select(
       col("doc_id"), col("text"), col("ts"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
       .select(col("doc_id"), col("text"), col("ts"),
-        size(col("c.w")).as("n_tokens"),
-        round(size(array_distinct(col("c.w"))).cast("double") / size(col("c.w")), 6)
-          .as("uniq_ratio"))
-    val bucket = h60(concat(lit(graft.operators.TextAnalysis.SplitSalt), lit("#"),
-      col("doc_id").cast("string"))) % 100
-    staged
-      .where(col("n_tokens") >= graft.operators.TextAnalysis.MinTokens &&
-        col("uniq_ratio") >= graft.operators.TextAnalysis.MinUniqRatio)
+        size(col("c.w")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityReason(col("c.w")).as("reason"))
+      .where(col("reason").isNull)
       .withWatermark("ts", horizon)
       .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
       .dropDuplicatesWithinWatermark("text_md5")
-      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-          .as("split"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextAnalysis.splitFor(col("doc_id")).as("split"))
   }
 
   // ------------------------------------------------- custom state (sessionization)

@@ -190,13 +190,9 @@ class StreamingSpec extends SparkSpec {
     val got = EventStreams.runToMemory(
       spark, EventStreams.curateDocStream(stream, "10 minutes"), "curate_stream_out")
 
-    // batch twin of the same per-row rules over the same (distinct) corpus
+    // batch twin: the EXACT batch filter (all three rules) over the distinct corpus
     import graft.operators.TextAnalysis
-    val w = org.apache.spark.sql.functions.split(col("text"), " ")
-    val wantIds = docs
-      .withColumn("n", size(w))
-      .withColumn("u", round(size(array_distinct(w)).cast("double") / size(w), 6))
-      .where(col("n") >= TextAnalysis.MinTokens && col("u") >= TextAnalysis.MinUniqRatio)
+    val wantIds = TextAnalysis.corpusFilter(docs).where(col("keep"))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     // every survivor id is a quality-passing doc; exactly one of each dup
     // pair survives (the corpus was doubled with disjoint id ranges)
