@@ -69,6 +69,32 @@ class EngineFacadeSpec extends SparkSpec {
     assert(!unsorted, "in-file order must be sorted by doc_id")
   }
 
+  test("round-4 facade surface: keywords, hybrid, PQ, curation, assignment") {
+    import org.apache.spark.sql.functions._
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = graft.operators.KnnExact.queryVector(emb, 0L)
+    val terms = Seq("vector", "query", "dup")
+
+    assert(engine.searchKeywords(docs, terms, 5).count() == 5)
+    val hybrid = engine.searchHybrid(docs, emb, terms, qv, k = 5).collect()
+    assert(hybrid.length == 5 && hybrid.exists(_.getLong(0) == 0L))
+
+    val (pqModel, pqCodes) = engine.buildPq(emb, SparkEntry.EmbDim)
+    assert(engine.searchPq(pqCodes, pqModel, qv, 5).count() == 5)
+
+    val curated = engine.curate(docs)
+    assert(curated.count() > 0 && curated.count() < docs.count())
+
+    val idx = graft.operators.IvfIndex.forSfDir(spark, sf0001, SparkEntry.NumClusters)
+    val assigned = engine.assignToIndex(idx, emb.where(col("vec_id") < 5))
+    assert(assigned.count() == 5)
+
+    assert(engine.languageModelScore(docs).count() == docs.count())
+    assert(engine.contaminationScan(docs).count() > 0)
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
