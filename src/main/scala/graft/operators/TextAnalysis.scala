@@ -190,7 +190,7 @@ object TextAnalysis {
     * oracle keeps that SQL shape), but the whole filter stays at scan speed:
     * at 100 TB the groupBy form shuffles one row per (doc, distinct token),
     * this form shuffles nothing. */
-  private def tokenModeCount(words: Column): Column =
+  private[graft] def tokenModeCount(words: Column): Column =
     aggregate(
       sort_array(words),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("mx")),

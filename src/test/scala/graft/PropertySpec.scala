@@ -116,4 +116,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: tokenModeCount equals brute-force max token frequency") {
+    // small alphabet forces repeats; empty arrays excluded (mode undefined)
+    val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e")))
+    forAll(wordsGen) { words =>
+      val expected = words.groupBy(identity).values.map(_.size).max.toLong
+      val got = Seq(Tuple1(words)).toDF("w")
+        .select(graft.operators.TextAnalysis.tokenModeCount(col("w")).as("m"))
+        .head().getLong(0)
+      assert(got == expected, s"words=$words got=$got want=$expected")
+    }
+  }
+
+  test("property: BM25 score is strictly increasing in tf at fixed doc length") {
+    // two docs, same dl, same single query term with tf1 < tf2 occurrences;
+    // remaining tokens distinct fillers so the term's df stays 2
+    val tfGen = for {
+      t1 <- Gen.chooseNum(1, 5)
+      t2 <- Gen.chooseNum(t1 + 1, 12)
+    } yield (t1, t2)
+    forAll(tfGen, n = 10) { case (t1, t2) =>
+      val dl = t2 + 4
+      def doc(id: Long, tf: Int): (Long, String) =
+        (id, (Seq.fill(tf)("term") ++
+          (0 until (dl - tf)).map(i => s"f${id}_$i")).mkString(" "))
+      val docs = Seq(doc(1L, t1), doc(2L, t2))
+        .toDF("doc_id", "text")
+      val scores = graft.operators.Retrieval.bm25TopK(docs, Seq("term"), 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(scores(2L) > scores(1L),
+        s"tf=$t2 must outscore tf=$t1: $scores")
+    }
+  }
 }
