@@ -45,17 +45,24 @@ object Explain {
             // count DISTINCT exchange nodes by plan_id: a persisted subtree
             // (InMemoryRelation) prints once per reference, but its exchanges
             // carry the same plan_id and execute once — raw string counts
-            // over-report fan-out pipelines like corpus_curate many-fold
-            val ids = "(?<!Broadcast)Exchange [^\n]*?plan_id=(\\d+)".r
-              .findAllMatchIn(plan).map(_.group(1)).toSet
+            // over-report fan-out pipelines like corpus_curate many-fold.
+            // Exchange lines WITHOUT a plan_id (non-AQE subtrees, cached
+            // fragments) are each distinct nodes: ADD their count instead of
+            // the old all-or-nothing fallback, which silently dropped them
+            // whenever ANY id-bearing exchange existed (ADVICE r4)
+            val exchLines =
+              "(?<!Broadcast)Exchange[^\n]*".r.findAllIn(plan).toSeq
+            val ids = exchLines
+              .flatMap("plan_id=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
             val exchanges =
-              if (ids.nonEmpty) ids.size
-              else "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+              ids.toSet.size + exchLines.count(!_.contains("plan_id="))
             val flags = Seq(
               Option.when(plan.contains("CartesianProduct"))("CARTESIAN!"),
               Option.when(plan.contains("SortMergeJoin"))("sortmerge"),
               Option.when(plan.contains("BroadcastHashJoin"))("bcast"),
-              Option.when(plan.contains("PartitionFilters: [c"))("pruned"),
+              // any non-empty PartitionFilters (cluster OR bucket layouts)
+              Option.when(
+                "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined)("pruned"),
               Option.when(plan.contains("TakeOrderedAndProject"))("topk")).flatten
             println(f"$n%-26s $exchanges%-5d ${flags.mkString(",")}")
           } catch { case e: Throwable => println(f"$n%-26s ERROR ${e.getMessage.take(60)}") }

@@ -133,6 +133,14 @@ final class GraftEngine(val spark: SparkSession,
   def contaminationScan(documents: DataFrame): DataFrame =
     Dedup.benchmarkContamination(documents)
 
+  /** Release every operator-persisted cache entry ([[CacheRegistry]]) — call
+    * between unrelated workloads in a long-lived session so executor storage
+    * stays bounded by one query family's working set instead of accumulating
+    * for the session's lifetime (round-4 review). Results already
+    * materialized (collected / written) are unaffected; a live DataFrame
+    * built on a released subtree just recomputes it. */
+  def releaseCaches(): Unit = CacheRegistry.release()
+
   /** The composed five-stage curation pipeline (filter → exact dedup →
     * near-dup survivors → PII audit → split); pair with [[exportCorpus]]
     * partitioned by `split` for the output side. */

@@ -113,15 +113,28 @@ object SparkEntry {
       val emb = tbl(s, d, "embeddings")
       LshAnn.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
     }),
+    "ann_lsh_indexed"        -> ((s, d) => {
+      // the partitioned LSH SERVING path: multiprobe over the bucket-
+      // partitioned layout (PartitionFilters on bucket — what a 100 TB
+      // deployment scans), vs ann_lsh's flat scan with computed buckets
+      val emb = tbl(s, d, "embeddings")
+      LshAnn.searchIndexed(s, LshAnn.forSfDir(s, d, EmbDim),
+        KnnExact.queryVector(emb, 0L), TopK, EmbDim)
+    }),
     "ivf_sq8_probe"          -> ((s, d) => {
-      // both scale paths composed: pruned partitions × int8 codes
+      // both scale paths composed: pruned partitions × int8 codes; the SQ8
+      // codebook is the per-sfDir persisted artifact (one stats aggregate
+      // at build time, literal stats at query time)
       val idx = IvfIndex.forSfDir(s, d, NumClusters)
-      idx.searchQuantized(KnnExact.queryVector(tbl(s, d, "embeddings"), 0L), TopK, AnnProbe)
+      idx.searchQuantized(KnnExact.queryVector(tbl(s, d, "embeddings"), 0L),
+        TopK, AnnProbe, Some(SqQuant.statsForSfDir(s, d, EmbDim)))
     }),
     "ann_sq8"                -> ((s, d) => {
-      // int8-quantized approximate search (4x smaller scanned bytes at 100 TB)
+      // int8-quantized approximate search (4x smaller scanned bytes at
+      // 100 TB); codebook from the per-sfDir artifact, not a per-query agg
       val emb = tbl(s, d, "embeddings")
-      SqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
+      SqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim,
+        Some(SqQuant.statsForSfDir(s, d, EmbDim)))
     }),
     "pq_codes"               -> ((s, d) => {
       // product-quantized index artifact: one 4-bit-able code per subspace
@@ -246,6 +259,40 @@ object SparkEntry {
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
   )
+
+  /** Cache-sharing family of each query: members share operator-persisted
+    * subtrees (tracked by [[CacheRegistry]]), so the harnesses (Bench /
+    * Verify) run a family's members consecutively and release its caches on
+    * leaving — executor storage stays bounded by ONE family's working set
+    * across the 70+-query suite instead of accumulating for the session
+    * (round-4 review: unmanaged persist growth was the prime suspect for
+    * 3–6× driver-bench regressions on unrelated queries). Queries absent
+    * here persist nothing; release between them is a no-op. */
+  val cacheFamily: Map[String, String] = Map(
+    // documents-level shingle postings ([[Dedup.shingledDocs]]/[[Dedup.shinglePostings]])
+    "ngram_jaccard"       -> "shingle",
+    "dedup_survivors"     -> "shingle",
+    "split_leak_pairs"    -> "shingle",
+    "near_dup_clusters"   -> "shingle",
+    "contamination_flags" -> "shingle",
+    "corpus_curate"       -> "shingle",
+    // MinHash band buckets ([[Dedup.lshCandidatePairs]])
+    "dedup_minhash"       -> "minhash",
+    "lsh_candidates"      -> "minhash",
+    // SimHash banded sketches ([[Dedup.simhashPairs]])
+    "simhash_docs"        -> "simhash",
+    "simhash_pairs"       -> "simhash",
+    // BM25 staged projection ([[Retrieval.bm25TopK]])
+    "bm25_topk"           -> "lex",
+    "hybrid_rrf"          -> "lex",
+    // per-(doc, token) counts ([[TextAnalysis.unigramLogprob]])
+    "unigram_logprob"     -> "unigram")
+
+  /** Harness run order: deterministic, with family members adjacent (each
+    * family sorts at its name's alphabetical position) so one release point
+    * per family bounds cache lifetime without losing intra-family reuse. */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    queries.toSeq.sortBy { case (n, _) => (cacheFamily.getOrElse(n, n), n) }
 
   /** Exact k-NN (reference at nProbe=128): scan → codegen cosine → top-k.
     * Rounded-sim total order (sim DESC, vec_id ASC) so oracle LIMIT boundaries
@@ -542,12 +589,17 @@ object SparkEntry {
         |  ON v.user_id = p.user_id AND p.buy_sec >= v.view_sec
         |ORDER BY v.event_id""".stripMargin,
 
+    // GROUPING() markers in the ORDER BY make the sort total even when the
+    // data contains genuine NULL group values (which would otherwise collide
+    // with CUBE margin rows on the sort key — ADVICE r4); value-identical on
+    // NULL-free data
     "q24_cube_orders" ->
       """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
-        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+        |ORDER BY o_orderpriority ASC NULLS FIRST, GROUPING(o_orderpriority),
+        |  o_orderstatus ASC NULLS FIRST, GROUPING(o_orderstatus)""".stripMargin,
 
     "q25_cust_max_order" ->
       """SELECT c_custkey, c_mktsegment,
@@ -593,6 +645,10 @@ object SparkEntry {
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
+    // the bucket-partitioned serving path scans the SAME rows the flat path
+    // scores (md5-derived hyperplanes ⇒ identical deterministic buckets), so
+    // it replays the same oracle
+    "ann_lsh_indexed" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     "ann_sq8" -> SqQuant.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 

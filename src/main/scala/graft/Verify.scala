@@ -18,14 +18,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    // sorted: deterministic run order (same cache-warm sequence as Bench)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // family order (same sequence as Bench): members sharing persisted
+    // subtrees run consecutively, caches release at each family boundary —
+    // bounded executor storage across the suite (round-4 review)
+    var prevFamily: Option[String] = None
+    SparkEntry.orderedQueries.foreach { case (name, fn) =>
+      val family = SparkEntry.cacheFamily.get(name)
+      if (family != prevFamily) { CacheRegistry.release(); prevFamily = family }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    CacheRegistry.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -24,11 +24,16 @@ object Bucketing {
       .saveAsTable(table)
 
   /** Join two bucketed tables on their bucket key — plans shuffle-free when
-    * both were written with [[writeBucketed]] and equal bucket counts. */
+    * both were written with [[writeBucketed]] and equal bucket counts. When
+    * the two key names coincide the join uses USING semantics (ONE key
+    * column in the output) — the expression form would return two
+    * same-named columns and make any downstream `select(key)` ambiguous
+    * (ADVICE r4). */
   def colocatedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, leftKey: String, rightKey: String): DataFrame = {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
-    l.join(r, l(leftKey) === r(rightKey))
+    if (leftKey == rightKey) l.join(r, Seq(leftKey))
+    else l.join(r, l(leftKey) === r(rightKey))
   }
 }

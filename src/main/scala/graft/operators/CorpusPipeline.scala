@@ -36,17 +36,24 @@ object CorpusPipeline {
     val quality = documents.join(kept, Seq("doc_id"))
     val exactKeep = Dedup.exact(quality)
       .select(col("keep_doc_id").as("doc_id"))
-    // persist the two stage outputs that fan out: exactDeduped feeds BOTH
-    // the near-dup pair generation and the anti-join, survivors feeds THREE
-    // final branches (manifest, PII audit, split). Without materialization
-    // each reference re-expands the entire upstream tree — a production
-    // pipeline writes each stage to the lake (write-then-read); persist is
-    // the in-session equivalent (same posture as Dedup.lshCandidatePairs).
-    val exactDeduped = quality.join(exactKeep, Seq("doc_id")).persist()
-    val dropped = Dedup.ngramJaccardPairs(exactDeduped, minJaccard)
+    // persist the two stage outputs that fan out (registry-tracked,
+    // released at the family boundary): exactDeduped feeds BOTH the
+    // near-dup id semi-join and the anti-join, survivors feeds THREE final
+    // branches (manifest, PII audit, split). Without materialization each
+    // reference re-expands the entire upstream tree — a production pipeline
+    // writes each stage to the lake (write-then-read); persist is the
+    // in-session equivalent (same posture as Dedup.lshCandidatePairs).
+    val exactDeduped =
+      graft.CacheRegistry.persist(quality.join(exactKeep, Seq("doc_id")))
+    // near-dup pairs via the documents-LEVEL shingle materialization semi-
+    // joined to the survivor ids — NOT by re-shingling exactDeduped, which
+    // would be a second cache entry of the same shingle pipeline the
+    // standalone family already materialized (round-4 review item #4)
+    val dropped = Dedup.ngramJaccardPairsAmong(
+        documents, exactDeduped.select(col("doc_id")), minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
-    val survivors = exactDeduped.join(dropped, Seq("doc_id"), "left_anti")
-      .persist()
+    val survivors = graft.CacheRegistry.persist(
+      exactDeduped.join(dropped, Seq("doc_id"), "left_anti"))
     val pii = TextAnalysis.piiScrub(survivors)
       .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"))
     val splits = TextAnalysis.trainValTestSplit(survivors)

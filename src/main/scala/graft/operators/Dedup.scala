@@ -84,11 +84,11 @@ object Dedup {
     // self-join (Spark does not CSE across join children). At 100 TB this
     // is the write-then-read of the banded signature table every MinHash
     // pipeline does; MEMORY_AND_DISK is the local-mode equivalent. Cache
-    // lifetime: deliberately left to Spark's LRU block eviction (and the
-    // cache manager transparently reuses it across queries whose analyzed
-    // plans match) — an explicit unpersist here would have to outlive the
-    // returned lazy DataFrame, which the caller owns.
-    val b = lshBuckets(documents).persist()
+    // lifetime: tracked in [[graft.CacheRegistry]] — the harness releases
+    // at query-family boundaries (and the cache manager transparently
+    // reuses the entry across queries whose analyzed plans match while it
+    // lives).
+    val b = graft.CacheRegistry.persist(lshBuckets(documents))
     val l = b.as("a")
     val r = b.as("b")
     l.join(r,
@@ -125,12 +125,11 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
     }
-    val banded = s
+    val banded = graft.CacheRegistry.persist(s
       .select(col("doc_id"), col("lang"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("lang"), col("simhash"),
-        col("bb.band").as("band"), col("bb.bv").as("bv"))
-      .persist()
+        col("bb.band").as("band"), col("bb.bv").as("bv")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
@@ -154,19 +153,17 @@ object Dedup {
     * across [[ngramJaccardPairs]], [[benchmarkContamination]], and their
     * dependents within a session. */
   private[operators] def shingledDocs(documents: DataFrame): DataFrame =
-    documents
+    graft.CacheRegistry.persist(documents
       .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
+      .where(size(col("sh")) > 0))
 
   /** Shingle-hash postings over [[shingledDocs]] (persisted): joins run on
     * the 60-bit hash, not the string — same equality classes
     * (md5-collision-free in practice), ~3× smaller shuffle rows. */
   private[operators] def shinglePostings(docs: DataFrame): DataFrame =
-    docs
+    graft.CacheRegistry.persist(docs
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("lang"), h60(col("s")).as("s"))
-      .persist()
+      .select(col("doc_id"), col("lang"), h60(col("s")).as("s")))
 
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
     // persist the shingled docs: they feed sizes AND postings, and postings
@@ -174,8 +171,35 @@ object Dedup {
     // shingle pipeline evaluates 3×. Same write-then-read posture as
     // [[lshCandidatePairs]].
     val docs = shingledDocs(documents)
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val postings = shinglePostings(docs)
+    jaccardPairsFrom(shinglePostings(docs),
+      docs.select(col("doc_id"), size(col("sh")).as("n")), minJaccard)
+  }
+
+  /** [[ngramJaccardPairs]] restricted to the docs in `ids` WITHOUT
+    * re-shingling that subset: candidates come from the documents-level
+    * persisted posting subtree ([[shingledDocs]] → [[shinglePostings]] — the
+    * ONE materialization the whole shingle family shares) semi-joined to the
+    * id set. Semantically identical to `ngramJaccardPairs(documents ⋉ ids)`:
+    * shingles and sizes are per-doc, so restricting the posting endpoints
+    * restricts exactly the pairs whose BOTH endpoints survive, with unchanged
+    * Jaccard values. This is how a composed pipeline stage reuses the corpus
+    * materialization instead of paying a second shingle pass over its subset
+    * (round-4 review: corpus_curate re-shingled its survivor set as a
+    * separate cache entry). */
+  def ngramJaccardPairsAmong(documents: DataFrame, ids: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val docs = shingledDocs(documents)
+    val keep = ids.select(col("doc_id"))
+    jaccardPairsFrom(
+      shinglePostings(docs).join(keep, Seq("doc_id"), "left_semi"),
+      docs.select(col("doc_id"), size(col("sh")).as("n")), minJaccard)
+  }
+
+  /** Shared tail of the set-similarity join: postings self-join on
+    * (block, shingle-hash) → common counts → Jaccard threshold. `sizes` may
+    * cover a superset of the posting docs (it only joins by pair endpoint). */
+  private def jaccardPairsFrom(postings: DataFrame, sizes: DataFrame,
+      minJaccard: Double): DataFrame = {
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
@@ -264,10 +288,10 @@ object Dedup {
     // family (identical analyzed plan → one cache entry serves both query
     // families); the split column joins on top, and the joined table is
     // persisted because it feeds BOTH sides of the train/test join
-    val postings = shinglePostings(shingledDocs(documents))
-      .select(col("doc_id"), col("s"))
-      .join(splits, Seq("doc_id"))
-      .persist()
+    val postings = graft.CacheRegistry.persist(
+      shinglePostings(shingledDocs(documents))
+        .select(col("doc_id"), col("s"))
+        .join(splits, Seq("doc_id")))
     postings.where(col("split") === "train").as("a")
       .join(postings.where(col("split") === "test").as("b"),
         col("a.s") === col("b.s"))

@@ -58,9 +58,13 @@ final case class IvfIndex(
     * The quantizer ([[SqQuant]]) is trained on the full index (stable codebook
     * regardless of probe set); the fine scan dequantizes codes and ranks by
     * double cosine. This is what the fine phase of a 100 TB deployment
-    * actually scans: quantized codes inside pruned partitions. */
-  def searchQuantized(query: Array[Float], k: Int, nProbe: Int): DataFrame = {
-    val (mns, mxs) = SqQuant.stats(vectors, dim)
+    * actually scans: quantized codes inside pruned partitions. Pass
+    * `codebook` ([[SqQuant.statsForSfDir]] over the same vectors) to scan
+    * with literal stats — without it every call re-aggregates the index for
+    * its per-dimension min/max (round-4 review item #3). */
+  def searchQuantized(query: Array[Float], k: Int, nProbe: Int,
+      codebook: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val (mns, mxs) = codebook.getOrElse(SqQuant.stats(vectors, dim))
     val probes = coarseProbes(query, nProbe)
     val qd = query.map(_.toDouble)
     val qNorm = math.sqrt(qd.map(x => x * x).sum)

@@ -118,6 +118,24 @@ object LshAnn {
       .partitionBy("bucket")
       .parquet(indexDir)
 
+  private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Build-or-reuse the bucket-partitioned index for a testdata dir (lives
+    * under ./target like [[IvfIndex.forSfDir]]) and return its absolute
+    * path. Pure data layout — no trained model, so there is no oracle
+    * export: the hyperplanes are md5-derived and the flat-scan oracle
+    * ([[searchOracleSql]]) replays the identical bucket math. */
+  def forSfDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      dim: Int): String =
+    indexCache.getOrElseUpdate(s"$sfDir#$dim", {
+      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "")
+        .replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get("target", "lsh-index", s"$safe-b$NumBits")
+        .toAbsolutePath.toString
+      buildIndex(spark.read.parquet(s"$sfDir/embeddings.parquet"), dim, dir)
+      dir
+    })
+
   /** Multiprobe search over a [[buildIndex]] layout: `bucket IN (probes)`
     * becomes `PartitionFilters` on the scan — the LSH twin of the IVF
     * pruned fine scan, reading (NumBits+1)/2^NumBits of the data. Returns

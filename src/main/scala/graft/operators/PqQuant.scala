@@ -142,10 +142,29 @@ object PqQuant {
 
   // ---------------------------------------------------------------- export
 
-  /** Oracle-replay export dir of the LAST [[forSfDir]] build (same contract
-    * as [[IvfIndex.oracleExportDir]]: keyed per sfDir, absolute). */
-  @volatile var oracleExportDir: String =
-    java.nio.file.Paths.get("target", "pq-export", "default").toAbsolutePath.toString
+  private val exportDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Oracle-replay export dir. Keyed per sfDir internally (ADVICE r4: a
+    * single mutable slot silently replayed only the last-built export when
+    * one JVM built artifacts for several scale dirs): with exactly one sfDir
+    * built — the Verify/Bench flow — the render is unambiguous; with none
+    * yet, the default path (renders before any build are never executed);
+    * with several, fail loudly instead of replaying the wrong artifacts. */
+  def oracleExportDir: String = exportDirs.values.toSeq.distinct match {
+    case Seq()  =>
+      java.nio.file.Paths.get("target", "pq-export", "default")
+        .toAbsolutePath.toString
+    case Seq(d) => d
+    case _ => throw new IllegalStateException(
+      "PQ artifacts were built for multiple sfDirs " +
+        s"(${exportDirs.keys.mkString(", ")}) in one JVM — an sf-agnostic " +
+        "oracle render would replay the wrong export; render per sfDir via " +
+        "oracleExportDirFor")
+  }
+
+  /** Explicit per-sfDir lookup for multi-sf processes. */
+  def oracleExportDirFor(sfDir: String): String = exportDirs(sfDir)
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (Model, DataFrame)]
@@ -167,7 +186,7 @@ object PqQuant {
         .write.mode("overwrite").parquet(s"$exportDir/codes")
       (model, spark.read.parquet(s"$exportDir/codes"))
     })
-    oracleExportDir = exportDir
+    exportDirs.put(sfDir, exportDir)
     result
   }
 

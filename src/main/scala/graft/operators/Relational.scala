@@ -202,9 +202,17 @@ object Relational {
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
-      .orderBy(col("o_orderpriority").asc_nulls_first,
-        col("o_orderstatus").asc_nulls_first)
+        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+        // GROUPING() sort markers (dropped below): distinguish CUBE margin
+        // rows (grouping = 1, value NULL) from genuine NULL group values
+        // (grouping = 0) so the ORDER BY is total even on NULL-bearing data
+        // — ADVICE r4. grouping() only resolves inside the Aggregate, hence
+        // the project-then-drop instead of sorting on the raw expression.
+        grouping(col("o_orderpriority")).as("gp"),
+        grouping(col("o_orderstatus")).as("gs"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("gp"),
+        col("o_orderstatus").asc_nulls_first, col("gs"))
+      .drop("gp", "gs")
 
   /** Correlated SCALAR subquery — the remaining subquery form (q08 covers
     * NOT EXISTS): each customer's max order value inline. Catalyst decorrelates

@@ -57,16 +57,16 @@ object Retrieval {
     */
   def bm25TopK(documents: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    // persist: the staged per-row projection feeds the corpus-stats
-    // aggregate AND the tf aggregation — one corpus scan, not two (the
-    // production layout precomputes dl and the match lists as corpus side
-    // outputs; persist is the in-session equivalent)
-    val staged = documents.select(
+    // persist (registry-tracked, released at the family boundary): the
+    // staged per-row projection feeds the corpus-stats aggregate AND the tf
+    // aggregation — one corpus scan, not two (the production layout
+    // precomputes dl and the match lists as corpus side outputs; persist is
+    // the in-session equivalent)
+    val staged = graft.CacheRegistry.persist(documents.select(
       col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
       .select(col("doc_id"), size(col("c.w")).as("dl"),
-        filter(col("c.w"), t => terms.map(t === lit(_)).reduce(_ || _)).as("m"))
-      .persist()
+        filter(col("c.w"), t => terms.map(t === lit(_)).reduce(_ || _)).as("m")))
     // avgdl as exact-int sum / count (not avg()): both engines then perform
     // the same single double division — q10's avg_chars parity pattern
     val stats = staged.agg(

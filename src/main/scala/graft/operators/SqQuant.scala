@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions.dotProduct
@@ -42,6 +42,32 @@ object SqQuant {
     (mns, mxs)
   }
 
+  private val statsCache = scala.collection.concurrent
+    .TrieMap.empty[(String, Int), (Array[Double], Array[Double])]
+
+  /** The codebook as a PERSISTED INDEX ARTIFACT, computed once per corpus dir
+    * — the same treatment [[PqQuant.forSfDir]] gives its codebook and the
+    * reference gives `cluster_centroids.bin` (IVF.cpp:489-510). Round-4
+    * review item #3: the self-contained [[search]] re-aggregated the whole
+    * corpus per query to re-derive these dim (min, max) rows — at 100 TB a
+    * full extra scan per search. Here the one stats aggregate runs at
+    * build/prewarm time, the (i, mn, mx) table is exported under `target/`
+    * (the production posture: codebook rides with the index), and every
+    * search embeds the stats as literals. */
+  def statsForSfDir(spark: SparkSession, sfDir: String,
+      dim: Int): (Array[Double], Array[Double]) =
+    statsCache.getOrElseUpdate((sfDir, dim), {
+      val st = stats(spark.read.parquet(s"$sfDir/embeddings.parquet"), dim)
+      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "")
+        .replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = java.nio.file.Paths.get("target", "sq8-export", s"$safe-d$dim")
+        .toAbsolutePath.toString
+      import spark.implicits._
+      st._1.indices.map(i => (i, st._1(i), st._2(i))).toDF("i", "mn", "mx")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      st
+    })
+
   /** int8 code column (ARRAY<INT> of 0..255) for an embedding column. */
   def quantizeCol(emb: Column, mns: Array[Double], mxs: Array[Double]): Column =
     transform(emb, (x, i) => {
@@ -72,12 +98,14 @@ object SqQuant {
   /** Approximate top-k by cosine over DEQUANTIZED codes — what a scan over an
     * int8-quantized 100 TB index computes. Query stays in original float
     * space (cast to double). Pure double math end-to-end for oracle parity.
-    * Self-contained form: recomputes the (dim-row) codebook per call; a
-    * production deployment persists codes + codebook once via [[quantized]] /
-    * [[stats]] and scans the stored codes, same plan below the scan.
+    * Pass `codebook` (from [[statsForSfDir]]) to scan with literal stats —
+    * the production shape; omitting it recomputes the (dim-row) stats
+    * aggregate per call (self-contained convenience only, a full extra
+    * corpus scan at 100 TB).
     */
-  def search(embeddings: DataFrame, query: Array[Float], k: Int, dim: Int): DataFrame = {
-    val (mns, mxs) = stats(embeddings, dim)
+  def search(embeddings: DataFrame, query: Array[Float], k: Int, dim: Int,
+      codebook: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val (mns, mxs) = codebook.getOrElse(stats(embeddings, dim))
     val qd = query.map(_.toDouble)
     val qLit = typedLit(qd)
     val qNorm = math.sqrt(qd.map(x => x * x).sum)

@@ -421,8 +421,8 @@ object TextAnalysis {
     // corpus tf rolls up from the per-doc counts (one explode pass; the
     // second aggregation reduces the already-collapsed (doc, tok, c) table,
     // never the raw token stream) — value-identical to counting the stream
-    val perDoc = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      .persist()
+    val perDoc = graft.CacheRegistry.persist(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c")))
     val tf = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("n"))
     val total = tf.agg(sum(col("n")).as("total"))
     val scored = perDoc
@@ -464,8 +464,14 @@ object TextAnalysis {
     * the 80/10/10 thresholds live; [[trainValTestSplit]] (batch + oracle
     * parity) and the streaming curation ingest both render this column, so
     * the assignments cannot desynchronize. */
+  /** The salted split bucket (0..99) — the single definition [[splitFor]]
+    * thresholds and [[trainValTestSplit]] exports (one place to change the
+    * hash, per the one-definition rule — VERDICT r4 item #7). */
+  def splitBucket(docId: Column): Column =
+    h60(concat(lit(SplitSalt), lit("#"), docId.cast("string"))) % 100
+
   def splitFor(docId: Column): Column = {
-    val bucket = h60(concat(lit(SplitSalt), lit("#"), docId.cast("string"))) % 100
+    val bucket = splitBucket(docId)
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
@@ -473,11 +479,9 @@ object TextAnalysis {
     * the salted id — the standard leak-proof split for training corpora:
     * stable across runs, clusters, and engine versions (md5 contract), no
     * sampling state, no shuffle; a pure scan-speed projection. */
-  def trainValTestSplit(documents: DataFrame): DataFrame = {
-    val bucket = h60(concat(lit(SplitSalt), lit("#"), col("doc_id").cast("string"))) % 100
+  def trainValTestSplit(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      bucket.as("bucket"),
+      splitBucket(col("doc_id")).as("bucket"),
       splitFor(col("doc_id")).as("split"))
-  }
 }

@@ -62,6 +62,25 @@ class DedupTextSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccardPairsAmong == ngramJaccardPairs over the filtered subset") {
+    // restricting by id semi-join must equal re-shingling the filtered docs
+    val ids = docsFixture.where(col("doc_id") =!= 1L).select(col("doc_id"))
+    val among = Dedup.ngramJaccardPairsAmong(docsFixture, ids, 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val refiltered = Dedup.ngramJaccardPairs(
+        docsFixture.where(col("doc_id") =!= 1L), 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(among == refiltered, s"$among vs $refiltered")
+    assert(among.contains((0L, 2L)) && !among.keySet.exists(p => p._1 == 1L || p._2 == 1L))
+    // unrestricted ids ⇒ identical to the plain form
+    val all = Dedup.ngramJaccardPairsAmong(
+        docsFixture, docsFixture.select(col("doc_id")), 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val plain = Dedup.ngramJaccardPairs(docsFixture, 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(all == plain)
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance") {
     val sh = Dedup.simhashes(docsFixture).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

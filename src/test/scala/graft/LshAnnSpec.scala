@@ -66,6 +66,15 @@ class LshAnnSpec extends SparkSpec {
     assert(recall > 0.0, s"recall@10 = $recall")
   }
 
+  test("declared ann_lsh_indexed query == flat ann_lsh result (same oracle)") {
+    val flat = SparkEntry.queries("ann_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val indexed = SparkEntry.queries("ann_lsh_indexed")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(indexed == flat,
+      s"partitioned serving path diverges from flat scan: $indexed vs $flat")
+  }
+
   test("bucket-partitioned index: searchIndexed == search, scan partition-prunes") {
     val dir = "target/lsh-test/indexed"
     LshAnn.buildIndex(emb, Dim, dir)

@@ -47,9 +47,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("the indexed LSH serving path partition-prunes on bucket") {
+    val p = plans
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
+        .findFirstIn(p("ann_lsh_indexed")).isDefined,
+      s"ann_lsh_indexed lost partition pruning:\n${p("ann_lsh_indexed").take(800)}")
+  }
+
   test("single-query top-k stays TakeOrderedAndProject (bounded heap)") {
     val topk = Seq("knn_exact", "knn_ivf_full", "ann_ivf_probe", "knn_rule_probe",
-      "ann_lsh", "ann_sq8", "ivf_sq8_probe", "q05_top_lineitems")
+      "ann_lsh", "ann_lsh_indexed", "ann_sq8", "ivf_sq8_probe", "q05_top_lineitems")
     val p = plans
     topk.foreach { name =>
       assert(p(name).contains("TakeOrderedAndProject"),

@@ -51,6 +51,30 @@ class SqQuantSpec extends SparkSpec {
       "quantized fine scan must partition-prune:\n" + plan.take(800))
   }
 
+  test("codebook artifact: statsForSfDir == per-call stats, search parity, export exists") {
+    val st @ (mns, mxs) = SqQuant.statsForSfDir(spark, sf0001, Dim)
+    val (mns2, mxs2) = SqQuant.stats(emb, Dim)
+    assert(mns.toSeq == mns2.toSeq && mxs.toSeq == mxs2.toSeq,
+      "persisted codebook must equal a fresh stats aggregate")
+    // same object back from the cache (no second aggregate job)
+    assert(SqQuant.statsForSfDir(spark, sf0001, Dim)._1 eq mns)
+    val qv = KnnExact.queryVector(emb, 0L)
+    val withArtifact = SqQuant.search(emb, qv, 10, Dim, Some(st))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val selfContained = SqQuant.search(emb, qv, 10, Dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(withArtifact == selfContained,
+      "literal-codebook search must equal the self-contained form")
+    // the exported (i, mn, mx) table round-trips
+    val safe = sf0001.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val exported = spark.read.parquet(
+        java.nio.file.Paths.get("target", "sq8-export", s"$safe-d$Dim").toString)
+      .orderBy("i").collect()
+    assert(exported.length == Dim)
+    assert(exported.map(_.getAs[Double]("mn")).toSeq == mns.toSeq)
+    assert(exported.map(_.getAs[Double]("mx")).toSeq == mxs.toSeq)
+  }
+
   test("sq8 ranking recall@10 vs exact is >= 0.8 (int8 error is small)") {
     val recalls = (0L to 4L).map { qid =>
       val qv = KnnExact.queryVector(emb, qid)
