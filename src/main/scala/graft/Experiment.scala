@@ -50,13 +50,22 @@ object Experiment {
     // the ANN variants beyond the reference's grid: same protocol, one row each
     val dim = SparkEntry.EmbDim
     val (pqModel, pqCodes) = operators.PqQuant.forSfDir(spark, sfDir, dim)
+    // quantizer state is an index artifact — built outside the timed loops,
+    // searches scan with literal stats (the declared-query posture)
+    val sq8 = operators.SqQuant.statsForSfDir(spark, sfDir, dim)
+    val lshDir = operators.LshAnn.forSfDir(spark, sfDir, dim)
     val variants: Seq[(String, () => Set[Long])] = Seq(
       ("lsh_multiprobe", () =>
         operators.LshAnn.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
+      ("lsh_indexed", () =>
+        operators.LshAnn.searchIndexed(spark, lshDir, qv, k, dim)
+          .collect().map(_.getLong(0)).toSet),
       ("sq8_flat", () =>
-        operators.SqQuant.search(emb, qv, k, dim).collect().map(_.getLong(0)).toSet),
+        operators.SqQuant.search(emb, qv, k, dim, Some(sq8))
+          .collect().map(_.getLong(0)).toSet),
       ("ivf_sq8_p4", () =>
-        idx.searchQuantized(qv, k, nProbe = 4).collect().map(_.getLong(0)).toSet),
+        idx.searchQuantized(qv, k, nProbe = 4, Some(sq8))
+          .collect().map(_.getLong(0)).toSet),
       ("pq_adc", () =>
         operators.PqQuant.search(pqCodes, pqModel, qv, k)
           .collect().map(_.getLong(0)).toSet))

@@ -68,15 +68,39 @@ final class GraftEngine(val spark: SparkSession,
       nProbe: Int = 20): DataFrame =
     index.searchBatch(queries, k, nProbe)
 
-  /** LSH-bucketed ANN (random-hyperplane multiprobe). */
+  /** LSH-bucketed ANN (random-hyperplane multiprobe) over a flat scan. */
   def searchLsh(embeddings: DataFrame, query: Array[Float], k: Int = 5,
       dim: Int = 384): DataFrame =
     LshAnn.search(embeddings, query, k, dim)
 
-  /** int8-quantized approximate search (4× smaller scanned bytes). */
-  def searchQuantized(embeddings: DataFrame, query: Array[Float], k: Int = 5,
+  /** Materialize the bucket-partitioned LSH index layout — the serving path
+    * at 100 TB (a [[searchLshIndexed]] probe scan reads only
+    * (NumBits+1)/2^NumBits of it via PartitionFilters). Returns the index
+    * path. No model artifact: the hyperplanes are deterministic. */
+  def buildLshIndex(embeddings: DataFrame, name: String, dim: Int = 384): String = {
+    val dir = s"$workDir/lsh-$name"
+    LshAnn.buildIndex(embeddings, dim, dir)
+    dir
+  }
+
+  /** Multiprobe search over a [[buildLshIndex]] layout (partition-pruned). */
+  def searchLshIndexed(indexDir: String, query: Array[Float], k: Int = 5,
       dim: Int = 384): DataFrame =
-    SqQuant.search(embeddings, query, k, dim)
+    LshAnn.searchIndexed(spark, indexDir, query, k, dim)
+
+  /** Train the SQ8 codebook (per-dimension min/max) ONCE — the persisted-
+    * artifact input to [[searchQuantized]], like [[buildPq]]'s codebook. */
+  def buildSq8(embeddings: DataFrame, dim: Int): (Array[Double], Array[Double]) =
+    SqQuant.stats(embeddings, dim)
+
+  /** int8-quantized approximate search (4× smaller scanned bytes). Pass the
+    * `codebook` from [[buildSq8]] to scan with literal stats — omitting it
+    * re-aggregates the corpus per call for the per-dimension min/max
+    * (convenience only; a full extra scan at 100 TB). */
+  def searchQuantized(embeddings: DataFrame, query: Array[Float], k: Int = 5,
+      dim: Int = 384,
+      codebook: Option[(Array[Double], Array[Double])] = None): DataFrame =
+    SqQuant.search(embeddings, query, k, dim, codebook)
 
   /** Train a product quantizer + encode the corpus (PQ — up to 32× smaller
     * scanned bytes; pair with [[searchPq]]). */

@@ -95,6 +95,36 @@ class EngineFacadeSpec extends SparkSpec {
     assert(engine.contaminationScan(docs).count() > 0)
   }
 
+  test("round-5 facade surface: SQ8 codebook artifact, indexed LSH, cache release") {
+    val engine = new GraftEngine(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = graft.operators.KnnExact.queryVector(emb, 0L)
+    val dim = SparkEntry.EmbDim
+
+    // codebook-as-artifact path equals the self-contained convenience path
+    val cb = engine.buildSq8(emb, dim)
+    val withCb = engine.searchQuantized(emb, qv, 5, dim, Some(cb))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val without = engine.searchQuantized(emb, qv, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(withCb == without)
+
+    // partitioned LSH serving path through the facade == flat facade path
+    val dir = engine.buildLshIndex(emb, "facade-lsh", dim)
+    val indexed = engine.searchLshIndexed(dir, qv, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val flat = engine.searchLsh(emb, qv, 5, dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(indexed == flat)
+
+    // a long-lived session can bound its cache footprint
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    engine.survivors(docs).count()
+    assert(CacheRegistry.trackedCount > 0)
+    engine.releaseCaches()
+    assert(CacheRegistry.trackedCount == 0)
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
