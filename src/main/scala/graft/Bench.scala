@@ -74,12 +74,18 @@ object Bench {
       graft.operators.LshAnn.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
     }
 
+    // cache-storage high-water across the run (bytes): with family-scoped
+    // release this stays bounded by the largest single family's working set —
+    // the observable the r4 "unbounded accumulation" diagnosis lacked
+    var cacheHighWater = 0L
     def runPass(): (Seq[(String, Double)], List[String]) = {
       var errors = List.empty[String]
       var prevFamily: Option[String] = None
       val results = SparkEntry.orderedQueries.map { case (name, fn) =>
         val family = SparkEntry.cacheFamily.get(name)
         if (family != prevFamily) { CacheRegistry.release(); prevFamily = family }
+        cacheHighWater = math.max(cacheHighWater,
+          spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -93,6 +99,8 @@ object Bench {
           }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      cacheHighWater = math.max(cacheHighWater,
+        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
       CacheRegistry.release()
       (results.sortBy(_._1), errors)
     }
@@ -125,7 +133,8 @@ object Bench {
       s"""{"metric":"total","value":${n3(warmTotal)},"unit":"sec",""" +
         s""""cold_sec":${n3(coldTotal)},"warm_sec":${n3(warmTotal)},""" +
         s""""n_queries":${warm.size},"errors":$errs,"sf":"$sfDir",""" +
-        s""""spark":"${spark.version}","cpus":$cpus}""")
+        s""""spark":"${spark.version}","cpus":$cpus,""" +
+        s""""cache_high_water_bytes":$cacheHighWater}""")
     spark.stop()
   }
 }

@@ -289,16 +289,33 @@ object IvfIndex {
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
-  /** Oracle-replay export dir for the LAST index built by [[forSfDir]]
-    * (builder tooling, absolute so the driver's DuckDB process resolves it
-    * regardless of cwd). Keyed per (sfDir, k) — a fixed path would let a
-    * later build for a DIFFERENT scale factor (e.g. the bench run after
-    * verify) silently overwrite the artifacts a pending oracle comparison
-    * replays. Verify's flow guarantees the value is correct when the oracle
-    * SQL is rendered: queries (which build the index and set this) run
-    * before `oracleSql` is serialized. */
-  @volatile var oracleExportDir: String =
-    java.nio.file.Paths.get("target", "ivf-export", "default").toAbsolutePath.toString
+  private val exportDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Oracle-replay export dir (builder tooling, absolute so the driver's
+    * DuckDB process resolves it regardless of cwd). Export paths are keyed
+    * per (sfDir, k) — a fixed path would let a later build for a DIFFERENT
+    * scale factor silently overwrite the artifacts a pending oracle
+    * comparison replays. With exactly one (sfDir, k) built — the
+    * Verify/Bench flow, where queries run before `oracleSql` is serialized —
+    * the render is unambiguous; with none, the default placeholder (renders
+    * before any build are never executed); with several, fail loudly instead
+    * of replaying the wrong export (same contract as
+    * [[PqQuant.oracleExportDir]], ADVICE r4). */
+  def oracleExportDir: String = exportDirs.values.toSeq.distinct match {
+    case Seq() =>
+      java.nio.file.Paths.get("target", "ivf-export", "default")
+        .toAbsolutePath.toString
+    case Seq(d) => d
+    case _ => throw new IllegalStateException(
+      "IVF artifacts were built for multiple (sfDir, k) configs " +
+        s"(${exportDirs.keys.mkString(", ")}) in one JVM — an sf-agnostic " +
+        "oracle render would replay the wrong export; render per config via " +
+        "oracleExportDirFor")
+  }
+
+  /** Explicit per-(sfDir, k) lookup for multi-config processes. */
+  def oracleExportDirFor(sfDir: String, numClusters: Int): String =
+    exportDirs(s"$sfDir#$numClusters")
 
   /** Build-or-reuse an index for a testdata dir. Index lives under ./target. */
   def forSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
@@ -317,7 +334,7 @@ object IvfIndex {
       writeCentroids(spark, s"$exportDir/centroids", built.centroids)
       built
     })
-    oracleExportDir = exportDir
+    exportDirs.put(key, exportDir)
     idx
   }
 }
