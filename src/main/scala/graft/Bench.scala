@@ -34,8 +34,23 @@ object Bench {
   /** 3-dp fixed-point rendering (never scientific notation). */
   private def n3(v: Double): String = f"$v%.3f"
 
-  private def queryMapJson(rs: Seq[(String, Double)]): String =
+  private[graft] def queryMapJson(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + "\":" + n3(v) }.mkString("{", ",", "}")
+
+  /** The FINAL stdout line — the driver's parse target. Deliberately compact
+    * (no per-query map): the r4 round lost its headline metric because the
+    * full map pushed the line past the driver's tail-capture window.
+    * BenchFormatSpec gates the size budget. */
+  private[graft] def summaryLine(warmTotal: Double, coldTotal: Double,
+      nQueries: Int, errors: Seq[String], sfDir: String, sparkVersion: String,
+      cpus: String, cacheHighWater: Long): String = {
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${n3(warmTotal)},"unit":"sec",""" +
+      s""""cold_sec":${n3(coldTotal)},"warm_sec":${n3(warmTotal)},""" +
+      s""""n_queries":$nQueries,"errors":$errs,"sf":"$sfDir",""" +
+      s""""spark":"$sparkVersion","cpus":$cpus,""" +
+      s""""cache_high_water_bytes":$cacheHighWater}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,8 +124,6 @@ object Bench {
     val (warm, warmErrs) = runPass()
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warm))
-    val errs = (coldErrs ++ warmErrs).distinct.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // full-precision artifact for offline analysis (not part of the contract)
     val detail =
@@ -129,12 +142,8 @@ object Bench {
     // per-query detail first, compact summary LAST (the driver parses the
     // final line; the detail line is best-effort tail content for the judge)
     println(s"""{"queries_warm":${queryMapJson(warm)}}""")
-    println(
-      s"""{"metric":"total","value":${n3(warmTotal)},"unit":"sec",""" +
-        s""""cold_sec":${n3(coldTotal)},"warm_sec":${n3(warmTotal)},""" +
-        s""""n_queries":${warm.size},"errors":$errs,"sf":"$sfDir",""" +
-        s""""spark":"${spark.version}","cpus":$cpus,""" +
-        s""""cache_high_water_bytes":$cacheHighWater}""")
+    println(summaryLine(warmTotal, coldTotal, warm.size,
+      (coldErrs ++ warmErrs).distinct, sfDir, spark.version, cpus, cacheHighWater))
     spark.stop()
   }
 }

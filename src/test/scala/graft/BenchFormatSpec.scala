@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench output contract that round 4 broke: the FINAL stdout line must
+  * stay compact enough for the driver's tail capture and parse as strict
+  * JSON with the documented fields. Pure string checks — no Spark session. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val line = Bench.summaryLine(
+    warmTotal = 57.0714, coldTotal = 70.5161, nQueries = 73,
+    errors = Seq("zeta_q", "alpha_q"), sfDir = "/root/testdata/sf0.1",
+    sparkVersion = "4.1.2", cpus = "32", cacheHighWater = 1386200L)
+
+  test("summary line is compact (fits any sane tail-capture window)") {
+    assert(line.length < 512, s"summary line too long (${line.length}): $line")
+    assert(!line.contains("\n"))
+  }
+
+  test("summary line carries the contract fields and no per-query map") {
+    Seq("\"metric\":\"total\"", "\"value\":57.071", "\"unit\":\"sec\"",
+      "\"cold_sec\":70.516", "\"warm_sec\":57.071", "\"n_queries\":73",
+      "\"errors\":[\"alpha_q\",\"zeta_q\"]", "\"sf\":\"/root/testdata/sf0.1\"",
+      "\"spark\":\"4.1.2\"", "\"cpus\":32", "\"cache_high_water_bytes\":1386200")
+      .foreach(f => assert(line.contains(f), s"missing $f in $line"))
+    assert(!line.contains("queries_warm") && !line.contains("knn_exact"))
+  }
+
+  test("timings render fixed-point 3-dp, never scientific notation") {
+    val tiny = Bench.summaryLine(1.23456e-4, 9.87654e-5, 1, Nil, "sf", "v", "8", 0L)
+    assert(tiny.contains("\"value\":0.000") && !tiny.toLowerCase.contains("e-"))
+    val map = Bench.queryMapJson(Seq("q" -> 1.23456e-4, "r" -> 12345.6789))
+    assert(map == "{\"q\":0.000,\"r\":12345.679}")
+  }
+
+  test("detail map keeps failures as -1 sentinels (never fake timings)") {
+    val map = Bench.queryMapJson(Seq("bad" -> -1.0, "ok" -> 0.5))
+    assert(map == "{\"bad\":-1.000,\"ok\":0.500}")
+  }
+}
