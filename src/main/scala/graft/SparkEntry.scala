@@ -218,6 +218,14 @@ object SparkEntry {
     "near_dup_embeddings"    -> ((s, d) =>
       Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
+    "near_dup_ivf"           -> ((s, d) =>
+      // the 100 TB blocking key: the IVF cluster id — a co-partitioned
+      // self-join inside the inverted file (the production variant of
+      // near_dup_embeddings' label blocking; oracle replays the exported
+      // cluster assignment)
+      Dedup.embeddingNearDupPairsBy(
+          IvfIndex.forSfDir(s, d, NumClusters).vectors, "cluster", 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))),
     // ---- LLM-data-pipeline: text analysis ----
     "text_quality"           -> ((s, d) =>
       TextAnalysis.quality(tbl(s, d, "documents")).orderBy(col("doc_id"))),
@@ -748,6 +756,21 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(list_dot_product(a.v, b.v) /
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-8), 6) >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // cluster-blocked near-dup replay: blocks from the exported IVF
+    // assignment (like every IVF oracle — replay, never re-train)
+    "near_dup_ivf" ->
+      s"""WITH a AS (SELECT vec_id, cluster
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |e AS (SELECT e.vec_id, a.cluster, $EmbDouble AS v
+         |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) + 1e-8), 6) AS sim
+         |FROM e x JOIN e y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |WHERE round(list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)) + 1e-8), 6) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_exact" ->

@@ -320,11 +320,24 @@ object Dedup {
     * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which
     * makes this a co-partitioned self-join instead of a cross product.
     */
-  def embeddingNearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+  def embeddingNearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame =
+    embeddingNearDupPairsBy(embeddings, "label", minSim)
+
+  /** [[embeddingNearDupPairs]] with an explicit blocking column. The 100 TB
+    * instantiation passes an [[IvfIndex]]'s inverted file with
+    * `blockKey = "cluster"`: candidate generation becomes a co-partitioned
+    * self-join INSIDE the index layout (each cluster's pairs generate where
+    * its rows already live — no all-pairs, no cross-cluster shuffle beyond
+    * the join's own key exchange), and the blocking key is the same
+    * geometric structure the ANN search prunes by, so near-duplicates —
+    * which land in the same or adjacent clusters by construction — are
+    * caught with far better recall than an arbitrary attribute block. */
+  def embeddingNearDupPairsBy(embeddings: DataFrame, blockKey: String,
+      minSim: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col(blockKey).as("blk"), col("embedding"))
     e.as("a")
       .join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim",
         round(cosineSim(col("a.embedding"), col("b.embedding")), 6))
       .where(col("sim") >= minSim)

@@ -127,4 +127,18 @@ class DedupTextSpec extends SparkSpec {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "blocked self-join must not be cartesian")
   }
+
+  test("embeddingNearDupPairsBy blocks on an arbitrary key (IVF cluster shape)") {
+    import spark.implicits._
+    // two 'clusters'; identical vectors within a cluster, orthogonal across
+    val df = Seq(
+      (1L, 10, Array(1f, 0f)), (2L, 10, Array(1f, 0f)),
+      (3L, 20, Array(0f, 1f)), (4L, 20, Array(0f, 1f)),
+      (5L, 20, Array(1f, 0f)) // same direction as cluster-10 rows, different block
+    ).toDF("vec_id", "cluster", "embedding")
+    val rows = Dedup.embeddingNearDupPairsBy(df, "cluster", 0.9)
+      .orderBy("vec_a", "vec_b").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 4L)),
+      "pairs must stay inside the blocking key; 5 never meets 1/2 across blocks")
+  }
 }
