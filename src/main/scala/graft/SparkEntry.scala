@@ -48,6 +48,11 @@ object SparkEntry {
   /** BM25 / hybrid query terms: two mid-frequency tokens + one rare token
     * ("dup", df≈5% — high idf), all present in the synthetic vocabulary. */
   private val RetrievalTerms = Seq("vector", "query", "dup")
+  /** Sequence-packing token budget (small so the test corpora yield multi-doc
+    * sequences; production would pass the model context length). */
+  private val PackBudget = 512L
+  /** Shard count for the deterministic training shuffle. */
+  private val ShuffleShards = 8
   /** Candidate-list depth for reciprocal-rank fusion (per list, pre-fusion). */
   private val RrfDepth = 50
 
@@ -263,6 +268,15 @@ object SparkEntry {
       TextAnalysis.boilerplate(tbl(s, d, "documents")).orderBy(col("chunk_h60"))),
     "oov_rate"               -> ((s, d) =>
       TextAnalysis.oovRate(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    // ---- LLM-data-pipeline: training-mix construction ----
+    "mix_stats"              -> ((s, d) =>
+      TrainingMix.mixStats(tbl(s, d, "documents"))),
+    "mix_weights"            -> ((s, d) =>
+      TrainingMix.mixWeights(tbl(s, d, "documents"))),
+    "seq_pack"               -> ((s, d) =>
+      TrainingMix.packSequences(tbl(s, d, "documents"), PackBudget)),
+    "shuffle_shards"         -> ((s, d) =>
+      TrainingMix.shuffleShards(tbl(s, d, "documents"), ShuffleShards)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -294,7 +308,10 @@ object SparkEntry {
     "bm25_topk"           -> "lex",
     "hybrid_rrf"          -> "lex",
     // per-(doc, token) counts ([[TextAnalysis.unigramLogprob]])
-    "unigram_logprob"     -> "unigram")
+    "unigram_logprob"     -> "unigram",
+    // per-doc token counts reused across packing's two jobs
+    // ([[TrainingMix.packSequences]])
+    "seq_pack"            -> "seqpack")
 
   /** Harness run order: deterministic, with family members adjacent (each
     * family sorts at its name's alphabetical position) so one release point
@@ -982,6 +999,63 @@ object SparkEntry {
     },
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents"),
+
+    // training-mix rollup: GROUPING() markers make the sort total (q24 rule);
+    // integer sums cast to BIGINT (DuckDB SUM(int) is HUGEINT)
+    "mix_stats" ->
+      s"""SELECT source, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($W)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |GROUP BY ROLLUP (source, lang)
+         |ORDER BY source ASC NULLS FIRST, GROUPING(source),
+         |  lang ASC NULLS FIRST, GROUPING(lang)""".stripMargin,
+
+    // α=1/2 temperature weights: sqrt is IEEE-correctly-rounded on both
+    // engines (a general pow may drift an ulp); the normalizer is the same
+    // fixed-order fold both sides (list ORDER BY source, lang — the
+    // sorted-fold parity recipe from unigram_logprob)
+    "mix_weights" ->
+      s"""WITH g AS (SELECT source, lang,
+         |    CAST(SUM(len($W)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source, lang),
+         |f AS (SELECT
+         |    list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
+         |      ORDER BY source, lang), (a, b) -> a + b) AS denom,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g)
+         |SELECT source, lang, n_tokens,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / denom, 6) AS p,
+         |  round(sqrt(CAST(n_tokens AS DOUBLE)) / denom /
+         |    (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
+         |FROM g, f ORDER BY source, lang""".stripMargin,
+
+    // boundary-form head-to-tail packing: seq = exclusive-prefix-sum div
+    // budget — the oracle's single global window equals the engine's two-job
+    // block prefix-sum by construction
+    "seq_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT cum_before // $PackBudget AS seq_id,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+         |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
+         |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // deterministic training shuffle: md5-derived shard + in-shard order
+    // (portable-hash contract — identical bits in any engine)
+    "shuffle_shards" -> {
+      val h = h60Sql(s"('${TrainingMix.ShuffleSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT doc_id, $h AS h,
+         |    CAST($h % $ShuffleShards AS INT) AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    },
 
     "bm25_topk" -> Retrieval.bm25OracleSql("documents", RetrievalTerms, TopK),
 

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.CacheRegistry
+import graft.functions.GraftFunctions._
+
+/** Training-mix construction operators — the steps between a curated corpus
+  * and a training run: per-source/language mix reporting, temperature-scaled
+  * sampling weights, fixed-budget sequence packing, and the deterministic
+  * global shuffle that shards documents for data loaders.
+  *
+  * All four are pure relational plans (one shuffle each, no collects beyond
+  * bounded block/group tables), designed so the same code runs at 100 TB:
+  * the packing prefix-sum is the two-job form (per-block sums → driver
+  * prefix-sum → broadcast offsets, mirroring [[graft.sources.JsonCorpus]]'s
+  * id minting) rather than a single-task global window, and the shuffle
+  * shard assignment is a stateless hash — every operator partitions by its
+  * output key.
+  */
+object TrainingMix {
+
+  /** Data-mix report: docs / whitespace tokens / chars per (source, lang)
+    * with ROLLUP margins — the table a pipeline publishes per snapshot so
+    * mix drift is observable. One Expand+Aggregate pass (single shuffle).
+    * GROUPING() markers make the sort total even on NULL-bearing data
+    * (same contract as [[Relational.cubeOrderStats]]). */
+  def mixStats(documents: DataFrame): DataFrame =
+    documents
+      .rollup(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        grouping(col("source")).as("gs"),
+        grouping(col("lang")).as("gl"))
+      .orderBy(col("source").asc_nulls_first, col("gs"),
+        col("lang").asc_nulls_first, col("gl"))
+      .drop("gs", "gl")
+
+  /** Temperature-scaled sampling weights per (source, lang) group:
+    * `p_g = n_g^α / Σ_h n_h^α` with α = 0.5 — upsamples low-resource
+    * groups relative to proportional sampling (the standard multilingual
+    * temperature trick). α is fixed at 1/2 so the power is `sqrt`, which
+    * IEEE 754 requires correctly rounded — bit-identical across engines,
+    * where a general `pow` is only faithfully rounded and may drift an ulp.
+    * The normalizer is a fixed-order fold over the (few) groups (sorted by
+    * (source, lang)), not an order-nondeterministic SUM, so the double
+    * arithmetic is reproducible; group token counts themselves are exact
+    * integer sums. Output adds the effective over/under-sampling factor
+    * vs proportional (`boost = p_g / share_g`, rounded 6dp). */
+  def mixWeights(documents: DataFrame): DataFrame = {
+    val grouped = documents
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val folded = grouped
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("source"), col("lang"),
+            sqrt(col("n_tokens").cast("double")).as("w")))),
+          lit(0.0d), (acc, x) => acc + x.getField("w")).as("denom"),
+        sum(col("n_tokens")).as("total_tokens"))
+    grouped.crossJoin(broadcast(folded))
+      .select(
+        col("source"), col("lang"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) / col("denom"), 6).as("p"),
+        round(sqrt(col("n_tokens").cast("double")) / col("denom") /
+          (col("n_tokens").cast("double") / col("total_tokens")), 6).as("boost"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Deterministic block size for the packing prefix-sum: `doc_id div
+    * BlockSize` is the block key, so block assignment needs no sampling or
+    * data exchange. ~100k docs/block at production scale keeps the driver's
+    * prefix-sum table to thousands of rows per 10^9 docs; the small default
+    * exercises multi-block behavior on the test corpora. */
+  val PackBlockSize = 200L
+
+  /** Fixed-budget sequence packing (boundary form): documents in doc_id
+    * order are laid head-to-tail and the sequence id is the bin its FIRST
+    * token lands in: `seq_id = (cum_before_doc) div budget`. Greedy
+    * head-to-tail packing is what loaders do when documents are concatenated
+    * then split into windows; the boundary form makes it a pure prefix-sum,
+    * expressible identically in both engines.
+    *
+    * Scale shape: a global `sum() over (order by doc_id)` window is a
+    * single task at 100 TB. This is the two-job prefix-sum instead —
+    * (1) per-block token sums, collected to the driver (one row per
+    * [[PackBlockSize]] docs — bounded), prefix-summed and broadcast back;
+    * (2) a per-block cumsum window (parallel across blocks) plus the block
+    * offset. Identical result to the global window, no single-task stage —
+    * the same decomposition [[graft.sources.JsonCorpus]] uses for id
+    * minting (reference analog: positional ids, loader.py). Returns one
+    * row per sequence: doc span, doc count, token count, fill vs budget. */
+  def packSequences(documents: DataFrame, budget: Long): DataFrame = {
+    val spark = documents.sparkSession
+    val perDoc = CacheRegistry.persist(documents.select(
+      col("doc_id"),
+      (col("doc_id") / PackBlockSize).cast("long").as("blk"),
+      size(tokens(col("text"))).cast("long").as("n_tok")))
+    // job 1: per-block totals → driver prefix sum → broadcast offsets.
+    // One row per block on the driver: bounded (see PackBlockSize).
+    val blockTotals = perDoc.groupBy(col("blk"))
+      .agg(sum(col("n_tok")).as("blk_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // exclusive prefix sum: tokens BEFORE each block's first doc
+    var acc = 0L
+    val before = blockTotals.map { case (blk, tok) =>
+      val offset = acc; acc += tok; (blk, offset)
+    }
+    val beforeDf = spark.createDataFrame(before.toSeq).toDF("blk", "blk_offset")
+    // job 2: within-block cumsum (parallel across blocks) + block offset
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cum = perDoc
+      .join(broadcast(beforeDf), Seq("blk"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)) + col("blk_offset"))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+    cum.groupBy(col("seq_id"))
+      .agg(
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("seq_tokens"))
+      .withColumn("fill", round(col("seq_tokens").cast("double") / budget, 6))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Salt for the deterministic training shuffle (versioned so a re-shuffle
+    * is a salt bump, not a code change). */
+  val ShuffleSalt = "graftshuffle1"
+
+  /** Deterministic global training shuffle: each doc's md5-derived 60-bit
+    * hash gives it (a) a shard — `h mod nShards` — and (b) a pseudo-random
+    * position WITHIN the shard (`row_number` over `h, doc_id`). Together the
+    * shards are a reproducible random permutation of the corpus that data
+    * loaders can consume independently: no global sort, one hash-partition
+    * shuffle, per-shard windows parallel across shards. Same portable-hash
+    * contract as [[TextAnalysis.splitBucket]] (md5-derived — identical in
+    * any engine), so the shuffle order is stable across reruns AND across
+    * engines — resumable training runs depend on exactly this property. */
+  def shuffleShards(documents: DataFrame, nShards: Int): DataFrame = {
+    val h = h60(concat(lit(ShuffleSalt), lit("#"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+}

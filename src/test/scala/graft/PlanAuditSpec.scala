@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     * rows — the canonical scalar-broadcast shape. Everything else must never
     * nested-loop. */
   private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch",
-    "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob")
+    "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob",
+    "mix_weights") // one-row normalizer fold joined back onto ~100 groups
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainingMix
+
+/** [[graft.operators.TrainingMix]] — mix reporting, temperature weights,
+  * sequence packing, deterministic shard shuffle. */
+class TrainingMixSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("mixStats rollup: leaf rows sum to margins and grand total") {
+    val rows = TrainingMix.mixStats(docs).collect()
+    val leaf = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(leaf.map(_.getAs[Long]("n_tokens")).sum ==
+      grand.head.getAs[Long]("n_tokens"))
+    assert(leaf.map(_.getAs[Long]("n_docs")).sum == docs.count())
+  }
+
+  test("mixWeights: probabilities sum to ~1 and boost >1 iff below-average share") {
+    val rows = TrainingMix.mixWeights(docs).collect()
+    val pSum = rows.map(_.getAs[Double]("p")).sum
+    assert(math.abs(pSum - 1.0) < 1e-4, s"p must normalize, got $pSum")
+    // sqrt temperature: boost_g = (√n_g/Σ√n)/(n_g/N) > 1 ⟺ √n_g < N/Σ√n
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val denom = rows.map(r => math.sqrt(r.getAs[Long]("n_tokens").toDouble)).sum
+    val cutoff = total / denom
+    rows.foreach { r =>
+      val s = math.sqrt(r.getAs[Long]("n_tokens").toDouble)
+      val boost = r.getAs[Double]("boost")
+      assert((boost > 1.0) == (s < cutoff) || math.abs(boost - 1.0) < 1e-3,
+        s"boost $boost inconsistent with sqrt(n)=$s vs cutoff $cutoff")
+    }
+  }
+
+  test("packSequences two-job prefix sum equals a global-window reference") {
+    import spark.implicits._
+    val budget = 512L
+    val packed = TrainingMix.packSequences(docs, budget).collect()
+    // reference: single global cumsum on the driver
+    val perDoc = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect()
+    var cum = 0L
+    val expected = perDoc.map { case (id, n) =>
+      val seq = cum / budget; cum += n; (seq, id, n)
+    }.groupBy(_._1).map { case (seq, g) =>
+      (seq, g.map(_._2).min, g.map(_._2).max, g.length.toLong, g.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = packed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, "block prefix-sum must equal the global cumsum")
+    // multi-block coverage: the fixture must actually span several blocks
+    assert(perDoc.map(_._1 / TrainingMix.PackBlockSize).distinct.length > 1,
+      "fixture spans one block — test would not exercise the offset join")
+    // every sequence's fill is positive and sequences are dense from 0
+    assert(packed.head.getLong(0) == 0L)
+  }
+
+  test("shuffleShards: a permutation, deterministic, dense positions per shard") {
+    val n = 8
+    val a = TrainingMix.shuffleShards(docs, n).collect()
+    val b = TrainingMix.shuffleShards(docs, n).collect()
+    assert(a.map(_.getLong(0)).toSet == docs.select("doc_id").collect()
+      .map(_.getLong(0)).toSet, "every doc appears exactly once")
+    assert(a.length == docs.count())
+    assert(a.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq ==
+      b.map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq,
+      "shuffle must be deterministic across runs")
+    a.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < n)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to rows.length).toSeq,
+        s"shard $shard positions must be dense 1..n")
+    }
+    // all shards populated at 500 docs (hash balance sanity)
+    assert(a.map(_.getInt(1)).distinct.length == n)
+  }
+}
