@@ -277,6 +277,8 @@ object SparkEntry {
       TrainingMix.packSequences(tbl(s, d, "documents"), PackBudget)),
     "shuffle_shards"         -> ((s, d) =>
       TrainingMix.shuffleShards(tbl(s, d, "documents"), ShuffleShards)),
+    "quality_top_lang"       -> ((s, d) =>
+      TrainingMix.topQualityPerLang(tbl(s, d, "documents"), 0.25)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -1044,6 +1046,20 @@ object SparkEntry {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
          |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
          |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // per-language top-quartile cut: rank on the 6-dp ROUNDED ratio (the
+    // engine-wide rank contract), doc_id tie-break makes the cut total
+    "quality_top_lang" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  round(CAST(len(list_distinct($W)) AS DOUBLE) / len($W), 6) AS uniq_ratio
+         |  FROM documents),
+         |r AS (SELECT doc_id, lang, uniq_ratio,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY uniq_ratio DESC, doc_id) AS INT) AS rk,
+         |  COUNT(*) OVER (PARTITION BY lang) AS n FROM s)
+         |SELECT doc_id, lang, uniq_ratio, rk FROM r
+         |WHERE rk <= CAST(ceil(0.25 * n) AS BIGINT)
+         |ORDER BY lang, rk""".stripMargin,
 
     // deterministic training shuffle: md5-derived shard + in-shard order
     // (portable-hash contract — identical bits in any engine)

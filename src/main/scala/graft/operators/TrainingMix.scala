@@ -129,6 +129,34 @@ object TrainingMix {
       .orderBy(col("seq_id"))
   }
 
+  /** Per-language quality-quantile curation: keep the top `frac` of each
+    * language's documents ranked by uniqueness ratio (distinct/total tokens,
+    * the repetition signal [[TextAnalysis.quality]] computes), ties broken
+    * by doc_id so the cut is total. Rank windows are PARTITIONED BY lang —
+    * parallel across languages, never a single global sort; a skewed
+    * dominant language bounds one partition's sort, the standard trade-off
+    * of per-group order statistics (at extreme skew one would pre-threshold
+    * with an approx-quantile sketch and rank only the boundary).
+    * Ranking uses the 6-dp ROUNDED ratio (the engine-wide rank contract —
+    * sorting unrounded diverges on near-ties across engines). */
+  def topQualityPerLang(documents: DataFrame, frac: Double): DataFrame = {
+    val staged = documents.select(
+      col("doc_id"), col("lang"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val scored = staged.select(
+      col("doc_id"), col("lang"),
+      round(size(array_distinct(col("c.w"))).cast("double") /
+        size(col("c.w")), 6).as("uniq_ratio"))
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val rankW = byLang.orderBy(desc("uniq_ratio"), asc("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .where(col("rk") <= ceil(lit(frac) * col("n")).cast("long"))
+      .select(col("doc_id"), col("lang"), col("uniq_ratio"), col("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Salt for the deterministic training shuffle (versioned so a re-shuffle
     * is a salt bump, not a code change). */
   val ShuffleSalt = "graftshuffle1"

@@ -60,6 +60,26 @@ class TrainingMixSpec extends SparkSpec {
     assert(packed.head.getLong(0) == 0L)
   }
 
+  test("topQualityPerLang keeps exactly ceil(frac*n) best-ranked docs per lang") {
+    val kept = TrainingMix.topQualityPerLang(docs, 0.25).collect()
+    val perLangTotal = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy(_.getString(1))
+    perLangTotal.foreach { case (lang, n) =>
+      val want = math.ceil(0.25 * n).toLong
+      assert(keptByLang.get(lang).map(_.length.toLong).getOrElse(0L) == want,
+        s"lang $lang: expected $want of $n docs")
+    }
+    // ranks are dense from 1 and scores non-increasing within a language
+    keptByLang.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rows.length).toSeq)
+      val scores = sorted.map(_.getDouble(2)).toSeq
+      assert(scores == scores.sorted(Ordering[Double].reverse),
+        "uniq_ratio must be non-increasing in rank")
+    }
+  }
+
   test("shuffleShards: a permutation, deterministic, dense positions per shard") {
     val n = 8
     val a = TrainingMix.shuffleShards(docs, n).collect()
