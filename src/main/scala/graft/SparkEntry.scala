@@ -252,6 +252,8 @@ object SparkEntry {
       TextAnalysis.corpusFilter(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "vocab_top200"           -> ((s, d) =>
       TextAnalysis.vocabulary(tbl(s, d, "documents"), 200)),
+    "bigram_merges"          -> ((s, d) =>
+      TextAnalysis.bigramMerges(tbl(s, d, "documents"), 100)),
     "lang_sample"            -> ((s, d) =>
       TextAnalysis.langBalancedSample(tbl(s, d, "documents"),
         Map("en" -> 0.5, "de" -> 0.8), defaultRate = 0.25).orderBy(col("doc_id"))),
@@ -989,6 +991,16 @@ object SparkEntry {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($W) AS token FROM documents)
          |GROUP BY token ORDER BY n DESC, token ASC LIMIT 200""".stripMargin,
+
+    // BPE merge candidates: adjacent-pair zip on both engines; (n DESC,
+    // bigram ASC) is a total order so the LIMIT boundary is engine-stable
+    "bigram_merges" ->
+      s"""WITH b AS (SELECT unnest(list_transform(
+         |    list_zip(w[1:len(w)-1], w[2:len(w)]),
+         |    p -> p[1] || ' ' || p[2])) AS bigram
+         |  FROM (SELECT $W AS w FROM documents))
+         |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+         |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
 
     "lang_sample" -> {
       val hash = h60Sql(s"('${TextAnalysis.SampleSalt}#' || CAST(doc_id AS VARCHAR))")

@@ -398,6 +398,28 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Top-k adjacent-token-pair counts — the merge-candidate statistic BPE
+    * tokenizer training computes each iteration (this is iteration one over
+    * a word-level corpus; [[vocabulary]] is the unigram base). Same plan
+    * family as the word count: one Generate pass (the token array staged
+    * once — both `slice` views are children of the same exploded struct, so
+    * the split runs once per row), map-side-combined count, bounded top-k.
+    * The (n DESC, bigram ASC) order is total, so the LIMIT boundary is
+    * engine-stable. Shuffle volume ∝ distinct bigrams × partitions. */
+  def bigramMerges(documents: DataFrame, k: Int): DataFrame = {
+    val staged = documents.select(
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val w = col("c.w")
+    val len = greatest(size(w) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(w, lit(1), len), slice(w, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+    staged.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(k)
+  }
+
   /** Per-doc unigram language-model score — the cheap perplexity proxy a
     * quality-filtering pipeline runs before anything model-based: avg over
     * the doc's tokens of ln(corpus_tf(token) / corpus_total). Low scores flag

@@ -129,6 +129,18 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 4L)), s"got ${got.toSeq}")
   }
 
+  test("bigramMerges counts adjacent pairs; single-token docs yield none") {
+    val docs = Seq(
+      (1L, "a b c b c"),
+      (2L, "b c"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramMerges(docs, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // doc1: "a b","b c","c b","b c"; doc2: "b c"; doc3: none
+    assert(got == Seq("b c" -> 3L, "a b" -> 1L, "c b" -> 1L),
+      s"got $got")
+  }
+
   test("oov rate: tokens outside the top-k vocab are counted") {
     val docs = Seq(
       (1L, "a a a b"),   // 'a' x3 + 'b'
