@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis}
+import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis, TrainingMix}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -156,6 +156,25 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.unigramLogprob(documents)
   def contaminationScan(documents: DataFrame): DataFrame =
     Dedup.benchmarkContamination(documents)
+  def tokenizerMergeCandidates(documents: DataFrame, k: Int): DataFrame =
+    TextAnalysis.bigramMerges(documents, k)
+
+  // ---- training-mix construction ([[operators.TrainingMix]]) ----
+  def mixReport(documents: DataFrame): DataFrame =
+    TrainingMix.mixStats(documents)
+  def mixWeights(documents: DataFrame): DataFrame =
+    TrainingMix.mixWeights(documents)
+  def packSequences(documents: DataFrame, budgetTokens: Long): DataFrame =
+    TrainingMix.packSequences(documents, budgetTokens)
+  def shuffleForTraining(documents: DataFrame, nShards: Int): DataFrame =
+    TrainingMix.shuffleShards(documents, nShards)
+  def keepTopQualityPerLang(documents: DataFrame, frac: Double): DataFrame =
+    TrainingMix.topQualityPerLang(documents, frac)
+  /** Embedding near-dup pairs blocked by an [[IvfIndex]]'s cluster id —
+    * candidate generation inside the inverted-file layout (the 100 TB form
+    * of [[similarityPairs]]'s attribute blocking). */
+  def similarityPairsIndexed(index: IvfIndex, minSim: Double): DataFrame =
+    Dedup.embeddingNearDupPairsBy(index.vectors, "cluster", minSim)
 
   /** Release every operator-persisted cache entry ([[CacheRegistry]]) — call
     * between unrelated workloads in a long-lived session so executor storage

@@ -125,6 +125,39 @@ class EngineFacadeSpec extends SparkSpec {
     assert(CacheRegistry.trackedCount == 0)
   }
 
+  test("round-5 facade surface: training-mix ops and indexed near-dup") {
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+    // the mix trio: report margins, normalized weights, packed sequences
+    val report = engine.mixReport(docs).collect()
+    assert(report.exists(r => r.isNullAt(0) && r.isNullAt(1)), "grand total row")
+    val weights = engine.mixWeights(docs).collect()
+    assert(math.abs(weights.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4)
+    val packed = engine.packSequences(docs, 512L)
+    assert(packed.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+      == docs.count(), "every doc lands in exactly one sequence")
+
+    // shuffle + per-lang quality cut + tokenizer merges
+    assert(engine.shuffleForTraining(docs, 4).select("shard").distinct().count() == 4)
+    assert(engine.keepTopQualityPerLang(docs, 0.25).count() > 0)
+    assert(engine.tokenizerMergeCandidates(docs, 10).count() == 10)
+
+    // cluster-blocked near-dup through the index facade: every pair
+    // co-resides in a cluster of the index it was generated from
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val idx = engine.buildIndex(emb, "facade-neardup", SparkEntry.NumClusters)
+    val pairs = engine.similarityPairsIndexed(idx, 0.35)
+    assert(pairs.count() > 0)
+    val cluster = idx.vectors.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(cluster(r.getLong(0)) == cluster(r.getLong(1)),
+        "indexed near-dup pair crosses a cluster block")
+    }
+    engine.releaseCaches()
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
