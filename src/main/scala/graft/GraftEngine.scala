@@ -166,6 +166,8 @@ final class GraftEngine(val spark: SparkSession,
     TrainingMix.mixWeights(documents)
   def packSequences(documents: DataFrame, budgetTokens: Long): DataFrame =
     TrainingMix.packSequences(documents, budgetTokens)
+  def sampleMix(documents: DataFrame, epochTokens: Long): DataFrame =
+    TrainingMix.mixSample(documents, epochTokens)
   def shuffleForTraining(documents: DataFrame, nShards: Int): DataFrame =
     TrainingMix.shuffleShards(documents, nShards)
   def keepTopQualityPerLang(documents: DataFrame, frac: Double): DataFrame =

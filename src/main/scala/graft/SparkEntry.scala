@@ -53,6 +53,9 @@ object SparkEntry {
   private val PackBudget = 512L
   /** Shard count for the deterministic training shuffle. */
   private val ShuffleShards = 8
+  /** Epoch token budget for the mix sample (≈ half the sf0.001 corpus so
+    * rates mix saturated-at-1 small groups with downsampled large ones). */
+  private val MixEpochTokens = 10000L
   /** Candidate-list depth for reciprocal-rank fusion (per list, pre-fusion). */
   private val RrfDepth = 50
 
@@ -281,6 +284,8 @@ object SparkEntry {
       TrainingMix.shuffleShards(tbl(s, d, "documents"), ShuffleShards)),
     "quality_top_lang"       -> ((s, d) =>
       TrainingMix.topQualityPerLang(tbl(s, d, "documents"), 0.25)),
+    "mix_sample"             -> ((s, d) =>
+      TrainingMix.mixSample(tbl(s, d, "documents"), MixEpochTokens)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -1058,6 +1063,31 @@ object SparkEntry {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
          |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
          |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+
+    // mix-weight application: same weights CTE, rate = min(1, p·T/n) rounded
+    // 6dp, keep via h60 mod 1e6 < floor(rate·1e6 + 0.5) (the deterministic-
+    // sampling contract — floor(x+0.5), never round(): half-way semantics
+    // differ between engines)
+    "mix_sample" -> {
+      val h = h60Sql(s"('${TrainingMix.MixSampleSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""WITH g AS (SELECT source, lang,
+         |    CAST(SUM(len($W)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source, lang),
+         |f AS (SELECT
+         |    list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
+         |      ORDER BY source, lang), (a, b) -> a + b) AS denom,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g),
+         |r AS (SELECT source, lang,
+         |    round(least(CAST(1 AS DOUBLE),
+         |      round(sqrt(CAST(n_tokens AS DOUBLE)) / denom, 6) *
+         |        CAST($MixEpochTokens AS DOUBLE) / n_tokens), 6) AS rate
+         |  FROM g, f)
+         |SELECT d.doc_id, d.source, d.lang, r.rate
+         |FROM documents d JOIN r ON d.source = r.source AND d.lang = r.lang
+         |WHERE $h % 1000000 <
+         |  CAST(floor(r.rate * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // per-language top-quartile cut: rank on the 6-dp ROUNDED ratio (the
     // engine-wide rank contract), doc_id tie-break makes the cut total

@@ -157,6 +157,34 @@ object TrainingMix {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Salt for the deterministic mix sample (versioned — bumping it redraws
+    * the sample without touching code). */
+  val MixSampleSalt = "graftmix1"
+
+  /** Apply [[mixWeights]] as an epoch sample: group g receives an expected
+    * `p_g × epochTokens` token budget, so its per-doc keep rate is
+    * `min(1, p_g·T/n_g)` — small groups saturate at 1 (fully kept,
+    * the temperature upsample), large groups are downsampled. The keep
+    * decision is the engine-wide deterministic-sampling contract
+    * ([[TextAnalysis.langBalancedSample]]): md5-derived h60 mod 10^6
+    * against the 6-dp rounded rate scaled with floor(x+0.5) — portable
+    * bit-for-bit, reproducible across engines and reruns, and stable under
+    * repartitioning (a property rand()-based sampling lacks). One ~|groups|-
+    * row broadcast join; the corpus scan stays embarrassingly parallel. */
+  def mixSample(documents: DataFrame, epochTokens: Long): DataFrame = {
+    val rates = mixWeights(documents).select(
+      col("source"), col("lang"),
+      round(least(lit(1.0d),
+        col("p") * lit(epochTokens.toDouble) / col("n_tokens")), 6).as("rate"))
+    val h = h60(concat(lit(MixSampleSalt), lit("#"), col("doc_id").cast("string")))
+    documents
+      .join(broadcast(rates), Seq("source", "lang"))
+      .where((h % 1000000L) <
+        floor(col("rate") * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      .select(col("doc_id"), col("source"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Salt for the deterministic training shuffle (versioned so a re-shuffle
     * is a salt bump, not a code change). */
   val ShuffleSalt = "graftshuffle1"

@@ -138,8 +138,11 @@ class EngineFacadeSpec extends SparkSpec {
     assert(packed.agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
       == docs.count(), "every doc lands in exactly one sequence")
 
-    // shuffle + per-lang quality cut + tokenizer merges
+    // shuffle + epoch sample + per-lang quality cut + tokenizer merges
     assert(engine.shuffleForTraining(docs, 4).select("shard").distinct().count() == 4)
+    val sample = engine.sampleMix(docs, 10000L)
+    assert(sample.count() > 0 && sample.count() < docs.count(),
+      "epoch sample must keep a strict subset at T below corpus size")
     assert(engine.keepTopQualityPerLang(docs, 0.25).count() > 0)
     assert(engine.tokenizerMergeCandidates(docs, 10).count() == 10)
 

@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     * nested-loop. */
   private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch",
     "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob",
-    "mix_weights") // one-row normalizer fold joined back onto ~100 groups
+    "mix_weights", // one-row normalizer fold joined back onto ~100 groups
+    "mix_sample")  // inherits mix_weights' normalizer join
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>

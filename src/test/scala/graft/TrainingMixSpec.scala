@@ -80,6 +80,28 @@ class TrainingMixSpec extends SparkSpec {
     }
   }
 
+  test("mixSample saturates small groups at rate 1 and downsamples large ones") {
+    val sampled = TrainingMix.mixSample(docs, 10000L)
+    val rates = sampled.select("source", "lang", "rate").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    val n = TrainingMix.mixWeights(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_tokens")).toMap
+    // at T = 10k over a ~25k-token corpus, some group must be saturated and
+    // some downsampled, or the fixture isn't exercising both branches
+    assert(rates.values.exists(_ == 1.0), "no saturated group")
+    assert(rates.values.exists(_ < 1.0), "no downsampled group")
+    // rate-1 groups are kept in full
+    rates.collect { case (key, 1.0) => key }.foreach { case (src, lg) =>
+      val total = docs.where(col("source") === src && col("lang") === lg).count()
+      val kept = sampled.where(col("source") === src && col("lang") === lg).count()
+      assert(kept == total, s"saturated group ($src,$lg) lost docs: $kept/$total")
+    }
+    // determinism
+    assert(sampled.collect().map(_.getLong(0)).toSeq ==
+      TrainingMix.mixSample(docs, 10000L).collect().map(_.getLong(0)).toSeq)
+  }
+
   test("shuffleShards: a permutation, deterministic, dense positions per shard") {
     val n = 8
     val a = TrainingMix.shuffleShards(docs, n).collect()
