@@ -34,6 +34,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!f.getAs[Boolean]("keep") && f.getAs[String]("reason") == "too_short")
   }
 
+  test("training-mix family on empty and degenerate corpora") {
+    import graft.operators.TrainingMix
+    val emptyFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // empty: no groups, no sequences, no shards — and no throw
+    assert(TrainingMix.mixStats(emptyFull).count() == 0)
+    assert(TrainingMix.mixWeights(emptyFull).count() == 0)
+    assert(TrainingMix.packSequences(emptyFull, 512L).count() == 0)
+    assert(TrainingMix.shuffleShards(emptyFull, 8).count() == 0)
+    assert(TrainingMix.mixSample(emptyFull, 1000L).count() == 0)
+    assert(TrainingMix.topQualityPerLang(emptyFull, 0.25).count() == 0)
+    assert(TextAnalysis.bigramMerges(emptyFull, 10).count() == 0)
+    // one single-token doc: a lone group at rate 1, one sequence, one shard
+    val one = Seq((1L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TrainingMix.mixWeights(one).head().getAs[Double]("p") == 1.0)
+    val packed = TrainingMix.packSequences(one, 512L).head()
+    assert(packed.getAs[Long]("seq_id") == 0L && packed.getAs[Long]("n_docs") == 1L)
+    assert(TrainingMix.mixSample(one, 1000L).count() == 1, "rate saturates at 1")
+    assert(TextAnalysis.bigramMerges(one, 10).count() == 0, "no adjacent pair")
+  }
+
   test("batch kNN with an empty query batch returns empty") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val noQueries = Seq.empty[(Long, Seq[Float])].toDF("query_id", "embedding")
