@@ -42,6 +42,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming mix monitor — the continuous twin of
+    * [[graft.operators.TrainingMix.mixStats]]'s leaf rows: running
+    * docs/token totals per (source, lang) over a document ingest stream, so
+    * mix drift is visible DURING ingestion, not at the next batch report.
+    * Complete-mode aggregate; state is one row per (source, lang) — bounded
+    * by mix cardinality, not stream length (ROLLUP margins aren't streamable
+    * and stay with the batch report). `docs` must carry (text, lang, source). */
+  def mixReportStream(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.tokens
+    docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+  }
+
   /** Stream-static enrichment join: incoming events joined to a static user
     * dimension (broadcast when small). Streaming analog of the reference's
     * query-against-static-index pattern. */

@@ -130,6 +130,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packSequences partitions the corpus, preserving every token") {
+    import graft.operators.TrainingMix
+    // sparse doc_ids (gaps + block boundaries) with varied token counts
+    val corpusGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 1000L) // spans ≥ 5 PackBlockSize=200 blocks
+        tok <- Gen.chooseNum(1, 120)
+      } yield (id, tok)).map(_.distinctBy(_._1)))
+    forAll(corpusGen, n = 8) { corpus =>
+      val docs = corpus
+        .map { case (id, t) => (id, Seq.fill(t)("w").mkString(" "), "en", "web", t.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val packed = TrainingMix.packSequences(docs, 64L).collect()
+      graft.CacheRegistry.release()
+      val totalDocs = corpus.length.toLong
+      val totalToks = corpus.map(_._2.toLong).sum
+      assert(packed.map(_.getAs[Long]("n_docs")).sum == totalDocs,
+        "every doc lands in exactly one sequence")
+      assert(packed.map(_.getAs[Long]("seq_tokens")).sum == totalToks,
+        "token mass is conserved")
+      // sequences tile the doc_id axis: sorted by seq_id, doc spans must be
+      // disjoint and ordered (a doc_id never lands in two sequences)
+      val spans = packed.sortBy(_.getAs[Long]("seq_id"))
+        .map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      spans.sliding(2).foreach {
+        case Array((_, lastA), (firstB, _)) =>
+          assert(lastA < firstB, s"overlapping sequence spans: $lastA >= $firstB")
+        case _ =>
+      }
+      // exclusive-prefix boundary rule: a doc starting exactly at a budget
+      // multiple opens that bin, so no sequence can exceed budget unless a
+      // single doc straddles it — check via the reference cumsum
+      val sorted = corpus.sortBy(_._1)
+      var cum = 0L
+      val refSeq = sorted.map { case (id, t) => val s = cum / 64L; cum += t; id -> s }.toMap
+      packed.foreach { r =>
+        assert(refSeq(r.getAs[Long]("first_doc")) == r.getAs[Long]("seq_id"))
+      }
+    }
+  }
+
   test("property: BM25 score is strictly increasing in tf at fixed doc length") {
     // two docs, same dl, same single query term with tf1 < tf2 occurrences;
     // remaining tokens distinct fillers so the term's df stays 2

@@ -162,6 +162,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("text_md5")).distinct.length == got.length)
   }
 
+  test("streaming mix monitor == batch mixStats leaf rows (Complete mode)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = Files.createTempDirectory(Paths.get("target"), "mixstream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.mixReportStream(stream), "mix_stream_out",
+      OutputMode.Complete())
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = graft.operators.TrainingMix.mixStats(docs).collect()
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // leaf rows only
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got == want, "streamed running totals must equal the batch report")
+  }
+
   test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"), lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
