@@ -86,6 +86,8 @@ object SparkEntry {
     "q23_next_purchase"      -> ((s, d) => Relational.viewToNextPurchase(s, d)),
     "q24_cube_orders"        -> ((s, d) => Relational.cubeOrderStats(s, d)),
     "q25_cust_max_order"     -> ((s, d) => Relational.customerMaxOrder(s, d)),
+    "q26_order_event_outer"  -> ((s, d) => Relational.orderEventReconcile(s, d)),
+    "q27_grouping_sets"      -> ((s, d) => Relational.mixGroupingSets(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -640,6 +642,30 @@ object SparkEntry {
         |  (SELECT MAX(o_totalprice) FROM orders
         |   WHERE o_custkey = c_custkey) AS max_order
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // FULL OUTER over two pre-aggregated sides; COALESCE folds the nulls.
+    // Both null-extension directions occur at every sf (big spenders who
+    // never click, clickers who never bought big)
+    "q26_order_event_outer" ->
+      """WITH o AS (SELECT o_custkey AS cust_id, COUNT(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY 1),
+        |e AS (SELECT user_id AS cust_id, COUNT(*) AS n_purchase_events
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT COALESCE(o.cust_id, e.cust_id) AS cust_id,
+        |  COALESCE(n_big_orders, 0) AS n_big_orders,
+        |  COALESCE(n_purchase_events, 0) AS n_purchase_events
+        |FROM o FULL OUTER JOIN e ON o.cust_id = e.cust_id
+        |ORDER BY cust_id""".stripMargin,
+
+    // arbitrary grouping lattice subset (per-source, per-lang, grand total);
+    // GROUPING() markers keep the sort total (q24 rule)
+    "q27_grouping_sets" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())
+        |ORDER BY source ASC NULLS FIRST, GROUPING(source),
+        |  lang ASC NULLS FIRST, GROUPING(lang)""".stripMargin,
 
     "q21_moving_avg" ->
       """WITH daily AS (

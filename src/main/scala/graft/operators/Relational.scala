@@ -229,6 +229,47 @@ object Relational {
         |FROM g_customer ORDER BY c_custkey""".stripMargin)
   }
 
+  /** FULL OUTER join — the remaining join shape (inner/left/anti/semi/as-of
+    * are covered elsewhere): reconcile the order ledger against the
+    * clickstream — customers with big orders vs users with purchase events,
+    * either side may be missing (big spenders who never click, clickers who
+    * never bought big), so both null-extension directions are genuinely
+    * exercised; COALESCE folds the key and counts. Both sides pre-aggregate
+    * to per-key counts BEFORE the join (aggregate-then-join: the outer join
+    * moves count rows, never the base tables) — at 100 TB the full-outer
+    * shuffles two already-collapsed key sets, with filters pushed to both
+    * scans. */
+  def orderEventReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val big = t(spark, sfDir, "orders")
+      .where(col("o_totalprice") > 300000)
+      .groupBy(col("o_custkey").as("cust_id"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val clicks = events(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("cust_id"))
+      .agg(count(lit(1)).as("n_purchase_events"))
+    big.join(clicks, Seq("cust_id"), "full_outer")
+      .select(col("cust_id"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("n_purchase_events"), lit(0L)).as("n_purchase_events"))
+      .orderBy(col("cust_id"))
+  }
+
+  /** Explicit GROUPING SETS — the general grouping lattice (q13 ROLLUP is
+    * the prefix chain, q24 CUBE the full lattice; this is an arbitrary
+    * subset: per-source, per-lang, and grand total, WITHOUT the (source,
+    * lang) leaf level). Same single Expand+Aggregate plan, one shuffle;
+    * GROUPING() markers keep the sort total on NULL-bearing data. */
+  def mixGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "documents").createOrReplaceTempView("g_docs")
+    spark.sql(
+      """SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+        |FROM g_docs
+        |GROUP BY GROUPING SETS ((source), (lang), ())
+        |ORDER BY source ASC NULLS FIRST, GROUPING(source),
+        |  lang ASC NULLS FIRST, GROUPING(lang)""".stripMargin)
+  }
+
   /** Exact interpolated percentiles per group (order statistics — the general
     * form of the reference's top-k order statistic). percentile() is exact
     * (sorts within group); at 100 TB one would switch to approx_percentile
