@@ -288,6 +288,8 @@ object SparkEntry {
       TrainingMix.topQualityPerLang(tbl(s, d, "documents"), 0.25)),
     "mix_sample"             -> ((s, d) =>
       TrainingMix.mixSample(tbl(s, d, "documents"), MixEpochTokens)),
+    "shard_pack"             -> ((s, d) =>
+      TrainingMix.packShards(tbl(s, d, "documents"), ShuffleShards, PackBudget)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
@@ -1128,6 +1130,24 @@ object SparkEntry {
          |SELECT doc_id, lang, uniq_ratio, rk FROM r
          |WHERE rk <= CAST(ceil(0.25 * n) AS BIGINT)
          |ORDER BY lang, rk""".stripMargin,
+
+    // per-shard packing in shuffled order: window partitioned by shard —
+    // the fully parallel loader form (no global window on either engine)
+    "shard_pack" -> {
+      val h = h60Sql(s"('${TrainingMix.ShuffleSalt}#' || CAST(doc_id AS VARCHAR))")
+      s"""WITH d AS (SELECT doc_id, $h AS h,
+         |    CAST($h % $ShuffleShards AS INT) AS shard,
+         |    CAST(len($W) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT shard, n_tok,
+         |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM d)
+         |SELECT shard, cum_before // $PackBudget AS seq_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+         |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
+         |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+    },
 
     // deterministic training shuffle: md5-derived shard + in-shard order
     // (portable-hash contract — identical bits in any engine)

@@ -189,6 +189,33 @@ object TrainingMix {
     * is a salt bump, not a code change). */
   val ShuffleSalt = "graftshuffle1"
 
+  /** [[shuffleShards]] composed with the packing boundary rule INSIDE each
+    * shard — the shape a data loader actually consumes: docs packed
+    * head-to-tail in their shuffled (pseudo-random) order, sequences never
+    * crossing shards. Strictly better scale posture than [[packSequences]]:
+    * every window is partitioned by shard, so there is no prefix-sum job, no
+    * driver collect, no global ordering ANYWHERE — one hash shuffle, then
+    * embarrassingly parallel. (The doc_id-ordered [[packSequences]] exists
+    * for reproducible curriculum-style packing; this is the shuffled-epoch
+    * form.) Returns one row per (shard, sequence). */
+  def packShards(documents: DataFrame, nShards: Int, budget: Long): DataFrame = {
+    val h = h60(concat(lit(ShuffleSalt), lit("#"), col("doc_id").cast("string")))
+    val perDoc = documents.select(
+      col("doc_id"), h.as("h"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perDoc
+      .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"cum_before div $budget"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+      .withColumn("fill", round(col("seq_tokens").cast("double") / budget, 6))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Deterministic global training shuffle: each doc's md5-derived 60-bit
     * hash gives it (a) a shard — `h mod nShards` — and (b) a pseudo-random
     * position WITHIN the shard (`row_number` over `h, doc_id`). Together the

@@ -102,6 +102,26 @@ class TrainingMixSpec extends SparkSpec {
       TrainingMix.mixSample(docs, 10000L).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("packShards conserves docs/tokens and agrees with shuffleShards order") {
+    val n = 8
+    val packed = TrainingMix.packShards(docs, n, 512L).collect()
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // per shard: seq ids dense from 0; replay one shard's packing from the
+    // shuffle order and per-doc token counts
+    val shardRows = TrainingMix.shuffleShards(docs, n).collect()
+      .filter(_.getInt(1) == 0).sortBy(_.getInt(2)).map(_.getLong(0))
+    val tok = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val refCounts = shardRows.map { id =>
+      val s = cum / 512L; cum += tok(id); s
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val gotCounts = packed.filter(_.getInt(0) == 0)
+      .map(r => r.getLong(1) -> r.getAs[Long]("n_docs")).toMap
+    assert(gotCounts == refCounts, "shard-0 packing must replay shuffle order")
+  }
+
   test("shuffleShards: a permutation, deterministic, dense positions per shard") {
     val n = 8
     val a = TrainingMix.shuffleShards(docs, n).collect()
