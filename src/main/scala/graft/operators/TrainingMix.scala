@@ -97,7 +97,9 @@ object TrainingMix {
     val spark = documents.sparkSession
     val perDoc = CacheRegistry.persist(documents.select(
       col("doc_id"),
-      (col("doc_id") / PackBlockSize).cast("long").as("blk"),
+      // integer div, not double: doc_id / 200.0 loses exactness past 2^53
+      // and block assignment must stay monotone in doc_id at any id range
+      expr(s"doc_id div $PackBlockSize").as("blk"),
       size(tokens(col("text"))).cast("long").as("n_tok")))
     // job 1: per-block totals → driver prefix sum → broadcast offsets.
     // One row per block on the driver: bounded (see PackBlockSize).
