@@ -324,7 +324,11 @@ object SparkEntry {
     "unigram_logprob"     -> "unigram",
     // per-doc token counts reused across packing's two jobs
     // ([[TrainingMix.packSequences]])
-    "seq_pack"            -> "seqpack")
+    "seq_pack"            -> "seqpack",
+    // (source, lang) token aggregate ([[TrainingMix.mixWeights]]) shared by
+    // the weights query and its epoch-sample application
+    "mix_weights"         -> "mix",
+    "mix_sample"          -> "mix")
 
   /** Harness run order: deterministic, with family members adjacent (each
     * family sorts at its name's alphabetical position) so one release point
@@ -1068,13 +1072,15 @@ object SparkEntry {
          |  FROM documents GROUP BY source, lang),
          |f AS (SELECT
          |    list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
-         |      ORDER BY source, lang), (a, b) -> a + b) AS denom,
+         |      ORDER BY source NULLS FIRST, lang NULLS FIRST),
+         |      (a, b) -> a + b) AS denom,
          |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g)
          |SELECT source, lang, n_tokens,
          |  round(sqrt(CAST(n_tokens AS DOUBLE)) / denom, 6) AS p,
          |  round(sqrt(CAST(n_tokens AS DOUBLE)) / denom /
          |    (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
-         |FROM g, f ORDER BY source, lang""".stripMargin,
+         |FROM g, f
+         |ORDER BY source ASC NULLS FIRST, lang ASC NULLS FIRST""".stripMargin,
 
     // boundary-form head-to-tail packing: seq = exclusive-prefix-sum div
     // budget — the oracle's single global window equals the engine's two-job
@@ -1103,7 +1109,8 @@ object SparkEntry {
          |  FROM documents GROUP BY source, lang),
          |f AS (SELECT
          |    list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
-         |      ORDER BY source, lang), (a, b) -> a + b) AS denom,
+         |      ORDER BY source NULLS FIRST, lang NULLS FIRST),
+         |      (a, b) -> a + b) AS denom,
          |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM g),
          |r AS (SELECT source, lang,
          |    round(least(CAST(1 AS DOUBLE),
@@ -1111,7 +1118,8 @@ object SparkEntry {
          |        CAST($MixEpochTokens AS DOUBLE) / n_tokens), 6) AS rate
          |  FROM g, f)
          |SELECT d.doc_id, d.source, d.lang, r.rate
-         |FROM documents d JOIN r ON d.source = r.source AND d.lang = r.lang
+         |FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
+         |  AND d.lang IS NOT DISTINCT FROM r.lang
          |WHERE $h % 1000000 <
          |  CAST(floor(r.rate * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
          |ORDER BY d.doc_id""".stripMargin
@@ -1129,7 +1137,7 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY lang) AS n FROM s)
          |SELECT doc_id, lang, uniq_ratio, rk FROM r
          |WHERE rk <= CAST(ceil(0.25 * n) AS BIGINT)
-         |ORDER BY lang, rk""".stripMargin,
+         |ORDER BY lang ASC NULLS FIRST, rk""".stripMargin,
 
     // per-shard packing in shuffled order: window partitioned by shard —
     // the fully parallel loader form (no global window on either engine)

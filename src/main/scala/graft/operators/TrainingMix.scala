@@ -7,17 +7,20 @@ import graft.CacheRegistry
 import graft.functions.GraftFunctions._
 
 /** Training-mix construction operators — the steps between a curated corpus
-  * and a training run: per-source/language mix reporting, temperature-scaled
-  * sampling weights, fixed-budget sequence packing, and the deterministic
-  * global shuffle that shards documents for data loaders.
+  * and a training run: the mix report ([[mixStats]]), temperature-scaled
+  * sampling weights ([[mixWeights]]) and their epoch application
+  * ([[mixSample]]), per-language quality cuts ([[topQualityPerLang]]),
+  * fixed-budget sequence packing in doc order ([[packSequences]]) and in
+  * shuffled per-shard order ([[packShards]]), and the deterministic global
+  * shuffle ([[shuffleShards]]).
   *
-  * All four are pure relational plans (one shuffle each, no collects beyond
-  * bounded block/group tables), designed so the same code runs at 100 TB:
-  * the packing prefix-sum is the two-job form (per-block sums → driver
-  * prefix-sum → broadcast offsets, mirroring [[graft.sources.JsonCorpus]]'s
-  * id minting) rather than a single-task global window, and the shuffle
-  * shard assignment is a stateless hash — every operator partitions by its
-  * output key.
+  * All are relational plans designed so the same code runs at 100 TB: no
+  * global sorts or single-task windows anywhere (packing's prefix-sum is
+  * the two-job block form, mirroring [[graft.sources.JsonCorpus]]'s id
+  * minting; shard/lang windows partition by their key), the only collects
+  * are bounded group/block tables, shared group aggregates go through
+  * [[CacheRegistry]], and every sampling/shuffle decision is an md5-derived
+  * hash — reproducible across engines, reruns, and repartitioning.
   */
 object TrainingMix {
 
@@ -51,9 +54,12 @@ object TrainingMix {
     * integer sums. Output adds the effective over/under-sampling factor
     * vs proportional (`boost = p_g / share_g`, rounded 6dp). */
   def mixWeights(documents: DataFrame): DataFrame = {
-    val grouped = documents
+    // persisted: feeds both the normalizer fold and the final projection
+    // (and mixSample's join) — one corpus scan, not two-per-call; the
+    // cached table is ~|source×lang| rows
+    val grouped = CacheRegistry.persist(documents
       .groupBy(col("source"), col("lang"))
-      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens")))
     val folded = grouped
       .agg(
         aggregate(
@@ -94,6 +100,7 @@ object TrainingMix {
     * minting (reference analog: positional ids, loader.py). Returns one
     * row per sequence: doc span, doc count, token count, fill vs budget. */
   def packSequences(documents: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
     val spark = documents.sparkSession
     val perDoc = CacheRegistry.persist(documents.select(
       col("doc_id"),
@@ -179,11 +186,17 @@ object TrainingMix {
       round(least(lit(1.0d),
         col("p") * lit(epochTokens.toDouble) / col("n_tokens")), 6).as("rate"))
     val h = h60(concat(lit(MixSampleSalt), lit("#"), col("doc_id").cast("string")))
-    documents
-      .join(broadcast(rates), Seq("source", "lang"))
+    // null-SAFE equality on the group keys: mixWeights' groupBy keeps a
+    // NULL-source/lang group (it contributes to the normalizer), so the
+    // join must match it too — a plain equality join would silently drop
+    // those docs from every epoch
+    documents.as("d")
+      .join(broadcast(rates).as("r"),
+        col("d.source") <=> col("r.source") && col("d.lang") <=> col("r.lang"))
       .where((h % 1000000L) <
         floor(col("rate") * lit(1000000.0d) + lit(0.5d)).cast("long"))
-      .select(col("doc_id"), col("source"), col("lang"), col("rate"))
+      .select(col("doc_id"), col("d.source").as("source"),
+        col("d.lang").as("lang"), col("rate"))
       .orderBy(col("doc_id"))
   }
 
@@ -201,6 +214,8 @@ object TrainingMix {
     * for reproducible curriculum-style packing; this is the shuffled-epoch
     * form.) Returns one row per (shard, sequence). */
   def packShards(documents: DataFrame, nShards: Int, budget: Long): DataFrame = {
+    require(nShards > 0 && budget > 0,
+      s"shard count and budget must be positive, got ($nShards, $budget)")
     val h = h60(concat(lit(ShuffleSalt), lit("#"), col("doc_id").cast("string")))
     val perDoc = documents.select(
       col("doc_id"), h.as("h"),
@@ -228,6 +243,7 @@ object TrainingMix {
     * any engine), so the shuffle order is stable across reruns AND across
     * engines — resumable training runs depend on exactly this property. */
   def shuffleShards(documents: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
     val h = h60(concat(lit(ShuffleSalt), lit("#"), col("doc_id").cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))

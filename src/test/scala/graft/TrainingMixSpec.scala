@@ -102,6 +102,25 @@ class TrainingMixSpec extends SparkSpec {
       TrainingMix.mixSample(docs, 10000L).collect().map(_.getLong(0)).toSeq)
   }
 
+  test("mixWeights/mixSample keep NULL-key groups (null-safe join)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", null.asInstanceOf[String], "web", 5L),
+      (2L, "d e", "en", null.asInstanceOf[String], 3L),
+      (3L, "f g h i", "en", "web", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w = TrainingMix.mixWeights(df).collect()
+    graft.CacheRegistry.release()
+    assert(w.length == 3 && math.abs(w.map(_.getAs[Double]("p")).sum - 1.0) < 1e-4,
+      "NULL-key groups must carry weight in the normalizer")
+    // epoch budget far above corpus size → every rate saturates at 1 →
+    // every doc, including NULL-key ones, must survive the join
+    val kept = TrainingMix.mixSample(df, 1000000L).collect()
+    graft.CacheRegistry.release()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L),
+      s"NULL-key docs dropped: kept ${kept.map(_.getLong(0)).toSeq}")
+  }
+
   test("packShards conserves docs/tokens and agrees with shuffleShards order") {
     val n = 8
     val packed = TrainingMix.packShards(docs, n, 512L).collect()
