@@ -328,7 +328,11 @@ object SparkEntry {
     // (source, lang) token aggregate ([[TrainingMix.mixWeights]]) shared by
     // the weights query and its epoch-sample application
     "mix_weights"         -> "mix",
-    "mix_sample"          -> "mix")
+    "mix_sample"          -> "mix",
+    // blocked embedding self-join inputs ([[Dedup.embeddingNearDupPairsBy]];
+    // different source frames → separate single-member families)
+    "near_dup_embeddings" -> "nd-emb",
+    "near_dup_ivf"        -> "nd-ivf")
 
   /** Harness run order: deterministic, with family members adjacent (each
     * family sorts at its name's alphabetical position) so one release point
@@ -974,13 +978,18 @@ object SparkEntry {
     "pii_scrub" -> {
       val (em, ip, ph) =
         (TextAnalysis.EmailRegex, TextAnalysis.Ipv4Regex, TextAnalysis.PhoneRegex)
-      s"""WITH s AS (SELECT doc_id,
+      s"""WITH s0 AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$em', '<EMAIL>', 'g') AS after_email
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '$ip', '<IP>', 'g') AS after_ip
+         |  FROM s0),
+         |s AS (SELECT doc_id,
          |  len(regexp_extract_all(text, '$em')) AS n_emails,
-         |  len(regexp_extract_all(text, '$ip')) AS n_ips,
-         |  len(regexp_extract_all(text, '$ph')) AS n_phones,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS t
-         |  FROM documents)
+         |  len(regexp_extract_all(after_email, '$ip')) AS n_ips,
+         |  len(regexp_extract_all(after_ip, '$ph')) AS n_phones,
+         |  regexp_replace(after_ip, '$ph', '<PHONE>', 'g') AS t
+         |  FROM s1)
          |SELECT doc_id, CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
          |  CAST(n_phones AS INT) AS n_phones, ${h60Sql("t")} AS scrub_h60,
          |  CAST(length(t) AS INT) AS n_scrub_chars

@@ -65,6 +65,15 @@ object GraftFunctions {
   def h32(s: Column): Column =
     ExpressionUtils.column(PortableHash32(ExpressionUtils.expression(s)))
 
+  /** THE content-identity hash for exact dedup — one definition shared by
+    * batch ([[graft.operators.Dedup]].exact / incrementalExact) and
+    * streaming (dedupDocStream / dedupDocStreamBounded / curateDocStream):
+    * the incremental anti-join compares hashes produced at DIFFERENT sites
+    * and times, so a drift in one site (e.g. normalizing before hashing)
+    * would silently stop deduplicating. Oracle side: `md5(text)` (DuckDB
+    * md5 is over UTF-8 bytes already). */
+  def contentHash(text: Column): Column = md5(encode(text, "UTF-8"))
+
   def h32Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
 
   // ------------------------------------------------------------- text ops

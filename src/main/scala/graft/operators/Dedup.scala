@@ -18,7 +18,7 @@ object Dedup {
     */
   def exact(documents: DataFrame): DataFrame =
     documents
-      .groupBy(md5(encode(col("text"), "UTF-8")).as("text_md5"))
+      .groupBy(contentHash(col("text")).as("text_md5"))
       .agg(
         min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_copies"))
@@ -119,8 +119,11 @@ object Dedup {
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimhashBands,
       s"banding is only exact for maxHamming < $SimhashBands")
-    val s = simhashes(documents)
-      .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    // lang is projected ALONGSIDE the sketch — zero-shuffle map stage; a
+    // doc_id equi-join back to documents would add a corpus-scale exchange
+    // before banding even starts (r5 review)
+    val s = documents.select(col("doc_id"), col("lang"),
+      simhash(tokens(col("text")), 32).as("simhash"))
     val bandCols = (0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
@@ -308,7 +311,7 @@ object Dedup {
     * of [[exact]]; the anti-join shuffles hashes only, never text, and AQE
     * picks broadcast when the batch or the hash table measures small. */
   def incrementalExact(newDocs: DataFrame, seen: DataFrame): DataFrame = {
-    val hashed = newDocs.withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+    val hashed = newDocs.withColumn("text_md5", contentHash(col("text")))
     hashed
       .join(seen.select(col("text_md5")), Seq("text_md5"), "left_anti")
       .groupBy(col("text_md5"))
@@ -334,7 +337,12 @@ object Dedup {
     * caught with far better recall than an arbitrary attribute block. */
   def embeddingNearDupPairsBy(embeddings: DataFrame, blockKey: String,
       minSim: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col(blockKey).as("blk"), col("embedding"))
+    // persisted like every other self-join input in this file (no CSE
+    // across join children): a caller passing a DERIVED frame — an
+    // assignment pipeline rather than an artifact-backed scan — would
+    // otherwise pay its upstream computation on both sides (r5 review)
+    val e = graft.CacheRegistry.persist(
+      embeddings.select(col("vec_id"), col(blockKey).as("blk"), col("embedding")))
     e.as("a")
       .join(e.as("b"),
         col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))

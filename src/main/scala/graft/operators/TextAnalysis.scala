@@ -119,15 +119,20 @@ object TextAnalysis {
     * (same posture as [[normalize]]). All regex scans and the 3-stage rewrite
     * are staged once behind a Generate barrier (see [[quality]]). */
   def piiScrub(documents: DataFrame): DataFrame = {
-    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-      col("text"), EmailRegex, "<EMAIL>"), Ipv4Regex, "<IP>"), PhoneRegex, "<PHONE>")
+    // counts follow the SEQUENTIAL scrub: each pattern is counted on the
+    // text as it stands after the preceding replacements, so every count is
+    // an actual substitution (counting all three on the raw text over-
+    // reports when patterns overlap — a phone number inside an email
+    // address is consumed by <EMAIL> and must not also count as a phone)
+    val afterEmail = regexp_replace(col("text"), EmailRegex, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Regex, "<IP>")
     documents.select(
       col("doc_id"),
       explode(array(struct(
         size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0))).as("ne"),
-        size(regexp_extract_all(col("text"), lit(Ipv4Regex), lit(0))).as("ni"),
-        size(regexp_extract_all(col("text"), lit(PhoneRegex), lit(0))).as("np"),
-        scrubbed.as("t")))).as("c"))
+        size(regexp_extract_all(afterEmail, lit(Ipv4Regex), lit(0))).as("ni"),
+        size(regexp_extract_all(afterIp, lit(PhoneRegex), lit(0))).as("np"),
+        regexp_replace(afterIp, PhoneRegex, "<PHONE>").as("t")))).as("c"))
       .select(
         col("doc_id"),
         col("c.ne").as("n_emails"),

@@ -6,6 +6,8 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
+import graft.functions.GraftFunctions.contentHash
+
 /** Structured Streaming surface (SURVEY §2 Table B "Streaming": absent in the
   * reference — strictly batch, one query per process (`IVF.cpp:650,684`) — and
   * added here as the engine extension SURVEY §7 step 7 describes: continuous
@@ -111,7 +113,7 @@ object EventStreams {
     * is for bounded backfills/replays. */
   def dedupDocStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+      .withColumn("text_md5", contentHash(col("text")))
       .dropDuplicates("text_md5")
 
   /** Watermark-bounded streaming dedup — the 24/7 form: duplicates are only
@@ -123,7 +125,7 @@ object EventStreams {
   def dedupDocStreamBounded(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts", horizon)
-      .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+      .withColumn("text_md5", contentHash(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
 
   /** Streaming curation ingest — the continuous twin of
@@ -149,7 +151,7 @@ object EventStreams {
         TextAnalysis.qualityReason(col("c.w")).as("reason"))
       .where(col("reason").isNull)
       .withWatermark("ts", horizon)
-      .withColumn("text_md5", md5(encode(col("text"), "UTF-8")))
+      .withColumn("text_md5", contentHash(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
       .select(col("doc_id"), col("n_tokens"),
         TextAnalysis.splitFor(col("doc_id")).as("split"))
