@@ -37,18 +37,35 @@ object Bench {
   private[graft] def queryMapJson(rs: Seq[(String, Double)]): String =
     rs.map { case (k, v) => "\"" + k + "\":" + n3(v) }.mkString("{", ",", "}")
 
+  /** JSON string escape (same contract as Verify's oracle dump): backslash,
+    * quote, and all control chars — env-sourced values (sfDir, cpus) must
+    * never be able to break the driver's parse target. */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** The FINAL stdout line — the driver's parse target. Deliberately compact
     * (no per-query map): the r4 round lost its headline metric because the
     * full map pushed the line past the driver's tail-capture window.
-    * BenchFormatSpec gates the size budget. */
+    * BenchFormatSpec gates the size budget. `cpus` renders as a JSON number
+    * only when it IS one — `SPARK_GRAFT_CPUS="*"` (a legal local[*] setting)
+    * interpolated raw would make the line unparseable, the exact failure the
+    * compact line exists to prevent (r5 review). */
   private[graft] def summaryLine(warmTotal: Double, coldTotal: Double,
       nQueries: Int, errors: Seq[String], sfDir: String, sparkVersion: String,
       cpus: String, cacheHighWater: Long): String = {
-    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = errors.sorted.map(jsonStr(_)).mkString("[", ",", "]")
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else jsonStr(cpus)
     s"""{"metric":"total","value":${n3(warmTotal)},"unit":"sec",""" +
       s""""cold_sec":${n3(coldTotal)},"warm_sec":${n3(warmTotal)},""" +
-      s""""n_queries":$nQueries,"errors":$errs,"sf":"$sfDir",""" +
-      s""""spark":"$sparkVersion","cpus":$cpus,""" +
+      s""""n_queries":$nQueries,"errors":$errs,"sf":${jsonStr(sfDir)},""" +
+      s""""spark":${jsonStr(sparkVersion)},"cpus":$cpusJson,""" +
       s""""cache_high_water_bytes":$cacheHighWater}"""
   }
 
@@ -78,7 +95,9 @@ object Bench {
       graft.operators.IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters); ()
     }
     prewarm("pq") {
-      graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim)
+      graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
+    }
+    prewarm("pq-ivf") { // separate block: a pq failure must not skip this build
       graft.operators.PqQuant.forSfDirIvf(
         spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
     }
@@ -91,16 +110,16 @@ object Bench {
 
     // cache-storage high-water across the run (bytes): with family-scoped
     // release this stays bounded by the largest single family's working set —
-    // the observable the r4 "unbounded accumulation" diagnosis lacked
+    // the observable the r4 "unbounded accumulation" diagnosis lacked.
+    // Sampled AFTER each query executes (inside the shared loop's `run`,
+    // which always precedes any release), so the last member of a family is
+    // measured at its peak — sampling post-release under-reported exactly
+    // the families the metric exists to observe (r5 review).
     var cacheHighWater = 0L
     def runPass(): (Seq[(String, Double)], List[String]) = {
       var errors = List.empty[String]
-      var prevFamily: Option[String] = None
-      val results = SparkEntry.orderedQueries.map { case (name, fn) =>
-        val family = SparkEntry.cacheFamily.get(name)
-        if (family != prevFamily) { CacheRegistry.release(); prevFamily = family }
-        cacheHighWater = math.max(cacheHighWater,
-          spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
+      var results = List.empty[(String, Double)]
+      SparkEntry.foreachOrdered { (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -112,11 +131,10 @@ object Bench {
               errors ::= name
               false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        results ::= name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        cacheHighWater = math.max(cacheHighWater,
+          spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
       }
-      cacheHighWater = math.max(cacheHighWater,
-        spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum)
-      CacheRegistry.release()
       (results.sortBy(_._1), errors)
     }
 

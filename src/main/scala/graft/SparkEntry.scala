@@ -340,6 +340,25 @@ object SparkEntry {
   def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
     queries.toSeq.sortBy { case (n, _) => (cacheFamily.getOrElse(n, n), n) }
 
+  /** THE family-boundary cache-lifecycle loop, shared by Bench and Verify so
+    * timings are always measured under the same cache discipline correctness
+    * was verified under (two hand-maintained copies drifted apart is exactly
+    * the failure mode — r5 review): runs every query in [[orderedQueries]]
+    * order, releasing [[CacheRegistry]] when the cache family changes and
+    * once at the end. `run` observes each query; sampling cache storage
+    * inside `run` (after execution) sees every family at its peak, since
+    * release only ever happens between calls. */
+  def foreachOrdered(
+      run: (String, (SparkSession, String) => DataFrame) => Unit): Unit = {
+    var prevFamily: Option[String] = None
+    orderedQueries.foreach { case (name, fn) =>
+      val family = cacheFamily.get(name)
+      if (family != prevFamily) { CacheRegistry.release(); prevFamily = family }
+      run(name, fn)
+    }
+    CacheRegistry.release()
+  }
+
   /** Exact k-NN (reference at nProbe=128): scan → codegen cosine → top-k.
     * Rounded-sim total order (sim DESC, vec_id ASC) so oracle LIMIT boundaries
     * agree across engines. */

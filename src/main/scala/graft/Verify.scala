@@ -18,20 +18,24 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
-    // family order (same sequence as Bench): members sharing persisted
-    // subtrees run consecutively, caches release at each family boundary —
-    // bounded executor storage across the suite (round-4 review)
-    var prevFamily: Option[String] = None
-    SparkEntry.orderedQueries.foreach { case (name, fn) =>
-      val family = SparkEntry.cacheFamily.get(name)
-      if (family != prevFamily) { CacheRegistry.release(); prevFamily = family }
+    // family order via the SHARED cache-lifecycle loop (one definition with
+    // Bench — round-5 review: two hand-maintained copies of the boundary
+    // rule would let timings drift from the discipline correctness ran under)
+    SparkEntry.foreachOrdered { (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must leave NO parquet behind: stale output from a
+        // previous run would let the DuckDB compare silently validate old
+        // results and mask the regression (r5 review)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
-    CacheRegistry.release()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

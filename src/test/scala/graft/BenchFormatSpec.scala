@@ -37,4 +37,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val map = Bench.queryMapJson(Seq("bad" -> -1.0, "ok" -> 0.5))
     assert(map == "{\"bad\":-1.000,\"ok\":0.500}")
   }
+
+  test("env-sourced values cannot break the parse target (cpus=*, odd paths)") {
+    val wild = Bench.summaryLine(1.0, 2.0, 1, Nil,
+      sfDir = "/tmp/we\"ird\\dir", sparkVersion = "4.1.2", cpus = "*",
+      cacheHighWater = 0L)
+    assert(wild.contains("\"cpus\":\"*\""), s"non-numeric cpus must quote: $wild")
+    assert(wild.contains("\"sf\":\"/tmp/we\\\"ird\\\\dir\""))
+    // numeric cpus stays a JSON number (the documented contract form)
+    assert(line.contains("\"cpus\":32"))
+  }
 }
