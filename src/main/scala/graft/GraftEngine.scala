@@ -64,6 +64,14 @@ final class GraftEngine(val spark: SparkSession,
 
   /** Batched IVF serving: one pruned union scan for a whole query table
     * (`query_id, embedding`), per-query bounded-heap top-k. */
+  /** Filtered ANN: [[search]] with a metadata predicate pushed inside the
+    * pruned scan (pre-filter semantics — always k results when the filtered
+    * neighborhood has them, never a thinned post-filter list). */
+  def searchFiltered(index: IvfIndex, query: Array[Float],
+      predicate: org.apache.spark.sql.Column, k: Int = 5,
+      nProbe: Int = 4): DataFrame =
+    index.searchFiltered(query, k, nProbe, predicate)
+
   def searchBatch(index: IvfIndex, queries: DataFrame, k: Int = 5,
       nProbe: Int = 20): DataFrame =
     index.searchBatch(queries, k, nProbe)

@@ -45,6 +45,8 @@ object SparkEntry {
   private val TopK = 10
   /** nProbe for the approximate IVF query (4 of 16 clusters probed). */
   private val AnnProbe = 4
+  /** Label predicate for the filtered-ANN query. */
+  private val FilterLabel = 3
   /** BM25 / hybrid query terms: two mid-frequency tokens + one rare token
     * ("dup", df≈5% — high idf), all present in the synthetic vocabulary. */
   private val RetrievalTerms = Seq("vector", "query", "dup")
@@ -99,6 +101,14 @@ object SparkEntry {
     }),
     "knn_ivf_full"           -> ((s, d) => knnIvf(s, d, nProbe = NumClusters)),
     "ann_ivf_probe"          -> ((s, d) => knnIvf(s, d, nProbe = AnnProbe)),
+    "ann_filtered"           -> ((s, d) => {
+      // filtered ANN: the label predicate rides INSIDE the pruned scan
+      // (PartitionFilters × PushedFilters) — pre-filter, not post-filter
+      val emb = tbl(s, d, "embeddings")
+      IvfIndex.forSfDir(s, d, NumClusters).searchFiltered(
+        KnnExact.queryVector(emb, 0L), TopK, AnnProbe,
+        col("label") === FilterLabel)
+    }),
     "knn_rule_probe"         -> ((s, d) => {
       // same search as ann_ivf_probe, but composed by the Catalyst rewrite
       // rule (KnnSearchRewrite) from a KnnSearchNode instead of the API layer
@@ -406,7 +416,12 @@ object SparkEntry {
     * every oracleSql render must read the CURRENT export path — a lazy val
     * would freeze the first render and replay a stale export if oracleSql is
     * rendered before queries run or for a second scale factor. */
-  private def IvfProbeOracle: String =
+  private def IvfProbeOracle: String = ivfProbeOracleWhere("TRUE")
+
+  /** [[IvfProbeOracle]] with a fine-phase predicate — `ann_filtered` replays
+    * the same probes with the metadata filter applied before scoring (the
+    * pre-filter semantics the Spark plan pushes into the pruned scan). */
+  private def ivfProbeOracleWhere(pred: String): String =
     s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
        |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
        |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
@@ -418,7 +433,8 @@ object SparkEntry {
        |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
        |  WHERE cluster IN (SELECT cluster FROM probes)),
        |e AS (SELECT e.vec_id, e.label, $EmbDouble AS v
-       |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id)
+       |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+       |  WHERE $pred)
        |SELECT e.vec_id, e.label,
        |  round(list_dot_product(e.v, q.v) /
        |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
@@ -725,6 +741,7 @@ object SparkEntry {
     // centroids by cosine (sim DESC, cluster ASC — IVF.cpp:271-282 order),
     // fine = cosine top-k over the probed clusters' rows (IVF.cpp:286-435).
     "ann_ivf_probe" -> IvfProbeOracle,
+    "ann_filtered" -> ivfProbeOracleWhere(s"e.label = $FilterLabel"),
     // the rule-composed plan must produce the identical result
     "knn_rule_probe" -> IvfProbeOracle,
 

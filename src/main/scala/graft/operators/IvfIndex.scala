@@ -165,6 +165,25 @@ final case class IvfIndex(
       .limit(k)
       .select(col("vec_id"), col("label"), col("sim"))
   }
+
+  /** Filtered ANN — [[search]] with a metadata predicate applied INSIDE the
+    * pruned scan (the vector-DB "filtered search" / pre-filter form): the
+    * plan stacks `PartitionFilters` (cluster probes) with `PushedFilters`
+    * (the predicate reaching the parquet row groups), so selectivity
+    * compounds BEFORE any cosine is computed — post-filtering top-k would
+    * instead return < k rows whenever the predicate thins the neighborhood.
+    * The predicate must reference the layout's columns (e.g. `label`). */
+  def searchFiltered(query: Array[Float], k: Int, nProbe: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val probes = coarseProbes(query, nProbe)
+    vectors
+      .where(col("cluster").isin(probes: _*))
+      .where(predicate)
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(query)), 6))
+      .orderBy(desc("sim"), asc("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("sim"))
+  }
 }
 
 object IvfIndex {

@@ -41,7 +41,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("every IVF fine scan partition-prunes on cluster") {
     val pruned = Seq("knn_ivf_full", "ann_ivf_probe", "knn_rule_probe",
-      "ann_ivf_batch", "ivf_sq8_probe", "ivf_pq_probe")
+      "ann_ivf_batch", "ivf_sq8_probe", "ivf_pq_probe", "ann_filtered")
     val p = plans
     pruned.foreach { name =>
       assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(p(name)).isDefined,
