@@ -123,6 +123,15 @@ object SparkEntry {
       IvfIndex.forSfDir(s, d, NumClusters).searchBatch(queries, 5, AnnProbe)
         .orderBy(col("query_id"), col("rn"))
     }),
+    "ivf_recall"             -> ((s, d) => {
+      // the reference's experiment tradeoff (n_probe vs quality,
+      // experiment{1..8}_config.txt) as a query: recall@k of the probed
+      // search vs exact brute force, per query — how nProbe gets tuned
+      val emb = tbl(s, d, "embeddings")
+      val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      IvfIndex.forSfDir(s, d, NumClusters).recallAtK(emb, queries, TopK, AnnProbe)
+    }),
     "ivf_cluster_counts"     -> ((s, d) =>
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
@@ -213,6 +222,9 @@ object SparkEntry {
     "lsh_candidates"         -> ((s, d) =>
       Dedup.lshCandidatePairs(tbl(s, d, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "minhash_est_pairs"      -> ((s, d) =>
+      Dedup.minhashEstPairs(tbl(s, d, "documents"))
+        .orderBy(col("doc_a"), col("doc_b"))),
     "ngram_jaccard"          -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -285,6 +297,8 @@ object SparkEntry {
       TextAnalysis.boilerplate(tbl(s, d, "documents")).orderBy(col("chunk_h60"))),
     "oov_rate"               -> ((s, d) =>
       TextAnalysis.oovRate(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "len_buckets"            -> ((s, d) =>
+      TextAnalysis.lengthBuckets(tbl(s, d, "documents"))),
     // ---- LLM-data-pipeline: training-mix construction ----
     "mix_stats"              -> ((s, d) =>
       TrainingMix.mixStats(tbl(s, d, "documents"))),
@@ -321,9 +335,11 @@ object SparkEntry {
     "near_dup_clusters"   -> "shingle",
     "contamination_flags" -> "shingle",
     "corpus_curate"       -> "shingle",
-    // MinHash band buckets ([[Dedup.lshCandidatePairs]])
+    // MinHash band buckets ([[Dedup.lshCandidatePairs]]) + the persisted
+    // signature table ([[Dedup.minhashEstPairs]])
     "dedup_minhash"       -> "minhash",
     "lsh_candidates"      -> "minhash",
+    "minhash_est_pairs"   -> "minhash",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -825,6 +841,44 @@ object SparkEntry {
          |SELECT query_id, vec_id, label, sim, rn FROM ranked
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
+    // recall@k replay: exact top-k per query (brute force) LEFT JOIN the
+    // probed replay's top-k — n_hits = |intersection|, recall = n_hits / k
+    "ivf_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+         |e AS (SELECT vec_id, $EmbDouble AS v FROM embeddings),
+         |xs AS (SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        round(list_dot_product(e.v, q.v) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM e, q) WHERE rn <= $TopK),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |sc AS (SELECT q.query_id, cent.cluster,
+         |    list_dot_product(c, q.v) /
+         |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) AS csim
+         |  FROM cent, q),
+         |probes AS (SELECT query_id, cluster FROM (
+         |    SELECT query_id, cluster,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster ASC) AS crn
+         |    FROM sc) WHERE crn <= $AnnProbe),
+         |a AS (SELECT vec_id, cluster FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a ON a.cluster = p.cluster),
+         |pr AS (SELECT query_id, vec_id FROM (
+         |    SELECT c.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY
+         |        round(list_dot_product(e.v, q.v) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) DESC,
+         |        e.vec_id ASC) AS rn
+         |    FROM cand c JOIN e ON e.vec_id = c.vec_id
+         |      JOIN q ON q.query_id = c.query_id) WHERE rn <= $TopK)
+         |SELECT x.query_id, COUNT(p.vec_id) AS n_hits,
+         |  round(CAST(COUNT(p.vec_id) AS DOUBLE) / $TopK, 6) AS recall
+         |FROM xs x LEFT JOIN pr p ON p.query_id = x.query_id AND p.vec_id = x.vec_id
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+
     "knn_batch" ->
       s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
          |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
@@ -887,6 +941,25 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // MinHash-estimated Jaccard for the banded candidate pairs: fraction of
+    // the K=8 signature components on which the pair agrees
+    "minhash_est_pairs" -> {
+      val est = (0 until Dedup.MinhashK)
+        .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$MinhashCte,
+         |bands AS (
+         |  $LshBandsSql),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(($est) / ${Dedup.MinhashK}.0, 6) AS est_jaccard
+         |FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "ngram_jaccard" ->
       s"""$NgramCte
@@ -1231,6 +1304,19 @@ object SparkEntry {
     "boilerplate_chunks" -> TextAnalysis.boilerplateOracleSql("documents"),
 
     "oov_rate" -> TextAnalysis.oovRateOracleSql("documents"),
+
+    // power-of-two length histogram: bucket = bit length of n_chars
+    // (length(bin(n)) — identical integer semantics on both engines);
+    // cum_share = ratio of exact integer sums, 6-dp stable
+    "len_buckets" ->
+      """WITH b AS (
+        |  SELECT CAST(length(bin(n_chars)) AS INT) AS bucket,
+        |    COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE n_chars > 0 GROUP BY 1)
+        |SELECT bucket, n_docs, sum_chars,
+        |  round(CAST(SUM(sum_chars) OVER (ORDER BY bucket) AS DOUBLE) /
+        |    (SELECT CAST(SUM(sum_chars) AS DOUBLE) FROM b), 6) AS cum_share
+        |FROM b ORDER BY bucket""".stripMargin,
 
     "contamination_flags" -> {
       val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")

@@ -56,12 +56,19 @@ object Dedup {
     * band's signature slice. This is the table that gets shuffled — K×smaller
     * than the corpus, uniformly keyed.
     */
-  def lshBuckets(documents: DataFrame): DataFrame = {
+  def lshBuckets(documents: DataFrame): DataFrame =
     // shingle-less docs (<3 tokens) have null signatures; without this filter
     // concat_ws would skip the nulls and give every such doc the SAME band
     // bucket — quadratic spurious candidate pairs among short docs (and a
     // divergence from the oracle, whose unnest-based CTE drops them)
-    val sig = minhashSignatures(documents).where(col("h0").isNotNull)
+    lshBucketsFromSigs(minhashSignatures(documents).where(col("h0").isNotNull))
+
+  /** Band buckets derived from an already-computed signature table — split
+    * out so [[minhashEstPairs]] can persist the signatures ONCE and derive
+    * both the banding and the per-pair signature comparison from the same
+    * cached frame (banding from cached h0..h7 is 8 tiny string concats, not
+    * a re-run of the tokenize→shingle→MinHash pipeline). */
+  private[operators] def lshBucketsFromSigs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val slice = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}").cast("string"))
       struct(lit(b).as("band"),
@@ -97,6 +104,41 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash-estimated Jaccard for the LSH candidate pairs: the fraction of
+    * the K signature components on which the two docs agree — the unbiased
+    * MinHash estimator E[matches/K] = J(a,b). This is the calibration check a
+    * dedup pipeline runs before trusting a banding threshold: bands admit a
+    * pair, the estimate says how similar the sketch thinks it is, and
+    * comparing against [[ngramJaccardPairs]]' exact values tells you whether
+    * K is large enough for the corpus.
+    *
+    * Scale shape: ONE persisted signature table feeds both the banding join
+    * (via [[lshBucketsFromSigs]]) and the two per-pair signature lookups —
+    * the tokenize→shingle→MinHash pipeline runs exactly once per doc. The
+    * candidate table is band-join-bounded (never all-pairs) and the final
+    * signature joins are equi-joins on doc_id against a candidate set that is
+    * orders of magnitude smaller than the corpus (AQE broadcasts it). */
+  def minhashEstPairs(documents: DataFrame): DataFrame = {
+    val sigs = graft.CacheRegistry.persist(
+      minhashSignatures(documents).where(col("h0").isNotNull))
+    val b = lshBucketsFromSigs(sigs)
+    val pairs = b.as("a")
+      .join(b.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = (0 until MinhashK)
+      .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / MinhashK, 6).as("est_jaccard"))
   }
 
   /** SimHash (32-bit) per doc — Hamming-distance near-dup sketch. Per-row HOF

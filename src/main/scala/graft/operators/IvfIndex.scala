@@ -120,6 +120,34 @@ final case class IvfIndex(
       scored, "query_id", col("sim"), col("vec_id"), col("label"), k)
   }
 
+  /** Recall@k of the probed IVF search against exact brute force — THE
+    * quality metric of the reference's own experiment grids (`n_probe` ∈
+    * {5,20,40,80} in `experiment{1..8}_config.txt` trades recall for the
+    * `Search Time` the harness records; `README.md:24`: nProbe=numClusters ⇒
+    * recall 1.0). An index deployment tunes nProbe by running exactly this
+    * query on a held-out batch.
+    *
+    * Plan shape: the exact side is one full scan ([[KnnBatch.topK]] bounded-
+    * heap, the ground truth is independent of the index layout); the probed
+    * side is the pruned-union [[searchBatch]]. Both ends are |Q|×k rows, so
+    * the intersection join and per-query count are driver-scale — the only
+    * data-scale work is the two scans, each already in its optimal shape.
+    * Returns (query_id, n_hits, recall), one row per query.
+    */
+  def recallAtK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val exact = KnnBatch.topK(embeddings, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val probed = searchBatch(queries, k, nProbe)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(probed, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits")) // count(col) skips the null misses
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Incremental index maintenance — the daily-ingest path: assign a batch of
     * NEW vectors to their nearest existing centroid (max cosine, ties to the
     * lower cluster id) without re-clustering. A production pipeline appends

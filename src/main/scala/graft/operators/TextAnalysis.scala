@@ -425,6 +425,34 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Power-of-two document-length histogram with cumulative character share —
+    * what you consult before choosing a packing budget ([[graft.operators
+    * .TrainingMix.packSequences]]) or a truncation threshold: "what fraction
+    * of the corpus bytes live in docs shorter than 2^b?". Bucket b holds docs
+    * with n_chars ∈ [2^(b-1), 2^b): computed as the bit-length of n_chars
+    * (`length(bin(n))` — identical integer semantics on both engines, no
+    * float log2 whose rounding could flip exact powers of two).
+    *
+    * Plan shape: one map-side-combined aggregate over the scan (≤64 groups),
+    * then windows over the ≤64-row result — the unpartitioned window is
+    * driver-scale by construction, never a data-scale shuffle. Shares are
+    * ratios of exact integer sums, so 6-dp rounding is engine-stable. */
+  def lengthBuckets(documents: DataFrame): DataFrame = {
+    val byBucket = documents
+      .where(col("n_chars") > 0)
+      .groupBy(length(bin(col("n_chars"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val cum = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+    val all = cum.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    byBucket
+      .withColumn("cum_share", round(
+        sum(col("sum_chars")).over(cum).cast("double") /
+          sum(col("sum_chars")).over(all), 6))
+      .orderBy(col("bucket"))
+  }
+
   /** Per-doc unigram language-model score — the cheap perplexity proxy a
     * quality-filtering pipeline runs before anything model-based: avg over
     * the doc's tokens of ln(corpus_tf(token) / corpus_total). Low scores flag

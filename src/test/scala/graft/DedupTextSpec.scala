@@ -36,6 +36,33 @@ class DedupTextSpec extends SparkSpec {
       s"unrelated doc must not pair: $pairs")
   }
 
+  test("minhash estimate: exact dups read 1.0, pairs match the LSH candidate set") {
+    val est = Dedup.minhashEstPairs(docsFixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(est.get((0L, 1L)).contains(1.0),
+      s"identical texts must estimate J=1.0: $est")
+    val cand = Dedup.lshCandidatePairs(docsFixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(est.keySet == cand,
+      s"estimates must cover exactly the candidate pairs: ${est.keySet} vs $cand")
+    assert(est.values.forall(v => v >= 0.0 && v <= 1.0), s"estimates in [0,1]: $est")
+  }
+
+  test("length buckets: bit-length bucketing, counts, cumulative share ends at 1.0") {
+    // n_chars 60,60,60 -> bucket 6 (sum 180); 64 -> 7; 7 -> 3; total 251
+    val r = TextAnalysis.lengthBuckets(docsFixture).collect()
+    val by = r.map(x =>
+      x.getInt(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(by(6)._1 == 3L && by(6)._2 == 180L, s"bucket 6 wrong: $by")
+    assert(by(3)._1 == 1L && by(3)._2 == 7L, s"bucket 3 wrong: $by")
+    assert(by(7)._1 == 1L && by(7)._2 == 64L, s"bucket 7 wrong: $by")
+    assert(r.map(_.getInt(0)).toSeq == r.map(_.getInt(0)).toSeq.sorted,
+      "rows ordered by bucket")
+    assert(r.last.getDouble(3) == 1.0, s"cumulative share must end at 1.0: ${r.last}")
+    assert(by(3)._3 == math.rint(7.0 / 251.0 * 1e6) / 1e6,
+      s"bucket 3 share must be round(7/251, 6): ${by(3)._3}")
+  }
+
   test("shingle-less docs are excluded from LSH banding (no null-bucket collisions)") {
     import spark.implicits._
     val shorts = Seq(

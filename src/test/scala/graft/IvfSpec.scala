@@ -51,6 +51,24 @@ class IvfSpec extends SparkSpec {
     assert(full == 1.0, s"full probe must be exact, recall=$full")
   }
 
+  test("recallAtK: 1.0 at full probe; agrees with hand-computed recall when pruned") {
+    val queries = emb.where(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val full = idx.recallAtK(emb, queries, 10, 16).collect()
+    assert(full.length == 3, s"one row per query expected: ${full.length}")
+    assert(full.forall(_.getAs[Double]("recall") == 1.0),
+      s"full probe must have recall 1.0: ${full.mkString(",")}")
+    val probed = idx.recallAtK(emb, queries, 10, 4).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    val exact = KnnExact.topK(emb, qv, 10).collect().map(_.getLong(0)).toSet
+    val got = idx.search(qv, 10, 4).collect().map(_.getLong(0)).toSet
+    assert(probed(0L)._1 == (got intersect exact).size.toLong,
+      s"operator n_hits must match the hand-computed intersection: $probed")
+    assert(probed.values.forall { case (h, r) => r == h / 10.0 },
+      s"recall must be n_hits/k: $probed")
+  }
+
   test("fine search is a partition-pruned scan (PartitionFilters on cluster)") {
     val plan = idx.search(qv, 5, 3).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(500))
