@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   private val RangeJoinAllowList = Set("q19_price_tiers", "knn_batch",
     "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob",
     "mix_weights", // one-row normalizer fold joined back onto ~100 groups
-    "mix_sample")  // inherits mix_weights' normalizer join
+    "mix_sample",  // inherits mix_weights' normalizer join
+    "ivf_recall")  // exact side IS knn_batch (broadcast k-row query batch)
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>
