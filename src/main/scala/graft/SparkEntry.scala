@@ -203,6 +203,13 @@ object SparkEntry {
       Retrieval.hybridRrf(tbl(s, d, "documents"), emb, RetrievalTerms,
         KnnExact.queryVector(emb, 0L), TopK, RrfDepth)
     }),
+    "rerank_cosine"          -> ((s, d) => {
+      // cascade retrieval: BM25 recall (n candidates), exact-cosine rerank,
+      // top-k by the stage-2 score — the scorer runs n times, never corpus×
+      val emb = tbl(s, d, "embeddings")
+      Retrieval.rerankCosine(tbl(s, d, "documents"), emb, RetrievalTerms,
+        KnnExact.queryVector(emb, 0L), TopK, RrfDepth)
+    }),
     "ivf_assign_new"         -> ((s, d) => {
       // incremental index maintenance: pretend every 10th vector is a new
       // arrival and assign it to its nearest existing centroid
@@ -230,6 +237,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_survivors"        -> ((s, d) =>
       Dedup.ngramSurvivors(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+    "dedup_incremental"      -> ((s, d) => {
+      // daily-ingest dedup: 4/5 of the corpus is "history" (its hash table
+      // is the side output dedup_exact maintains), 1/5 is today's batch —
+      // new docs drop against history by hash anti-join, then dedup
+      // within the batch (keep-min)
+      val docs = tbl(s, d, "documents")
+      val seen = Dedup.exact(docs.where(col("doc_id") % 5 =!= 4))
+        .select(col("text_md5"))
+      Dedup.incrementalExact(docs.where(col("doc_id") % 5 === 4), seen)
+        .orderBy(col("text_md5"))
+    }),
     "split_leak_pairs"       -> ((s, d) =>
       Dedup.splitLeakPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -346,6 +364,7 @@ object SparkEntry {
     // BM25 staged projection ([[Retrieval.bm25TopK]])
     "bm25_topk"           -> "lex",
     "hybrid_rrf"          -> "lex",
+    "rerank_cosine"       -> "lex",
     // per-(doc, token) counts ([[TextAnalysis.unigramLogprob]])
     "unigram_logprob"     -> "unigram",
     // per-doc token counts reused across packing's two jobs
@@ -929,6 +948,17 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin,
 
+    // incremental (daily-ingest) dedup: history = doc_id % 5 <> 4, batch =
+    // the rest; NOT IN is safe because md5(text) is never NULL here
+    "dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 5 <> 4),
+        |nw AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 5 = 4)
+        |SELECT text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM nw WHERE text_md5 NOT IN (SELECT text_md5 FROM seen)
+        |GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
+
     "dedup_minhash" ->
       s"""$MinhashCte
          |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
@@ -1288,6 +1318,9 @@ object SparkEntry {
     },
 
     "bm25_topk" -> Retrieval.bm25OracleSql("documents", RetrievalTerms, TopK),
+
+    "rerank_cosine" -> Retrieval.rerankOracleSql(
+      "documents", "embeddings", RetrievalTerms, 0L, TopK, RrfDepth),
 
     "hybrid_rrf" -> Retrieval.hybridRrfOracleSql(
       "documents", "embeddings", RetrievalTerms, 0L, TopK, RrfDepth),

@@ -139,6 +139,34 @@ object Retrieval {
       .select(col("doc_id"), col("rrf"), col("rn_lex"), col("rn_vec"))
   }
 
+  /** Two-stage cascade retrieval: cheap lexical recall (BM25 top-`n`
+    * candidates) re-scored by exact embedding cosine, top-`k` by the new
+    * score — the retrieve-then-rerank architecture every production search
+    * stack uses (stage 2 is where a cross-encoder would sit; exact cosine is
+    * the in-engine instantiation, and doc_id ≡ vec_id is the corpus/embedding
+    * alignment the flagship entry() join relies on).
+    *
+    * Distinct from [[hybridRrf]], which FUSES two complete ranked lists:
+    * here stage 2 REPLACES stage-1 scores, so the expensive scorer runs
+    * exactly `n` times. At 100 TB that bound is the whole point — the
+    * candidate list broadcasts against the embedding table's primary key
+    * (n-row build side), and the corpus-scale work stays inside stage 1's
+    * posting-list-bounded BM25 plan. */
+  def rerankCosine(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      query: Array[Float],
+      k: Int,
+      n: Int): DataFrame =
+    bm25TopK(documents, terms, n)
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"))
+      .withColumn("sim", round(cosineSim(col("embedding"), typedLit(query)), 6))
+      .orderBy(desc("sim"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("bm25"), col("sim"))
+
   // ------------------------------------------------------------ oracles
 
   /** DuckDB CTE chain ending in `bm(doc_id, bm25)` — mirrors [[bm25TopK]]
@@ -173,6 +201,27 @@ object Retrieval {
     s"""WITH ${bm25OracleCte(table, terms)}
        |SELECT doc_id, bm25 FROM bm
        |ORDER BY bm25 DESC, doc_id ASC LIMIT $k""".stripMargin
+
+  /** Cascade-rerank oracle: BM25 CTE → LIMIT n candidates → cosine re-score
+    * via the candidate↔embedding key join → top-k on the rounded score. */
+  def rerankOracleSql(
+      docTable: String,
+      embTable: String,
+      terms: Seq[String],
+      queryVecId: Long,
+      k: Int,
+      n: Int): String = {
+    val embD = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    s"""WITH ${bm25OracleCte(docTable, terms)},
+       |cand AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT $n),
+       |q AS (SELECT $embD AS v FROM $embTable WHERE vec_id = $queryVecId),
+       |e AS (SELECT vec_id, $embD AS v FROM $embTable)
+       |SELECT c.doc_id, c.bm25,
+       |  round(list_dot_product(e.v, q.v) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+       |FROM cand c JOIN e ON e.vec_id = c.doc_id, q
+       |ORDER BY sim DESC, c.doc_id ASC LIMIT $k""".stripMargin
+  }
 
   /** Hybrid RRF oracle: BM25 CTE + exact-cosine CTE, ranked, fused. */
   def hybridRrfOracleSql(

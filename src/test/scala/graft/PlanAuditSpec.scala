@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "ivf_assign_new", "bm25_topk", "hybrid_rrf", "unigram_logprob",
     "mix_weights", // one-row normalizer fold joined back onto ~100 groups
     "mix_sample",  // inherits mix_weights' normalizer join
-    "ivf_recall")  // exact side IS knn_batch (broadcast k-row query batch)
+    "ivf_recall",  // exact side IS knn_batch (broadcast k-row query batch)
+    "rerank_cosine") // stage 1 IS bm25_topk (one-row corpus-stats join)
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>

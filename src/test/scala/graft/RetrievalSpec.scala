@@ -60,6 +60,27 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.exists(_.getLong(0) == 0L), "rank-1 vector hit must be fused in")
   }
 
+  test("rerank cascade: results come from the BM25 candidate set, ordered by cosine") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = KnnExact.queryVector(emb, 0L)
+    val terms = Seq("vector", "query", "dup")
+    val cand = Retrieval.bm25TopK(docs, terms, 50).collect()
+      .map(_.getLong(0)).toSet
+    val r = Retrieval.rerankCosine(docs, emb, terms, qv, 10, 50).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.map(_.getLong(0)).toSet.subsetOf(cand),
+      "every reranked row must be a stage-1 candidate")
+    val sims = r.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+      s"rerank order must be sim DESC: ${sims.mkString(",")}")
+    // stage-2 scores are the EXACT cosines for those ids (sim replaces bm25)
+    val exact = KnnExact.topK(emb, qv, emb.count().toInt).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("sim")).toMap
+    assert(r.forall(x => exact(x.getLong(0)) == x.getDouble(2)),
+      "stage-2 score must equal the exact cosine for that id")
+  }
+
   test("unigram logprob matches a hand-computed average") {
     val tiny = Seq(
       (0L, "a a b"), // corpus tf: a=3 (2 here + 1 in doc1), b=2
