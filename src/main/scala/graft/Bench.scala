@@ -81,6 +81,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // cap the SQL status store: the default retains 1000 executions' plan
+      // graphs + metric maps, and a 90-query × 2-pass suite otherwise ages
+      // the heap with listener state the bench never reads (measured as a
+      // uniform ~30% warm-pass slowdown on allocation-heavy text queries)
+      .config("spark.sql.ui.retainedExecutions", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -138,7 +143,13 @@ object Bench {
       (results.sortBy(_._1), errors)
     }
 
+    // compact the heap at each pass boundary: the cold pass otherwise starts
+    // into the prewarm builds' garbage and the warm pass into the cold
+    // pass's — measured as a uniform ~15% warm-pass slowdown concentrated in
+    // allocation-heavy text queries (GC debt, not plan shape)
+    System.gc()
     val (cold, coldErrs) = runPass()
+    System.gc()
     val (warm, warmErrs) = runPass()
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warm))

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same status-store cap as Bench: a 90-query dump run accumulates
+      // listener plan graphs the harness never reads
+      .config("spark.sql.ui.retainedExecutions", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
