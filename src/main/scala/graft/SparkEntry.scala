@@ -165,6 +165,16 @@ object SparkEntry {
       SqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim,
         Some(SqQuant.statsForSfDir(s, d, EmbDim)))
     }),
+    "bq_codes"               -> ((s, d) =>
+      // 1-bit sign quantization: 8 bytes/row instead of 256 — the
+      // codebook-free end of the quantization ladder (SQ8 4x, PQ/BQ 32x)
+      BqQuant.codes(tbl(s, d, "embeddings"), EmbDim).orderBy(col("vec_id"))),
+    "ann_bq"                 -> ((s, d) => {
+      // Hamming-similarity search over the packed codes: two XOR+POPCNT
+      // per row, ties broken by the engine-wide (distance, vec_id) order
+      val emb = tbl(s, d, "embeddings")
+      BqQuant.search(emb, KnnExact.queryVector(emb, 0L), TopK, EmbDim)
+    }),
     "pq_codes"               -> ((s, d) => {
       // product-quantized index artifact: one 4-bit-able code per subspace
       val (_, codes) = PqQuant.forSfDir(s, d, EmbDim)
@@ -792,6 +802,13 @@ object SparkEntry {
     "ann_lsh_indexed" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
 
     "ann_sq8" -> SqQuant.searchOracleSql("embeddings", EmbDim, TopK, 0L),
+
+    // binary quantization: sign-bit packing and Hamming top-k are pure
+    // integer arithmetic — both engines compute the identical sums
+    "bq_codes" ->
+      s"""WITH ${BqQuant.codesOracleCte("embeddings")}
+         |SELECT vec_id, label, lo, hi FROM bq ORDER BY vec_id""".stripMargin,
+    "ann_bq" -> BqQuant.searchOracleSql("embeddings", TopK, 0L),
 
     // PQ replays over the exported codebook/codes artifacts (MLlib k-means
     // per subspace — like the IVF export, the oracle replays, never re-trains)
