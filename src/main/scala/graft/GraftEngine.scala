@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis, TrainingMix}
+import graft.operators.{BqQuant, Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis, TrainingMix}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -122,6 +122,23 @@ final class GraftEngine(val spark: SparkSession,
       k: Int = 5): DataFrame =
     PqQuant.search(codes, model, query, k)
 
+  /** Binary (sign-bit) code table — 8 bytes/row, no codebook to manage
+    * (pair with [[searchBinary]]). */
+  def buildBinaryCodes(embeddings: DataFrame, dim: Int): DataFrame =
+    BqQuant.codes(embeddings, dim)
+
+  /** Hamming top-k over binary sign-bit codes (XOR+POPCNT scan — the most
+    * aggressive compression point next to [[searchQuantized]]/[[searchPq]]). */
+  def searchBinary(embeddings: DataFrame, query: Array[Float], k: Int = 5,
+      dim: Int = 384): DataFrame =
+    BqQuant.search(embeddings, query, k, dim)
+
+  /** Recall@k of the probed IVF search vs exact brute force per query — the
+    * nProbe tuning report (run on a held-out query batch before deployment). */
+  def evaluateRecall(index: IvfIndex, embeddings: DataFrame,
+      queries: DataFrame, k: Int = 10, nProbe: Int = 4): DataFrame =
+    index.recallAtK(embeddings, queries, k, nProbe)
+
   /** BM25 keyword top-k (lexical retrieval). */
   def searchKeywords(documents: DataFrame, terms: Seq[String], k: Int = 5): DataFrame =
     Retrieval.bm25TopK(documents, terms, k)
@@ -132,6 +149,14 @@ final class GraftEngine(val spark: SparkSession,
       depth: Int = 50): DataFrame =
     Retrieval.hybridRrf(documents, embeddings, terms, query, k, depth)
 
+  /** Two-stage cascade: BM25 recall (n candidates) re-scored by exact
+    * cosine, top-k by the stage-2 score — the scorer runs n times, never
+    * corpus-times (contrast [[searchHybrid]], which fuses two full lists). */
+  def searchRerank(documents: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], query: Array[Float], k: Int = 5,
+      depth: Int = 50): DataFrame =
+    Retrieval.rerankCosine(documents, embeddings, terms, query, k, depth)
+
   /** Assign new vectors to an existing index's nearest centroids
     * (incremental index maintenance). */
   def assignToIndex(index: IvfIndex, newVectors: DataFrame): DataFrame =
@@ -139,8 +164,18 @@ final class GraftEngine(val spark: SparkSession,
 
   // ---- training-data pipeline facade ----
   def exactDuplicates(documents: DataFrame): DataFrame = Dedup.exact(documents)
+  /** Incremental (daily-ingest) exact dedup: drop `newDocs` whose content
+    * hash exists in `seen` (the hash table [[exactDuplicates]] maintains as
+    * a side output), then dedup within the batch. */
+  def deduplicateIncremental(newDocs: DataFrame, seen: DataFrame): DataFrame =
+    Dedup.incrementalExact(newDocs, seen)
   def nearDuplicateCandidates(documents: DataFrame): DataFrame =
     Dedup.lshCandidatePairs(documents)
+  /** MinHash-estimated Jaccard per LSH candidate pair (K-calibration: compare
+    * against [[survivors]]' exact n-gram Jaccard before trusting a banding
+    * threshold). */
+  def nearDuplicateEstimates(documents: DataFrame): DataFrame =
+    Dedup.minhashEstPairs(documents)
   def survivors(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.ngramSurvivors(documents, minJaccard)
   def similarityPairs(embeddings: DataFrame, minSim: Double): DataFrame =
@@ -166,6 +201,10 @@ final class GraftEngine(val spark: SparkSession,
     Dedup.benchmarkContamination(documents)
   def tokenizerMergeCandidates(documents: DataFrame, k: Int): DataFrame =
     TextAnalysis.bigramMerges(documents, k)
+  /** Power-of-two doc-length histogram with cumulative character share —
+    * consult before picking [[packSequences]]' budget or a truncation cut. */
+  def lengthReport(documents: DataFrame): DataFrame =
+    TextAnalysis.lengthBuckets(documents)
 
   // ---- training-mix construction ([[operators.TrainingMix]]) ----
   def mixReport(documents: DataFrame): DataFrame =

@@ -161,6 +161,41 @@ class EngineFacadeSpec extends SparkSpec {
     engine.releaseCaches()
   }
 
+  test("r5-close facade surface: binary codes, recall report, rerank, incremental dedup") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val qv = graft.operators.KnnExact.queryVector(emb, 0L)
+
+    // binary quantization: one code row per vector, self-query ranks first
+    assert(engine.buildBinaryCodes(emb, 64).count() == emb.count())
+    assert(engine.searchBinary(emb, qv, 5, 64).head().getLong(0) == 0L)
+
+    // recall report: full probe must read 1.0 for every query
+    val idx = engine.buildIndex(emb, "facade-recall", SparkEntry.NumClusters)
+    val queries = emb.where(col("vec_id") < 2)
+      .selectExpr("vec_id AS query_id", "embedding")
+    val rec = engine.evaluateRecall(idx, emb, queries,
+      10, SparkEntry.NumClusters).collect()
+    assert(rec.length == 2 && rec.forall(_.getAs[Double]("recall") == 1.0))
+
+    // cascade rerank returns candidates re-scored by cosine
+    assert(engine.searchRerank(docs, emb,
+      Seq("vector", "query", "dup"), qv, 5, 50).count() > 0)
+
+    // incremental dedup: a fully-seen batch yields nothing new
+    val seen = engine.exactDuplicates(docs).select("text_md5")
+    assert(engine.deduplicateIncremental(docs, seen).count() == 0)
+
+    // MinHash estimates bounded; length report's cumulative share ends at 1.0
+    assert(engine.nearDuplicateEstimates(docs).collect()
+      .forall(r => { val e = r.getAs[Double]("est_jaccard"); e >= 0.0 && e <= 1.0 }))
+    assert(engine.lengthReport(docs).orderBy(col("bucket")).collect()
+      .last.getAs[Double]("cum_share") == 1.0)
+    engine.releaseCaches()
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
