@@ -97,6 +97,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.ConnectedComponents.run(noEdges).count() == 0)
   }
 
+  test("r5-close operators on empty and degenerate inputs") {
+    import graft.operators.BqQuant
+    // empty corpus: estimates, incremental dedup, length report all empty
+    assert(Dedup.minhashEstPairs(emptyDocs).count() == 0)
+    assert(Dedup.incrementalExact(emptyDocs,
+      emptyDocs.selectExpr("text AS text_md5")).count() == 0)
+    assert(TextAnalysis.lengthBuckets(emptyDocs).count() == 0)
+    // empty embedding table: BQ codes/search yield empty, never throw
+    val emptyEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    assert(BqQuant.codes(emptyEmb, 64).count() == 0)
+    assert(BqQuant.search(emptyEmb, Array.fill(64)(0.1f), 5, 64).count() == 0)
+    // all-negative vector packs to (0, 0): the zero code is a legal point
+    val allNeg = Seq((7L, Seq.fill(64)(-1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+    val z = BqQuant.codes(allNeg, 64).head()
+    assert(z.getAs[Long]("lo") == 0L && z.getAs[Long]("hi") == 0L)
+    // n_chars = 0 rows are excluded from the histogram, not a crash
+    val zeroLen = Seq((1L, "", "en", 0L)).toDF("doc_id", "text", "lang", "n_chars")
+    assert(TextAnalysis.lengthBuckets(zeroLen).count() == 0)
+  }
+
   test("quantization of a constant column (zero range) is stable zeros") {
     val df = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(1f, 2f))).toDF("embedding")
     val mns = Array(1.0, 2.0)

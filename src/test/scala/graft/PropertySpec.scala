@@ -171,6 +171,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packed-code Hamming equals direct sign-disagreement count") {
+    import graft.operators.BqQuant
+    val dimVec: Gen[List[Float]] = Gen.listOfN(64,
+      Gen.chooseNum(-1.0f, 1.0f).suchThat(v => !v.isNaN))
+    forAll(dimVec, dimVec) { (a, b) =>
+      val av = a.toArray; val bv = b.toArray
+      val expected = (0 until 64).count(i => (av(i) > 0f) != (bv(i) > 0f))
+      // codes through the real Spark plan for a, query packing for b
+      val df = Seq((0L, a, 1)).toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      val got = BqQuant.search(df, bv, 1, 64).head().getAs[Int]("hamming")
+      assert(got == expected, s"hamming $got != sign disagreements $expected")
+    }
+  }
+
   test("property: BM25 score is strictly increasing in tf at fixed doc length") {
     // two docs, same dl, same single query term with tf1 < tf2 occurrences;
     // remaining tokens distinct fillers so the term's df stays 2
