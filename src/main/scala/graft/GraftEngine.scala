@@ -128,9 +128,11 @@ final class GraftEngine(val spark: SparkSession,
     BqQuant.codes(embeddings, dim)
 
   /** Hamming top-k over binary sign-bit codes (XOR+POPCNT scan — the most
-    * aggressive compression point next to [[searchQuantized]]/[[searchPq]]). */
-  def searchBinary(embeddings: DataFrame, query: Array[Float], k: Int = 5,
-      dim: Int = 384): DataFrame =
+    * aggressive compression point next to [[searchQuantized]]/[[searchPq]]).
+    * `dim` has no default on purpose: the two-word packing supports exactly
+    * 64 dims, so inheriting the facade-wide 384 default would always throw. */
+  def searchBinary(embeddings: DataFrame, query: Array[Float], k: Int,
+      dim: Int): DataFrame =
     BqQuant.search(embeddings, query, k, dim)
 
   /** Recall@k of the probed IVF search vs exact brute force per query — the

@@ -67,11 +67,16 @@ object BqQuant {
       .select(col("vec_id"), col("label"), col("hamming"))
   }
 
-  /** Driver-side sign packing of the query vector (mirrors [[half]]). */
+  /** Driver-side sign packing of the query vector (mirrors [[half]]).
+    * NaN counts as positive: both Spark SQL and DuckDB order NaN above every
+    * number, so `x > 0` sets the bit for NaN coordinates in the distributed
+    * fold and the oracle — Scala's IEEE `NaN > 0f = false` would silently
+    * disagree and a vector's own stored code would no longer be Hamming-0. */
   private[graft] def queryCode(query: Array[Float]): (Long, Long) = {
     def pack(off: Int): Long =
       (0 until HalfBits).foldLeft(0L) { (acc, i) =>
-        if (query(off + i) > 0f) acc + (1L << i) else acc
+        val x = query(off + i)
+        if (x > 0f || x.isNaN) acc + (1L << i) else acc
       }
     (pack(0), pack(HalfBits))
   }

@@ -96,15 +96,22 @@ object Dedup {
     // reuses the entry across queries whose analyzed plans match while it
     // lives).
     val b = graft.CacheRegistry.persist(lshBuckets(documents))
-    val l = b.as("a")
-    val r = b.as("b")
-    l.join(r,
+    candidatePairsFromBuckets(b)
+  }
+
+  /** The banding pair contract, in ONE place: self-join on (band, bucket)
+    * with the `doc_a < doc_b` canonical orientation, distinct across bands.
+    * Shared by [[lshCandidatePairs]] and [[minhashEstPairs]] so the estimate
+    * query can never silently diverge from the candidate set it annotates —
+    * the two callers differ only in which upstream frame they persist. */
+  private def candidatePairsFromBuckets(b: DataFrame): DataFrame =
+    b.as("a")
+      .join(b.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** MinHash-estimated Jaccard for the LSH candidate pairs: the fraction of
     * the K signature components on which the two docs agree — the unbiased
@@ -123,14 +130,7 @@ object Dedup {
   def minhashEstPairs(documents: DataFrame): DataFrame = {
     val sigs = graft.CacheRegistry.persist(
       minhashSignatures(documents).where(col("h0").isNotNull))
-    val b = lshBucketsFromSigs(sigs)
-    val pairs = b.as("a")
-      .join(b.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val pairs = candidatePairsFromBuckets(lshBucketsFromSigs(sigs))
     val matches = (0 until MinhashK)
       .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
       .reduce(_ + _)

@@ -136,9 +136,19 @@ final case class IvfIndex(
     */
   def recallAtK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nProbe: Int): DataFrame = {
-    val exact = KnnBatch.topK(embeddings, queries, k)
+    // collect the query batch ONCE and feed both sides from the same rows —
+    // evaluating the caller's plan twice (exact side + searchBatch's own
+    // collect) could observe different rows for a nondeterministic frame
+    // (e.g. a sample()), silently scoring two different query sets (the
+    // invariant searchBatch documents for itself; r5 review)
+    import spark.implicits._
+    val qs = queries.select(col("query_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray.toSeq))
+    val qDf = qs.toSeq.toDF("query_id", "embedding")
+      .select(col("query_id"), col("embedding").cast("array<float>"))
+    val exact = KnnBatch.topK(embeddings, qDf, k)
       .select(col("query_id"), col("vec_id"))
-    val probed = searchBatch(queries, k, nProbe)
+    val probed = searchBatch(qDf, k, nProbe)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     exact.join(probed, Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
