@@ -90,6 +90,8 @@ object SparkEntry {
     "q25_cust_max_order"     -> ((s, d) => Relational.customerMaxOrder(s, d)),
     "q26_order_event_outer"  -> ((s, d) => Relational.orderEventReconcile(s, d)),
     "q27_grouping_sets"      -> ((s, d) => Relational.mixGroupingSets(s, d)),
+    "q28_funnel"             -> ((s, d) => Relational.conversionFunnel(s, d)),
+    "q29_retention"          -> ((s, d) => Relational.cohortRetention(s, d)),
     // ---- vector search surface (SURVEY §2 Table A) ----
     "knn_exact"              -> ((s, d) => knnExact(s, d)),
     "knn_batch"              -> ((s, d) => {
@@ -387,7 +389,9 @@ object SparkEntry {
     // blocked embedding self-join inputs ([[Dedup.embeddingNearDupPairsBy]];
     // different source frames → separate single-member families)
     "near_dup_embeddings" -> "nd-emb",
-    "near_dup_ivf"        -> "nd-ivf")
+    "near_dup_ivf"        -> "nd-ivf",
+    // (user, week) presence pairs ([[Relational.cohortRetention]])
+    "q29_retention"       -> "retention")
 
   /** Harness run order: deterministic, with family members adjacent (each
     * family sorts at its name's alphabetical position) so one release point
@@ -756,6 +760,34 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((source), (lang), ())
         |ORDER BY source ASC NULLS FIRST, GROUPING(source),
         |  lang ASC NULLS FIRST, GROUPING(lang)""".stripMargin,
+
+    // ordered funnel: each stage's first time must be strictly after the
+    // previous stage's; comparisons at second granularity on both engines
+    "q28_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.t_view
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) > c.t_click
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_click_after,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_after""".stripMargin,
+
+    // weekly cohort retention over distinct (user, epoch-week) presence;
+    // // is DuckDB's integer division (mirrors Spark's ts_sec DIV 604800)
+    "q29_retention" ->
+      """WITH pairs AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_week FROM pairs GROUP BY 1)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(DISTINCT p.user_id) AS n_users
+        |FROM pairs p JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q21_moving_avg" ->
       """WITH daily AS (

@@ -270,6 +270,61 @@ object Relational {
         |  lang ASC NULLS FIRST, GROUPING(lang)""".stripMargin)
   }
 
+  /** q28: ordered conversion funnel — view → first click strictly after it →
+    * first purchase strictly after that, per user; one summary row of stage
+    * survivor counts. The sequence constraint (each stage's timestamp after
+    * the previous stage's own first time) is what distinguishes a funnel
+    * from three independent counts — a user who purchased before ever
+    * clicking does not convert.
+    *
+    * Plan shape: three type-filtered scans (the event_type predicate pushes
+    * into the parquet scan), each aggregated to ≤|users| rows BEFORE any
+    * join, so the stage joins and the final one-row cross joins are all
+    * AQE-broadcast tiny — nothing corpus-scale shuffles. Comparisons run on
+    * ts_sec on both engines (second-granularity; DuckDB truncates NANOS
+    * parquet to micros, so comparing at native resolution would diverge on
+    * sub-truncation orderings). */
+  def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = events(spark, sfDir)
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_view"))
+    val c = e.where(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts_sec") > col("v.t_view"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts_sec")).as("t_click"))
+    val p = e.where(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id") &&
+        col("e.ts_sec") > col("c.t_click"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts_sec")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** q29: weekly cohort retention — users bucketed by the epoch-week of
+    * their first event; for each (cohort_week, week_offset) the distinct
+    * users still active. THE product-analytics staple the events table
+    * exists for, and a genuinely different aggregation shape from q09/q11:
+    * the grain is (user, week) presence, not event counts.
+    *
+    * Plan shape: ONE distinct over the slim (user_id, week) projection
+    * (persisted — it feeds both the first-week aggregate and the offset
+    * join), then joins/aggregates on ≤ users×weeks rows. Weeks come from
+    * integer division of the epoch second (engine-stable floor division on
+    * positives; double math would lose nanosecond epochs, see [[events]]). */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = graft.CacheRegistry.persist(
+      events(spark, sfDir)
+        .select(col("user_id"),
+          expr("CAST(ts_sec DIV 604800 AS BIGINT)").as("week"))
+        .distinct())
+    val first = pairs.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    pairs.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Exact interpolated percentiles per group (order statistics — the general
     * form of the reference's top-k order statistic). percentile() is exact
     * (sorts within group); at 100 TB one would switch to approx_percentile

@@ -121,6 +121,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.lengthBuckets(zeroLen).count() == 0)
   }
 
+  test("funnel stages are monotone nonincreasing; retention offsets are cohort-anchored") {
+    import graft.operators.Relational
+    val f = Relational.conversionFunnel(spark, sf0001).head()
+    assert(f.getLong(0) >= f.getLong(1) && f.getLong(1) >= f.getLong(2),
+      s"ordered funnel must shed users at each stage: $f")
+    assert(f.getLong(0) > 0, "the synthetic events must produce viewers")
+    val r = Relational.cohortRetention(spark, sf0001).collect()
+    assert(r.forall(_.getAs[Long]("week_offset") >= 0), "offsets are forward-looking")
+    // every cohort has its own week-0 row: a user is active in the week of
+    // their first event by definition
+    val by = r.groupBy(_.getAs[Long]("cohort_week"))
+    assert(by.values.forall(_.exists(_.getAs[Long]("week_offset") == 0L)),
+      s"missing week-0 presence: ${r.mkString(",")}")
+    graft.CacheRegistry.release()
+  }
+
   test("quantization of a constant column (zero range) is stable zeros") {
     val df = Seq(Tuple1(Seq(1f, 2f)), Tuple1(Seq(1f, 2f))).toDF("embedding")
     val mns = Array(1.0, 2.0)
