@@ -329,6 +329,9 @@ object SparkEntry {
       TextAnalysis.oovRate(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "len_buckets"            -> ((s, d) =>
       TextAnalysis.lengthBuckets(tbl(s, d, "documents"))),
+    "tok_encode"             -> ((s, d) =>
+      TextAnalysis.encodeTokens(tbl(s, d, "documents"))
+        .orderBy(col("doc_id"), col("pos"))),
     // ---- LLM-data-pipeline: training-mix construction ----
     "mix_stats"              -> ((s, d) =>
       TrainingMix.mixStats(tbl(s, d, "documents"))),
@@ -1386,6 +1389,21 @@ object SparkEntry {
     "boilerplate_chunks" -> TextAnalysis.boilerplateOracleSql("documents"),
 
     "oov_rate" -> TextAnalysis.oovRateOracleSql("documents"),
+
+    // tokenizer application: ids 1..K in (count DESC, token ASC) vocab
+    // order, 0 = OOV; positions are 1-based on both engines
+    "tok_encode" ->
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |vc AS (SELECT token, COUNT(*) AS n
+         |  FROM (SELECT unnest(w) AS token FROM d) GROUP BY 1
+         |  ORDER BY n DESC, token ASC LIMIT ${TextAnalysis.OovVocabK}),
+         |v AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INT) AS tid FROM vc),
+         |t AS (SELECT doc_id, unnest(w) AS token,
+         |    CAST(generate_subscripts(w, 1) AS INT) AS pos FROM d)
+         |SELECT t.doc_id, t.pos, CAST(COALESCE(v.tid, 0) AS INT) AS tid
+         |FROM t LEFT JOIN v USING (token)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     // power-of-two length histogram: bucket = bit length of n_chars
     // (length(bin(n)) — identical integer semantics on both engines);

@@ -367,6 +367,31 @@ object TextAnalysis {
        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_rate
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer application: encode the token stream to vocabulary ids —
+    * the step between tokenizer training ([[vocabulary]]/[[bigramMerges]])
+    * and sequence packing ([[TrainingMix.packSequences]]) in a real
+    * pipeline. Ids are 1..vocabK in the [[vocabulary]] contract order
+    * (count DESC, token ASC); 0 is the OOV/byte-fallback id. One row per
+    * (doc, 1-based position) — scalar output, no array column, so the
+    * result streams through any columnar sink and the oracle compare.
+    *
+    * Plan shape: the id table is a ≤vocabK-row broadcast (one map-side-
+    * combined count + a k-row window); the encode is posexplode →
+    * broadcast hash join — scan speed, the only shuffle is the vocab
+    * aggregate's own. */
+  def encodeTokens(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("token")) // k-row window, driver-scale
+    val vocab = vocabulary(documents, vocabK)
+      .withColumn("tid", row_number().over(w).cast("int"))
+      .select(col("token"), col("tid"))
+    documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("pos"),
+        coalesce(col("tid"), lit(0)).as("tid"))
+  }
+
   /** Salt for [[langBalancedSample]]. */
   val SampleSalt = "graftsample"
 

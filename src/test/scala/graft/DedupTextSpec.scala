@@ -63,6 +63,30 @@ class DedupTextSpec extends SparkSpec {
       s"bucket 3 share must be round(7/251, 6): ${by(3)._3}")
   }
 
+  test("tokenizer encode: positions cover every token, ids respect vocab order") {
+    val enc = TextAnalysis.encodeTokens(docsFixture, vocabK = 3).collect()
+    // every token of every doc gets exactly one (pos, tid) row
+    val tokCounts = docsFixture.select(col("doc_id"),
+        size(graft.functions.GraftFunctions.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val encCounts = enc.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(encCounts == tokCounts.filter(_._2 > 0),
+      s"one encoded row per token: $encCounts vs $tokCounts")
+    // ids live in [0, K]; doc 0's first token ("the") carries the id of its
+    // vocabulary rank under the (count DESC, token ASC) contract — "again"
+    // ties "the" at 6 occurrences and wins the alphabetical tie-break
+    assert(enc.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    val ranked = TextAnalysis.vocabulary(docsFixture, 3).collect().map(_.getString(0))
+    val expectedTid = ranked.indexOf("the") + 1
+    assert(expectedTid > 0, s"'the' must be in the top-3 vocab: ${ranked.toSeq}")
+    val firstTokRow = enc.filter(r => r.getLong(0) == 0L && r.getInt(1) == 1).head
+    assert(firstTokRow.getInt(2) == expectedTid,
+      s"doc 0's leading 'the' must carry its vocab rank $expectedTid: $firstTokRow")
+    // positions are 1..n contiguous per doc
+    val doc0 = enc.filter(_.getLong(0) == 0L).map(_.getInt(1)).sorted
+    assert(doc0.sameElements(1 to doc0.length), s"contiguous positions: ${doc0.toSeq}")
+  }
+
   test("shingle-less docs are excluded from LSH banding (no null-bucket collisions)") {
     import spark.implicits._
     val shorts = Seq(
