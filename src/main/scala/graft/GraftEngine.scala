@@ -207,6 +207,10 @@ final class GraftEngine(val spark: SparkSession,
     * consult before picking [[packSequences]]' budget or a truncation cut. */
   def lengthReport(documents: DataFrame): DataFrame =
     TextAnalysis.lengthBuckets(documents)
+  /** Tokenizer application: (doc_id, pos, tid) under the [[vocabulary]]
+    * id order, 0 = OOV — feed into [[packSequences]]-shaped loaders. */
+  def encodeCorpus(documents: DataFrame, vocabK: Int): DataFrame =
+    TextAnalysis.encodeTokens(documents, vocabK)
 
   // ---- training-mix construction ([[operators.TrainingMix]]) ----
   def mixReport(documents: DataFrame): DataFrame =
