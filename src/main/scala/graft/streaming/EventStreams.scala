@@ -200,6 +200,55 @@ object EventStreams {
       }
   }
 
+  // ------------------------------------------------- custom state (funnel)
+
+  /** Input row for the stateful funnel: epoch-second event time + type. */
+  final case class FunnelEvent(user_id: Long, sec: Long, event_type: String)
+  /** Per-user funnel progress: first view, first click strictly after it,
+    * first purchase strictly after that (0 = stage not reached). */
+  final case class FunnelState(tView: Long, tClick: Long, tBuy: Long)
+  /** Emitted per user per micro-batch: stage flags so far. */
+  final case class UserFunnel(user_id: Long, viewed: Boolean, clicked: Boolean,
+      purchased: Boolean)
+
+  /** Streaming funnel progression — the incremental twin of the batch
+    * ordered funnel (`Relational.conversionFunnel`, q28): per user, carry
+    * (first view, first click after it, first purchase after that) across
+    * micro-batches, so conversion dashboards update per trigger instead of
+    * re-scanning history. The strict time guards (`sec > tView`, `sec >
+    * tClick`) make the fold order-insensitive to same-second events and
+    * reproduce the batch MIN/strictly-after semantics exactly, GIVEN
+    * per-user time-ordered arrival across batches (the same contract as
+    * [[sessionizeStateful]], guaranteed upstream by watermark + source
+    * order; the spec drives a checkpointed time-split restart).
+    *
+    * State size: O(#users) × 24 bytes; an idle timeout would bound it in a
+    * 24/7 deployment. */
+  def funnelStateful(events: Dataset[FunnelEvent]): Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
+          var st = gs.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          it.toArray.sortBy(e => (e.sec, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "view" if st.tView == 0L =>
+                st = st.copy(tView = e.sec)
+              case "click" if st.tView != 0L && st.tClick == 0L &&
+                  e.sec > st.tView =>
+                st = st.copy(tClick = e.sec)
+              case "purchase" if st.tClick != 0L && st.tBuy == 0L &&
+                  e.sec > st.tClick =>
+                st = st.copy(tBuy = e.sec)
+              case _ =>
+            }
+          }
+          gs.update(st)
+          UserFunnel(uid, st.tView != 0L, st.tClick != 0L, st.tBuy != 0L)
+      }
+  }
+
   /** Run a streaming DataFrame to completion against a bounded source via the
     * memory sink; returns the collected result. Test/smoke helper — production
     * sinks are writeStream.format("parquet"/"kafka"). */

@@ -125,6 +125,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stateful funnel across a checkpointed restart == batch q28 stage counts") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{FunnelEvent, UserFunnel}
+
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), expr("CAST(ts DIV 1000000000 AS BIGINT)").as("sec"),
+        col("event_type"))
+    val cut = ev.selectExpr("percentile(sec, 0.5)").head.getDouble(0).toLong
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "funnel-src").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "funnel-ckpt").toString
+
+    val updates = scala.collection.mutable.ArrayBuffer.empty[UserFunnel]
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, sec LONG, event_type STRING")
+        .parquet(srcDir)
+        .as[FunnelEvent]
+      val q = graft.streaming.EventStreams.funnelStateful(stream)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[UserFunnel], _: Long) =>
+          val rows = batch.collect()
+          updates.synchronized { updates ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // two time-split runs from one checkpoint: stage progress must survive
+    // the restart (a user who viewed in half 1 and clicked in half 2 counts)
+    ev.where(col("sec") <= cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    ev.where(col("sec") > cut).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+
+    // stage flags are monotone: final state per user = max progression
+    def rank(u: UserFunnel) =
+      (if (u.purchased) 4 else 0) + (if (u.clicked) 2 else 0) + (if (u.viewed) 1 else 0)
+    val finalStates = updates.toArray.groupBy(_.user_id)
+      .map { case (_, rs) => rs.maxBy(rank) }
+    val got = (finalStates.count(_.viewed).toLong,
+      finalStates.count(_.clicked).toLong, finalStates.count(_.purchased).toLong)
+    val want = graft.operators.Relational.conversionFunnel(spark, sf0001).head()
+    assert(got == ((want.getLong(0), want.getLong(1), want.getLong(2))),
+      s"stream/batch funnel divergence: got $got want $want")
+    assert(got._1 > 0 && got._1 >= got._2 && got._2 >= got._3)
+  }
+
   test("built-in session_window sessions == batch q11 session counts") {
     val stream = spark.readStream
       .schema(EventStreams.eventSchema)
