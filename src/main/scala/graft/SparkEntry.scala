@@ -393,6 +393,8 @@ object SparkEntry {
     // different source frames → separate single-member families)
     "near_dup_embeddings" -> "nd-emb",
     "near_dup_ivf"        -> "nd-ivf",
+    // slim funnel-event projection ([[Relational.conversionFunnel]])
+    "q28_funnel"          -> "funnel",
     // (user, week) presence pairs ([[Relational.cohortRetention]])
     "q29_retention"       -> "retention")
 

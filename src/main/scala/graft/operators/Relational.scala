@@ -277,15 +277,20 @@ object Relational {
     * from three independent counts — a user who purchased before ever
     * clicking does not convert.
     *
-    * Plan shape: three type-filtered scans (the event_type predicate pushes
-    * into the parquet scan), each aggregated to ≤|users| rows BEFORE any
-    * join, so the stage joins and the final one-row cross joins are all
-    * AQE-broadcast tiny — nothing corpus-scale shuffles. Comparisons run on
+    * Plan shape: ONE type-filtered scan (the three-value event_type
+    * predicate pushes into the parquet read) persisted as a slim
+    * (user, type, sec) projection; the three stage aggregates read the
+    * cache, each collapsing to ≤|users| rows BEFORE any join, so the stage
+    * joins and the final one-row cross joins are all AQE-broadcast tiny —
+    * at 100 TB the corpus is read once, not three times. Comparisons run on
     * ts_sec on both engines (second-granularity; DuckDB truncates NANOS
     * parquet to micros, so comparing at native resolution would diverge on
     * sub-truncation orderings). */
   def conversionFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = events(spark, sfDir)
+    val e = graft.CacheRegistry.persist(
+      events(spark, sfDir)
+        .where(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts_sec")))
     val v = e.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t_view"))
     val c = e.where(col("event_type") === "click").as("e")
