@@ -57,6 +57,19 @@ for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if
     try:
         res = con.sql(oracles[name])
         dnames = res.columns
+        # Type lint: DuckDB silently widens (window SUM(BIGINT) -> HUGEINT,
+        # AVG of DECIMAL stays DECIMAL) into types Spark never writes; the
+        # driver's hasher then serializes them differently even when every
+        # value matches. Forbid any output column whose type Spark can't
+        # round-trip — the oracle SQL must CAST these explicitly.
+        bad_types = [(n, str(t)) for n, t in zip(dnames, res.types)
+                     if any(x in str(t).upper() for x in
+                            ("HUGEINT", "DECIMAL", "UBIGINT", "UINTEGER",
+                             "USMALLINT", "UTINYINT"))]
+        if bad_types:
+            print(f"TYPE-LINT    {name}: non-Spark-representable oracle output "
+                  f"columns {bad_types} — add explicit CASTs in the oracle SQL")
+            fails.append(name); continue
         drows = res.fetchall()
     except Exception as e:
         print(f"ORACLE-ERR   {name}: {str(e).splitlines()[0][:160]}"); fails.append(name); continue

@@ -169,7 +169,8 @@ object Bench {
       val v2 = w2.getOrElse(k, -1.0)
       k -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
-    val warmErrs = warm1Errs ++ warm2Errs
+    // a query failing in both warm passes must appear once, not twice
+    val warmErrs = (warm1Errs ++ warm2Errs).distinct
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warm))
 

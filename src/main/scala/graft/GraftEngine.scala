@@ -217,8 +217,9 @@ final class GraftEngine(val spark: SparkSession,
     TrainingMix.mixStats(documents)
   def mixWeights(documents: DataFrame): DataFrame =
     TrainingMix.mixWeights(documents)
-  def packSequences(documents: DataFrame, budgetTokens: Long): DataFrame =
-    TrainingMix.packSequences(documents, budgetTokens)
+  def packSequences(documents: DataFrame, budgetTokens: Long,
+      blockSize: Long = TrainingMix.DefaultPackBlockSize): DataFrame =
+    TrainingMix.packSequences(documents, budgetTokens, blockSize)
   def sampleMix(documents: DataFrame, epochTokens: Long): DataFrame =
     TrainingMix.mixSample(documents, epochTokens)
   def shuffleForTraining(documents: DataFrame, nShards: Int): DataFrame =
@@ -250,6 +251,13 @@ final class GraftEngine(val spark: SparkSession,
     * batch pass — the standard lambda split. */
   def curateStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
     streaming.EventStreams.curateDocStream(docs, horizon)
+
+  /** Continuous-ingest twin of [[shuffleForTraining]]: stateless md5-contract
+    * shard assignment over arriving docs; land with
+    * `writeStream.partitionBy("shard")` and derive positions/packing at load
+    * time (see [[streaming.EventStreams.shardAssignStream]]). */
+  def shardAssignStream(docs: DataFrame, nShards: Int): DataFrame =
+    streaming.EventStreams.shardAssignStream(docs, nShards)
 
   /** Canonical corpus export — the pipeline's output side: Hive-partitioned
     * parquet (e.g. by `split`), rows sorted within partitions by `sortCol` so

@@ -1294,7 +1294,7 @@ object SparkEntry {
          |  COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM d)
-         |SELECT cum_before // $PackBudget AS seq_id,
+         |SELECT CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
          |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
@@ -1353,7 +1353,7 @@ object SparkEntry {
          |  COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
          |  FROM d)
-         |SELECT shard, cum_before // $PackBudget AS seq_id,
+         |SELECT shard, CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
          |  round(CAST(SUM(n_tok) AS DOUBLE) / $PackBudget, 6) AS fill
          |FROM c GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin

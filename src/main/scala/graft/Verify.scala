@@ -25,7 +25,10 @@ object Verify {
     // Bench — round-5 review: two hand-maintained copies of the boundary
     // rule would let timings drift from the discipline correctness ran under)
     SparkEntry.foreachOrdered { (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // plain parallel write — the comparator reads the whole directory and
+      // sorts rows itself, so funneling each result through one task via
+      // coalesce(1) bought nothing and serialized the dump at sf1+ (r5 item 6)
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -76,12 +76,15 @@ object TrainingMix {
       .orderBy(col("source"), col("lang"))
   }
 
-  /** Deterministic block size for the packing prefix-sum: `doc_id div
-    * BlockSize` is the block key, so block assignment needs no sampling or
-    * data exchange. ~100k docs/block at production scale keeps the driver's
-    * prefix-sum table to thousands of rows per 10^9 docs; the small default
-    * exercises multi-block behavior on the test corpora. */
-  val PackBlockSize = 200L
+  /** Default block size for the packing prefix-sum: `doc_id div blockSize`
+    * is the block key, so block assignment needs no sampling or data
+    * exchange. At ~100k docs/block the driver's prefix-sum table stays at
+    * ~10^4 rows per 10^9 docs. The result is block-size-INVARIANT (the
+    * decomposition reproduces the global prefix sum exactly — asserted in
+    * TrainingMixSpec), so callers tune it purely for driver-table size:
+    * pick `blockSize ≈ expected_docs / 10^4`. Tests pass small values to
+    * exercise multi-block behavior on tiny corpora. */
+  val DefaultPackBlockSize = 100000L
 
   /** Fixed-budget sequence packing (boundary form): documents in doc_id
     * order are laid head-to-tail and the sequence id is the bin its FIRST
@@ -93,23 +96,26 @@ object TrainingMix {
     * Scale shape: a global `sum() over (order by doc_id)` window is a
     * single task at 100 TB. This is the two-job prefix-sum instead —
     * (1) per-block token sums, collected to the driver (one row per
-    * [[PackBlockSize]] docs — bounded), prefix-summed and broadcast back;
+    * `blockSize` docs — bounded, see [[DefaultPackBlockSize]]),
+    * prefix-summed and broadcast back;
     * (2) a per-block cumsum window (parallel across blocks) plus the block
     * offset. Identical result to the global window, no single-task stage —
     * the same decomposition [[graft.sources.JsonCorpus]] uses for id
     * minting (reference analog: positional ids, loader.py). Returns one
     * row per sequence: doc span, doc count, token count, fill vs budget. */
-  def packSequences(documents: DataFrame, budget: Long): DataFrame = {
+  def packSequences(documents: DataFrame, budget: Long,
+      blockSize: Long = DefaultPackBlockSize): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
+    require(blockSize > 0, s"pack block size must be positive, got $blockSize")
     val spark = documents.sparkSession
     val perDoc = CacheRegistry.persist(documents.select(
       col("doc_id"),
-      // integer div, not double: doc_id / 200.0 loses exactness past 2^53
+      // integer div, not double: doc_id / 1e5 loses exactness past 2^53
       // and block assignment must stay monotone in doc_id at any id range
-      expr(s"doc_id div $PackBlockSize").as("blk"),
+      expr(s"doc_id div $blockSize").as("blk"),
       size(tokens(col("text"))).cast("long").as("n_tok")))
     // job 1: per-block totals → driver prefix sum → broadcast offsets.
-    // One row per block on the driver: bounded (see PackBlockSize).
+    // One row per block on the driver: bounded (see DefaultPackBlockSize).
     val blockTotals = perDoc.groupBy(col("blk"))
       .agg(sum(col("n_tok")).as("blk_tok"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)

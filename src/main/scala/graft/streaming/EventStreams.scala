@@ -59,6 +59,32 @@ object EventStreams {
         sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
   }
 
+  /** Streaming training-shuffle assignment — the continuous-ingest twin of
+    * [[graft.operators.TrainingMix.shuffleShards]] /
+    * [[graft.operators.TrainingMix.packShards]]: each arriving doc gets its
+    * md5-derived 60-bit hash, shard (`h mod nShards`), and token count,
+    * STATELESSLY (append mode, no state store, restart-safe) — a
+    * `writeStream.partitionBy("shard")` sink then lands docs in their shard
+    * as they arrive. Because the hash contract is identical to the batch
+    * operator (same salt, same h60), the accumulated sink REPLAYS the batch
+    * shuffle exactly: sorting any shard's files by `(h, doc_id)` at load
+    * time yields [[graft.operators.TrainingMix.shuffleShards]]' `pos` order,
+    * and a cumsum of `n_tok` in that order reproduces
+    * [[graft.operators.TrainingMix.packShards]]' sequence boundaries
+    * (parity asserted in StreamingSpec). Position/packing themselves are
+    * load-time derivations, not stream state — per-shard `row_number` over
+    * an infinite stream would be unbounded state for a number the loader
+    * recomputes in one sorted read. */
+  def shardAssignStream(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"shard count must be positive, got $nShards")
+    import graft.functions.GraftFunctions.{h60, tokens}
+    import graft.operators.TrainingMix.ShuffleSalt
+    val h = h60(concat(lit(ShuffleSalt), lit("#"), col("doc_id").cast("string")))
+    docs.select(
+      col("doc_id"), h.as("h"), (h % nShards).cast("int").as("shard"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+  }
+
   /** Stream-static enrichment join: incoming events joined to a static user
     * dimension (broadcast when small). Streaming analog of the reference's
     * query-against-static-index pattern. */
@@ -205,8 +231,11 @@ object EventStreams {
   /** Input row for the stateful funnel: epoch-second event time + type. */
   final case class FunnelEvent(user_id: Long, sec: Long, event_type: String)
   /** Per-user funnel progress: first view, first click strictly after it,
-    * first purchase strictly after that (0 = stage not reached). */
-  final case class FunnelState(tView: Long, tClick: Long, tBuy: Long)
+    * first purchase strictly after that (0 = stage not reached). `seen` is
+    * the max event time folded so far — the ordered-arrival contract guard
+    * (see [[funnelStateful]]). */
+  final case class FunnelState(tView: Long, tClick: Long, tBuy: Long,
+      seen: Long = 0L)
   /** Emitted per user per micro-batch: stage flags so far. */
   final case class UserFunnel(user_id: Long, viewed: Boolean, clicked: Boolean,
       purchased: Boolean)
@@ -220,9 +249,15 @@ object EventStreams {
     * reproduce the batch MIN/strictly-after semantics exactly, GIVEN
     * per-user time-ordered arrival across batches (the same contract as
     * [[sessionizeStateful]], guaranteed upstream by watermark + source
-    * order; the spec drives a checkpointed time-split restart).
+    * order; the spec drives a checkpointed time-split restart). Within a
+    * batch the fold sorts, so only CROSS-batch regressions can violate the
+    * contract — and those are ENFORCED: state carries the max folded event
+    * time and a batch whose events predate it fails the query with a clear
+    * message instead of silently diverging from batch q28 (ADVICE r5; a
+    * deployment with a genuinely unordered source should instead keep
+    * candidate stage times and recompute, at 3× the state).
     *
-    * State size: O(#users) × 24 bytes; an idle timeout would bound it in a
+    * State size: O(#users) × 32 bytes; an idle timeout would bound it in a
     * 24/7 deployment. */
   def funnelStateful(events: Dataset[FunnelEvent]): Dataset[UserFunnel] = {
     import events.sparkSession.implicits._
@@ -231,7 +266,14 @@ object EventStreams {
       .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
           var st = gs.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          it.toArray.sortBy(e => (e.sec, e.event_type)).foreach { e =>
+          val batch = it.toArray.sortBy(e => (e.sec, e.event_type))
+          if (batch.nonEmpty && batch.head.sec < st.seen)
+            throw new IllegalStateException(
+              s"funnelStateful: user $uid received event at t=${batch.head.sec} " +
+                s"after folding t=${st.seen} — per-user time-ordered arrival " +
+                "across micro-batches is a contract of this operator")
+          batch.foreach { e =>
+            st = st.copy(seen = math.max(st.seen, e.sec))
             e.event_type match {
               case "view" if st.tView == 0L =>
                 st = st.copy(tView = e.sec)

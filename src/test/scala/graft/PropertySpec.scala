@@ -135,14 +135,14 @@ class PropertySpec extends SparkSpec {
     // sparse doc_ids (gaps + block boundaries) with varied token counts
     val corpusGen = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, for {
-        id <- Gen.chooseNum(0L, 1000L) // spans ≥ 5 PackBlockSize=200 blocks
+        id <- Gen.chooseNum(0L, 1000L) // spans ≥ 5 blockSize=200 blocks
         tok <- Gen.chooseNum(1, 120)
       } yield (id, tok)).map(_.distinctBy(_._1)))
     forAll(corpusGen, n = 8) { corpus =>
       val docs = corpus
         .map { case (id, t) => (id, Seq.fill(t)("w").mkString(" "), "en", "web", t.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-      val packed = TrainingMix.packSequences(docs, 64L).collect()
+      val packed = TrainingMix.packSequences(docs, 64L, blockSize = 200L).collect()
       graft.CacheRegistry.release()
       val totalDocs = corpus.length.toLong
       val totalToks = corpus.map(_._2.toLong).sum

@@ -233,6 +233,101 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed running totals must equal the batch report")
   }
 
+  test("streaming shard assignment replays batch shuffleShards/packShards at load time") {
+    import graft.operators.TrainingMix
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dir = Files.createTempDirectory(Paths.get("target"), "shard-src").toString
+    val outDir = Files.createTempDirectory(Paths.get("target"), "shard-out").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "shard-ckpt").toString
+    // two arrival chunks in a doc_id-interleaved order: shard/pos must not
+    // depend on arrival order, only on the hash contract
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(dir)
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(dir)
+
+    val n = 8
+    val budget = 512L
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir)
+    val q = graft.streaming.EventStreams.shardAssignStream(stream, n)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("shard")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // load-time derivation: per shard, sort by (h, doc_id) → pos; cumsum of
+    // n_tok in that order → packing sequence id
+    val landed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"),
+        r.getAs[Int]("shard"), r.getAs[Long]("n_tok")))
+    val byShard = landed.groupBy(_._3)
+
+    val gotPos = byShard.toSeq.flatMap { case (s, rows) =>
+      rows.sortBy(r => (r._2, r._1)).zipWithIndex
+        .map { case (r, i) => (r._1, s, i + 1) }
+    }.toSet
+    val wantPos = TrainingMix.shuffleShards(docs, n).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(gotPos == wantPos,
+      "load-time (h, doc_id) sort must replay the batch shuffle positions")
+
+    val gotPack = byShard.toSeq.flatMap { case (s, rows) =>
+      var cum = 0L
+      rows.sortBy(r => (r._2, r._1)).map { r =>
+        val seq = cum / budget; cum += r._4; (s, seq)
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wantPack = TrainingMix.packShards(docs, n, budget).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getAs[Long]("n_docs")).toMap
+    assert(gotPack == wantPack,
+      "load-time cumsum must reproduce batch packShards sequence boundaries")
+  }
+
+  test("stateful funnel rejects a cross-batch time regression (contract guard)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.FunnelEvent
+    val dir = Files.createTempDirectory(Paths.get("target"), "funnel-ooo-src").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "funnel-ooo-ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, sec LONG, event_type STRING")
+        .parquet(dir)
+        .as[FunnelEvent]
+      val q = graft.streaming.EventStreams.funnelStateful(stream)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.UserFunnel],
+              _: Long) =>
+            batch.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, 100L, "view")).toDF("user_id", "sec", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    // second batch arrives BEFORE the folded horizon → must fail loudly,
+    // not silently diverge from batch q28 semantics
+    Seq((1L, 50L, "view")).toDF("user_id", "sec", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("time-ordered arrival"))),
+      s"expected the contract-guard message in the cause chain, got: $e")
+  }
+
   test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"), lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))

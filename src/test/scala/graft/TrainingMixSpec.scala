@@ -39,7 +39,8 @@ class TrainingMixSpec extends SparkSpec {
   test("packSequences two-job prefix sum equals a global-window reference") {
     import spark.implicits._
     val budget = 512L
-    val packed = TrainingMix.packSequences(docs, budget).collect()
+    val blockSize = 50L
+    val packed = TrainingMix.packSequences(docs, budget, blockSize).collect()
     // reference: single global cumsum on the driver
     val perDoc = docs
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
@@ -54,10 +55,25 @@ class TrainingMixSpec extends SparkSpec {
       r.getLong(3), r.getLong(4))).toSeq
     assert(got == expected, "block prefix-sum must equal the global cumsum")
     // multi-block coverage: the fixture must actually span several blocks
-    assert(perDoc.map(_._1 / TrainingMix.PackBlockSize).distinct.length > 1,
+    assert(perDoc.map(_._1 / blockSize).distinct.length > 1,
       "fixture spans one block — test would not exercise the offset join")
     // every sequence's fill is positive and sequences are dense from 0
     assert(packed.head.getLong(0) == 0L)
+  }
+
+  test("packSequences result is invariant to the prefix-sum block size") {
+    // the block decomposition must reproduce the global prefix sum exactly
+    // for ANY block size — callers tune blockSize purely for driver-table
+    // size (see DefaultPackBlockSize scaladoc), never semantics
+    val budget = 512L
+    def run(bs: Long) =
+      TrainingMix.packSequences(docs, budget, bs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val base = run(TrainingMix.DefaultPackBlockSize) // single block at sf0.001
+    assert(run(7L) == base, "blockSize=7 diverges from default")
+    assert(run(200L) == base, "blockSize=200 diverges from default")
+    assert(run(1L) == base, "blockSize=1 (one row per block) diverges")
   }
 
   test("topQualityPerLang keeps exactly ceil(frac*n) best-ranked docs per lang") {
