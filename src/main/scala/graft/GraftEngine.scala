@@ -211,6 +211,16 @@ final class GraftEngine(val spark: SparkSession,
     * id order, 0 = OOV — feed into [[packSequences]]-shaped loaders. */
   def encodeCorpus(documents: DataFrame, vocabK: Int): DataFrame =
     TextAnalysis.encodeTokens(documents, vocabK)
+  /** Per-doc token Shannon entropy (nats) — information-density quality
+    * signal; pair with [[languageModelScore]] to separate looping from
+    * garbled text. */
+  def informationDensity(documents: DataFrame): DataFrame =
+    TextAnalysis.tokenEntropy(documents)
+  /** Bigram collocations by PMI — phrase mining for tokenizer vocabularies
+    * (frequency-normalized counterpart of [[tokenizerMergeCandidates]]). */
+  def collocations(documents: DataFrame, minCount: Long = 5L,
+      k: Int = 100): DataFrame =
+    TextAnalysis.pmiBigrams(documents, minCount, k)
 
   // ---- training-mix construction ([[operators.TrainingMix]]) ----
   def mixReport(documents: DataFrame): DataFrame =

@@ -332,6 +332,10 @@ object SparkEntry {
     "tok_encode"             -> ((s, d) =>
       TextAnalysis.encodeTokens(tbl(s, d, "documents"))
         .orderBy(col("doc_id"), col("pos"))),
+    "token_entropy"          -> ((s, d) =>
+      TextAnalysis.tokenEntropy(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "pmi_bigrams"            -> ((s, d) =>
+      TextAnalysis.pmiBigrams(tbl(s, d, "documents"))),
     // ---- LLM-data-pipeline: training-mix construction ----
     "mix_stats"              -> ((s, d) =>
       TrainingMix.mixStats(tbl(s, d, "documents"))),
@@ -382,6 +386,8 @@ object SparkEntry {
     "rerank_cosine"       -> "lex",
     // per-(doc, token) counts ([[TextAnalysis.unigramLogprob]])
     "unigram_logprob"     -> "unigram",
+    // bigram + unigram count tables ([[TextAnalysis.pmiBigrams]])
+    "pmi_bigrams"         -> "pmi",
     // per-doc token counts reused across packing's two jobs
     // ([[TrainingMix.packSequences]])
     "seq_pack"            -> "seqpack",
@@ -1380,6 +1386,10 @@ object SparkEntry {
       "documents", "embeddings", RetrievalTerms, 0L, TopK, RrfDepth),
 
     "unigram_logprob" -> TextAnalysis.unigramLogprobOracleSql("documents"),
+
+    "token_entropy" -> TextAnalysis.tokenEntropyOracleSql("documents"),
+
+    "pmi_bigrams" -> TextAnalysis.pmiBigramsOracleSql("documents", 5L, 100),
 
     // the composed five-stage pipeline: quality filter -> exact dedup ->
     // near-dup survivors -> PII audit -> split, each stage the same SQL as

@@ -537,6 +537,124 @@ object TextAnalysis {
        |  round(list_reduce(l, (acc, x) -> acc + x) / n_tokens, 6) AS avg_logp
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Per-doc token Shannon entropy (nats) — the information-density quality
+    * signal between [[repetition]]'s surface ratios and [[unigramLogprob]]'s
+    * corpus LM score: near-zero entropy flags keyword-stuffed / looping docs
+    * (one token dominates), high entropy with low [[unigramLogprob]] flags
+    * garbled text. Uses the fold-friendly identity
+    * `H = ln(n) − (Σ c·ln c)/n` so the only per-token float work is one ln
+    * of an EXACT integer count.
+    *
+    * Plan shape: one explode pass collapsed to (doc, token, count), then one
+    * per-doc aggregate — map-side combined, shuffle ∝ distinct (doc, token)
+    * pairs, no joins. Parity: the Σ folds in SORTED token order (the
+    * [[unigramLogprob]] sorted-fold contract) — a plain SUM over doubles
+    * accumulates in engine-dependent row order. */
+  def tokenEntropy(documents: DataFrame): DataFrame = {
+    val perDoc = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("tok"),
+          (col("c") * log(col("c").cast("double"))).as("t")))).as("l"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(
+          log(col("n_tokens").cast("double")) -
+            aggregate(col("l"), lit(0.0), (acc, e) => acc + e.getField("t")) /
+              col("n_tokens"), 6).as("entropy_nats"))
+  }
+
+  /** DuckDB oracle for [[tokenEntropy]] (sorted-fold contract as in
+    * [[unigramLogprobOracleSql]]). */
+  def tokenEntropyOracleSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM $table),
+       |ct AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+       |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_types,
+       |    list(c * ln(CAST(c AS DOUBLE)) ORDER BY tok) AS l
+       |  FROM ct GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_types,
+       |  round(ln(CAST(n_tokens AS DOUBLE))
+       |    - list_reduce(l, (acc, x) -> acc + x) / n_tokens, 6) AS entropy_nats
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Bigram collocations by pointwise mutual information — the statistic
+    * behind phrase/multi-word-expression mining for tokenizer vocabularies
+    * (where [[bigramMerges]] ranks by raw frequency, PMI ranks by how much
+    * MORE often a pair co-occurs than its parts predict):
+    * `pmi = ln( (B/M) / ((Ux/N)(Uy/N)) )`, computed as a sum of logs of
+    * EXACT integer counts so the only engine-sensitive operation is `ln`
+    * itself (the proven [[unigramLogprob]] parity surface) — never an
+    * integer product like `B·N²` that would overflow at corpus scale.
+    * `minCount` suppresses the unstable low-frequency tail (classic PMI
+    * degeneracy: a pair seen once between two hapaxes scores near-max).
+    *
+    * Plan shape: one adjacent-pair explode → (x, y, n) aggregate, one token
+    * explode → unigram table; the unigram side joins back twice (AQE
+    * broadcasts it when it measures small — vocab is MBs against the
+    * corpus' TBs), the (N, M) totals are a one-row broadcast. Output is
+    * top-k by 6-dp-ROUNDED pmi with bigram tie-break (the rank contract:
+    * a total order before LIMIT, stable across engines). */
+  def pmiBigrams(documents: DataFrame, minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    val staged = documents.select(
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val w = col("c.w")
+    val len = greatest(size(w) - 1, lit(0))
+    val pairs = staged.select(explode(zip_with(
+      slice(w, lit(1), len), slice(w, lit(2), len),
+      (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+    val big = graft.CacheRegistry.persist(pairs
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(count(lit(1)).as("n")))
+    val uni = graft.CacheRegistry.persist(documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("u")))
+    val totals = big.agg(sum(col("n")).as("m"))
+      .crossJoin(uni.agg(sum(col("u")).as("nt")))
+    big.where(col("n") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("u").as("ux")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("u").as("uy")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(
+        concat(col("x"), lit(" "), col("y")).as("bigram"), col("n"),
+        round(
+          log(col("n").cast("double")) +
+            lit(2.0) * log(col("nt").cast("double")) -
+            log(col("m").cast("double")) -
+            log(col("ux").cast("double")) -
+            log(col("uy").cast("double")), 6).as("pmi"))
+      .orderBy(desc("pmi"), asc("bigram"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[pmiBigrams]] — same log-sum association order
+    * term-for-term (both engines fold `((((ln B + 2·ln N) − ln M) − ln Ux)
+    * − ln Uy)` left-to-right, so the doubles are bit-identical). */
+  def pmiBigramsOracleSql(table: String, minCount: Long, k: Int): String =
+    s"""WITH b AS (SELECT unnest(list_transform(
+       |    list_zip(w[1:len(w)-1], w[2:len(w)]),
+       |    p -> p[1] || ' ' || p[2])) AS bigram
+       |  FROM (SELECT string_split(text, ' ') AS w FROM $table)),
+       |bc AS (SELECT string_split(bigram, ' ')[1] AS x,
+       |    string_split(bigram, ' ')[2] AS y, COUNT(*) AS n
+       |  FROM b GROUP BY 1, 2),
+       |u AS (SELECT tok, COUNT(*) AS u
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM $table)
+       |  GROUP BY tok),
+       |t AS (SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bc) AS m,
+       |    (SELECT CAST(SUM(u) AS BIGINT) FROM u) AS nt)
+       |SELECT bc.x || ' ' || bc.y AS bigram, bc.n AS n,
+       |  round(ln(CAST(bc.n AS DOUBLE)) + 2 * ln(CAST(nt AS DOUBLE))
+       |    - ln(CAST(m AS DOUBLE)) - ln(CAST(ux.u AS DOUBLE))
+       |    - ln(CAST(uy.u AS DOUBLE)), 6) AS pmi
+       |FROM bc JOIN u ux ON bc.x = ux.tok JOIN u uy ON bc.y = uy.tok, t
+       |WHERE bc.n >= $minCount
+       |ORDER BY pmi DESC, bigram ASC LIMIT $k""".stripMargin
+
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 

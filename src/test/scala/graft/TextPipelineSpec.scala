@@ -46,6 +46,39 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3)._2 == false && got(3)._3.nonEmpty, s"doc4 must be dropped: ${got(3)}")
   }
 
+  test("tokenEntropy: constant doc = 0, uniform doc = ln(n_types), mixed by hand") {
+    val docs = Seq(
+      (1L, "a a a a"),
+      (2L, "a b c d"),
+      (3L, "a a b b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).orderBy("doc_id").collect()
+    assert(got(0).getAs[Double]("entropy_nats") == 0.0)
+    assert(math.abs(got(1).getAs[Double]("entropy_nats") - math.log(4)) < 1e-6)
+    // n=6, counts (a:2, b:3, c:1): H = ln 6 − (2 ln 2 + 3 ln 3 + 1 ln 1)/6
+    val h3 = math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6
+    assert(math.abs(got(2).getAs[Double]("entropy_nats") - h3) < 1e-6)
+    assert(got(2).getAs[Long]("n_tokens") == 6L)
+    assert(got(2).getAs[Long]("n_types") == 3L)
+  }
+
+  test("pmiBigrams: hand-computed PMI, rank order, and minCount filtering") {
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "new car"),
+      (3L, "york city")).toDF("doc_id", "text")
+    // U: new=4 york=4 car=1 city=1, N=10; B: (new,york)=3 (york,new)=2
+    // (new,car)=1 (york,city)=1, M=7; minCount=2 keeps the first two
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 2L, k = 10).collect()
+    graft.CacheRegistry.release()
+    assert(got.length == 2, s"minCount must drop singletons: ${got.toSeq}")
+    def pmi(b: Long) = math.log(b.toDouble) + 2 * math.log(10.0) -
+      math.log(7.0) - math.log(4.0) - math.log(4.0)
+    assert(got(0).getString(0) == "new york" && got(0).getAs[Long]("n") == 3L)
+    assert(math.abs(got(0).getAs[Double]("pmi") - pmi(3)) < 1e-6)
+    assert(got(1).getString(0) == "york new" && got(1).getAs[Long]("n") == 2L)
+    assert(math.abs(got(1).getAs[Double]("pmi") - pmi(2)) < 1e-6)
+  }
+
   test("near-dup clusters: transitive chains collapse to the min-id representative") {
     import graft.operators.Dedup
     // 1~2 (j=0.75) and 2~3 (j=0.6) but 1~3 only 0.4: the chain must still
