@@ -216,6 +216,10 @@ final class GraftEngine(val spark: SparkSession,
     * garbled text. */
   def informationDensity(documents: DataFrame): DataFrame =
     TextAnalysis.tokenEntropy(documents)
+  /** Per-doc bigram conditional LM score — order-sensitive counterpart of
+    * [[languageModelScore]]; low scores flag token-salad. */
+  def fluencyScore(documents: DataFrame): DataFrame =
+    TextAnalysis.bigramLogprob(documents)
   /** Bigram collocations by PMI — phrase mining for tokenizer vocabularies
     * (frequency-normalized counterpart of [[tokenizerMergeCandidates]]). */
   def collocations(documents: DataFrame, minCount: Long = 5L,

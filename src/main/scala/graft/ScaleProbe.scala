@@ -80,8 +80,32 @@ object ScaleProbe {
       "shard_pack" -> (() => noop(TrainingMix.packShards(docs, 64, 512L))),
       "shuffle_shards" -> (() => noop(TrainingMix.shuffleShards(docs, 64))))
 
+    // vector family at the same replication: identical embeddings under
+    // shifted vec_ids (k-means geometry unchanged — duplicated points move
+    // no centroid; search cost scales with rows, which is what we measure)
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = (0 until replication).map { i =>
+      if (i == 0) embBase
+      else embBase.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVecs = emb.count()
+    val q0 = KnnExact.queryVector(emb, 0L)
+    val qBatch = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivfDir = "target/scale-probe-ivf"
+    var ivf: IvfIndex = null
+    val vectorProbes: Seq[(String, () => Unit)] = Seq(
+      "knn_exact" -> (() => noop(KnnExact.topK(emb, q0, 10))),
+      "knn_batch" -> (() => noop(KnnBatch.topK(emb, qBatch, 10))),
+      "ivf_build" -> (() => { ivf = IvfIndex.build(spark, emb, ivfDir, 16) }),
+      "ann_ivf_probe" -> (() => noop(ivf.search(q0, 10, 4))),
+      "near_dup_embeddings" -> (() =>
+        noop(Dedup.embeddingNearDupPairs(emb, 0.95))))
+
     var errors = List.empty[String]
-    val timings = probes.map { case (name, run) =>
+    val timings = (probes ++ vectorProbes).map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch {
         case e: Throwable =>
@@ -99,7 +123,7 @@ object ScaleProbe {
       .mkString("{", ",", "}")
     val ej = errors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"probe":"sf1-equiv","replication":$replication,""" +
-      s""""n_docs":$nDocs,"queries":$qj,""" +
+      s""""n_docs":$nDocs,"n_vecs":$nVecs,"queries":$qj,""" +
       s""""total_sec":${f"$total%.1f"},"errors":$ej}""")
     spark.stop()
   }

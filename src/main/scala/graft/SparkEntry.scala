@@ -334,6 +334,8 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))),
     "token_entropy"          -> ((s, d) =>
       TextAnalysis.tokenEntropy(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "bigram_logprob"         -> ((s, d) =>
+      TextAnalysis.bigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "pmi_bigrams"            -> ((s, d) =>
       TextAnalysis.pmiBigrams(tbl(s, d, "documents"))),
     // ---- LLM-data-pipeline: training-mix construction ----
@@ -388,6 +390,8 @@ object SparkEntry {
     "unigram_logprob"     -> "unigram",
     // bigram + unigram count tables ([[TextAnalysis.pmiBigrams]])
     "pmi_bigrams"         -> "pmi",
+    // per-(doc, bigram) counts ([[TextAnalysis.bigramLogprob]])
+    "bigram_logprob"      -> "bigramlm",
     // per-doc token counts reused across packing's two jobs
     // ([[TrainingMix.packSequences]])
     "seq_pack"            -> "seqpack",
@@ -1388,6 +1392,8 @@ object SparkEntry {
     "unigram_logprob" -> TextAnalysis.unigramLogprobOracleSql("documents"),
 
     "token_entropy" -> TextAnalysis.tokenEntropyOracleSql("documents"),
+
+    "bigram_logprob" -> TextAnalysis.bigramLogprobOracleSql("documents"),
 
     "pmi_bigrams" -> TextAnalysis.pmiBigramsOracleSql("documents", 5L, 100),
 

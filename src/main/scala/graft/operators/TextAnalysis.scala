@@ -581,6 +581,69 @@ object TextAnalysis {
        |    - list_reduce(l, (acc, x) -> acc + x) / n_tokens, 6) AS entropy_nats
        |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Per-doc bigram conditional LM score — the next rung of the LM-scoring
+    * ladder after [[unigramLogprob]]: avg over the doc's adjacent pairs of
+    * `ln P(y|x)` with the corpus MLE `P(y|x) = B(x,y) / L(x)` (L = x's
+    * bigram-LEFT marginal `Σ_y B(x,y)`, so probabilities condition only on
+    * observed continuations and sum to 1 per x). Catches word-salad that
+    * unigram scoring misses: common tokens in impossible orders score low
+    * here while scoring fine there.
+    *
+    * Plan shape: one adjacent-pair explode collapsed to (doc, bigram, c) —
+    * persisted, since the corpus counts roll up FROM it and the per-doc
+    * scoring joins back TO it — then two equi-joins against the (vocab²-
+    * bounded, AQE-broadcast) count tables. Parity: sorted-fold contract
+    * over the doc's distinct bigrams, string-keyed (`"x y"` sorts
+    * identically to (x, y) because ' ' precedes every token char). */
+  def bigramLogprob(documents: DataFrame): DataFrame = {
+    val staged = documents.select(col("doc_id"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val w = col("c.w")
+    val len = greatest(size(w) - 1, lit(0))
+    val pairs = staged.select(col("doc_id"), explode(zip_with(
+      slice(w, lit(1), len), slice(w, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val perDoc = graft.CacheRegistry.persist(
+      pairs.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c")))
+    val bc = perDoc.groupBy(col("bigram")).agg(sum(col("c")).as("b"))
+    val lm = bc
+      .groupBy(element_at(split(col("bigram"), " "), 1).as("x"))
+      .agg(sum(col("b")).as("lx"))
+    val scored = perDoc
+      .join(bc, Seq("bigram"))
+      .join(lm, element_at(split(col("bigram"), " "), 1) === col("x"))
+      .select(col("doc_id"), col("bigram"), col("c"),
+        (col("c") * log(col("b").cast("double") / col("lx"))).as("wlp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("bigram"), col("wlp")))).as("l"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(
+          aggregate(col("l"), lit(0.0), (acc, e) => acc + e.getField("wlp")) /
+            col("n_bigrams"), 6).as("avg_logp"))
+  }
+
+  /** DuckDB oracle for [[bigramLogprob]] (sorted-fold contract; same
+    * `c · ln(B/L)` term shape as [[unigramLogprobOracleSql]]). */
+  def bigramLogprobOracleSql(table: String): String =
+    s"""WITH p AS (SELECT doc_id, unnest(list_transform(
+       |    list_zip(w[1:len(w)-1], w[2:len(w)]),
+       |    q -> q[1] || ' ' || q[2])) AS bigram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $table)),
+       |pd AS (SELECT doc_id, bigram, COUNT(*) AS c FROM p GROUP BY 1, 2),
+       |bc AS (SELECT bigram, CAST(SUM(c) AS BIGINT) AS b FROM pd GROUP BY bigram),
+       |lm AS (SELECT string_split(bigram, ' ')[1] AS x,
+       |    CAST(SUM(b) AS BIGINT) AS lx FROM bc GROUP BY 1),
+       |s AS (SELECT pd.doc_id, pd.bigram, pd.c,
+       |    pd.c * ln(CAST(bc.b AS DOUBLE) / lm.lx) AS wlp
+       |  FROM pd JOIN bc USING (bigram)
+       |  JOIN lm ON string_split(pd.bigram, ' ')[1] = lm.x),
+       |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    list(wlp ORDER BY bigram) AS l FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  round(list_reduce(l, (acc, x) -> acc + x) / n_bigrams, 6) AS avg_logp
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** Bigram collocations by pointwise mutual information — the statistic
     * behind phrase/multi-word-expression mining for tokenizer vocabularies
     * (where [[bigramMerges]] ranks by raw frequency, PMI ranks by how much

@@ -79,6 +79,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(got(1).getAs[Double]("pmi") - pmi(2)) < 1e-6)
   }
 
+  test("bigramLogprob: hand-computed conditional scores with left-marginal MLE") {
+    val docs = Seq(
+      (1L, "a b a c"),
+      (2L, "a b")).toDF("doc_id", "text")
+    // bigrams: doc1 (a b)(b a)(a c), doc2 (a b); B: ab=2 ba=1 ac=1;
+    // L: a→3 (ab+ac), b→1 (ba)
+    val got = TextAnalysis.bigramLogprob(docs).orderBy("doc_id").collect()
+    graft.CacheRegistry.release()
+    assert(got.length == 2)
+    val d1 = (math.log(2.0 / 3) + math.log(1.0 / 1) + math.log(1.0 / 3)) / 3
+    val d2 = math.log(2.0 / 3)
+    assert(got(0).getAs[Long]("n_bigrams") == 3L)
+    assert(math.abs(got(0).getAs[Double]("avg_logp") - d1) < 1e-6,
+      s"doc1: ${got(0)}")
+    assert(math.abs(got(1).getAs[Double]("avg_logp") - d2) < 1e-6,
+      s"doc2: ${got(1)}")
+    // a single-token doc has no bigrams and must be absent, like the oracle
+    val single = Seq((9L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLogprob(single).count() == 0)
+    graft.CacheRegistry.release()
+  }
+
   test("near-dup clusters: transitive chains collapse to the min-id representative") {
     import graft.operators.Dedup
     // 1~2 (j=0.75) and 2~3 (j=0.6) but 1~3 only 0.4: the chain must still
