@@ -220,6 +220,10 @@ final class GraftEngine(val spark: SparkSession,
     * [[languageModelScore]]; low scores flag token-salad. */
   def fluencyScore(documents: DataFrame): DataFrame =
     TextAnalysis.bigramLogprob(documents)
+  /** Per-doc shingle novelty (share of 3-grams unique to the doc) — catches
+    * spread-out boilerplate that pairwise [[nearDupClusters]] misses. */
+  def noveltyReport(documents: DataFrame): DataFrame =
+    Dedup.ngramNovelty(documents)
   /** Bigram collocations by PMI — phrase mining for tokenizer vocabularies
     * (frequency-normalized counterpart of [[tokenizerMergeCandidates]]). */
   def collocations(documents: DataFrame, minCount: Long = 5L,

@@ -138,6 +138,8 @@ object SparkEntry {
       IvfIndex.forSfDir(s, d, NumClusters).vectors
         .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
         .orderBy(col("cluster"))),
+    "ivf_balance"            -> ((s, d) =>
+      IvfIndex.forSfDir(s, d, NumClusters).balanceReport),
     "ann_lsh_bucket"         -> ((s, d) =>
       LshAnn.assign(tbl(s, d, "embeddings"), EmbDim).orderBy(col("vec_id"))),
     "ann_lsh"                -> ((s, d) => {
@@ -318,6 +320,8 @@ object SparkEntry {
       TextAnalysis.unigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "contamination_flags"    -> ((s, d) =>
       Dedup.benchmarkContamination(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "ngram_novelty"          -> ((s, d) =>
+      Dedup.ngramNovelty(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "corpus_curate"          -> ((s, d) =>
       CorpusPipeline.curate(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     "doc_chunks"             -> ((s, d) =>
@@ -374,6 +378,7 @@ object SparkEntry {
     "near_dup_clusters"   -> "shingle",
     "contamination_flags" -> "shingle",
     "corpus_curate"       -> "shingle",
+    "ngram_novelty"       -> "shingle",
     // MinHash band buckets ([[Dedup.lshCandidatePairs]]) + the persisted
     // signature table ([[Dedup.minhashEstPairs]])
     "dedup_minhash"       -> "minhash",
@@ -842,6 +847,16 @@ object SparkEntry {
          |FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
+    "ivf_balance" ->
+      s"""WITH c AS (SELECT cluster, COUNT(*) AS n_vectors
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |  GROUP BY cluster),
+         |t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM c)
+         |SELECT cluster, n_vectors,
+         |  round(CAST(n_vectors AS DOUBLE) / total, 6) AS share,
+         |  round(CAST(n_vectors AS DOUBLE) * $NumClusters / total, 6) AS load_factor
+         |FROM c, t ORDER BY cluster""".stripMargin,
+
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
     // the bucket-partitioned serving path scans the SAME rows the flat path
     // scores (md5-derived hyperplanes ⇒ identical deterministic buckets), so
@@ -1062,6 +1077,20 @@ object SparkEntry {
          |FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
          |WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // df over the same posting relation the Jaccard family shares; the CASE
+    // sum is CAST (DuckDB types SUM(INTEGER) as HUGEINT — the r5 lesson,
+    // now linted by selfcheck.py)
+    "ngram_novelty" ->
+      s"""$NgramCte,
+         |df AS (SELECT lang, s, COUNT(DISTINCT doc_id) AS df
+         |  FROM p GROUP BY 1, 2),
+         |nov AS (SELECT p.doc_id, COUNT(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+         |  FROM p JOIN df ON p.lang = df.lang AND p.s = df.s GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_unique,
+         |  round(CAST(n_unique AS DOUBLE) / n_shingles, 6) AS novelty
+         |FROM nov ORDER BY doc_id""".stripMargin,
 
     "split_leak_pairs" -> {
       val hash = h60Sql(s"('${TextAnalysis.SplitSalt}#' || CAST(doc_id AS VARCHAR))")

@@ -261,6 +261,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Per-doc n-gram novelty — the inverse signal of near-duplication: the
+    * share of a doc's 3-gram shingles that appear in NO other same-language
+    * doc (`df = 1` over the corpus postings). Low novelty flags template /
+    * boilerplate-derived docs that pairwise Jaccard misses because the
+    * overlap is spread across MANY partners (each pair below threshold);
+    * high novelty marks genuinely fresh content worth keeping at curation
+    * time. Reuses the shingle family's ONE persisted posting subtree
+    * ([[shingledDocs]] → [[shinglePostings]]) — run inside the family, the
+    * document-frequency rollup is the only new work.
+    *
+    * Scale shape: df is a map-side-combinable aggregate on the (lang, hash)
+    * posting key; the join back is the same key — one shuffle each, never
+    * a self-join; output is one row per shingled doc. */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val posts = shinglePostings(shingledDocs(documents))
+    val df = posts.groupBy(col("lang"), col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    posts.join(df, Seq("lang", "s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** Near-dup survivor selection — the full dedup pipeline's last stage:
     * candidates (blocked shingle join) → verification (Jaccard ≥ τ) → keep
     * policy "drop any doc that duplicates a lower doc_id". One anti-join

@@ -46,6 +46,24 @@ final case class IvfIndex(
   def coarseProbes(query: Array[Float], nProbe: Int): Seq[Int] =
     IvfIndex.coarseProbes(centroids, query, nProbe)
 
+  /** Index-quality report: per-cluster population, corpus share, and load
+    * factor vs a perfectly balanced index (`n·k/total`; 1.0 = balanced,
+    * ≫1 = a hot cluster that will dominate every probe touching it — the
+    * observable behind nlist re-tuning and the skew-salting decision at
+    * 100 TB). One k-group aggregate over the inverted file + a one-row
+    * total broadcast back onto k rows. */
+  def balanceReport: DataFrame = {
+    val counts = vectors.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum(col("n_vectors")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cluster"), col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("total"), 6).as("share"),
+        round(col("n_vectors").cast("double") * numClusters / col("total"), 6)
+          .as("load_factor"))
+      .orderBy(col("cluster"))
+  }
+
   /** [[KnnSearchNode]]-based search: same coarse-prune-fine plan as [[search]],
     * but composed by the Catalyst rewrite rule ([[graft.plans.KnnSearchRewrite]],
     * SURVEY §4 item 2) instead of the API layer. Requires the session to carry

@@ -590,11 +590,15 @@ object TextAnalysis {
     * here while scoring fine there.
     *
     * Plan shape: one adjacent-pair explode collapsed to (doc, bigram, c) —
-    * persisted, since the corpus counts roll up FROM it and the per-doc
-    * scoring joins back TO it — then two equi-joins against the (vocab²-
-    * bounded, AQE-broadcast) count tables. Parity: sorted-fold contract
-    * over the doc's distinct bigrams, string-keyed (`"x y"` sorts
-    * identically to (x, y) because ' ' precedes every token char). */
+    * persisted, since BOTH corpus count tables roll up from it (the bigram
+    * count on the bigram's 60-bit hash, the left marginal directly on the
+    * left token's hash — no string splitting anywhere) and the per-doc
+    * scoring joins back to it on the same long keys (~3× smaller shuffle
+    * rows than string keys, the [[graft.operators.Dedup]] posting trick);
+    * AQE broadcasts the vocab²-bounded count sides. Parity: sorted-fold
+    * contract over the doc's distinct bigrams, string-ORDERED (`"x y"`
+    * sorts identically to (x, y) because ' ' precedes every token char);
+    * hash keys change join mechanics, not equality classes. */
   def bigramLogprob(documents: DataFrame): DataFrame = {
     val staged = documents.select(col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
@@ -602,16 +606,16 @@ object TextAnalysis {
     val len = greatest(size(w) - 1, lit(0))
     val pairs = staged.select(col("doc_id"), explode(zip_with(
       slice(w, lit(1), len), slice(w, lit(2), len),
-      (a, b) => concat(a, lit(" "), b))).as("bigram"))
-    val perDoc = graft.CacheRegistry.persist(
-      pairs.groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c")))
-    val bc = perDoc.groupBy(col("bigram")).agg(sum(col("c")).as("b"))
-    val lm = bc
-      .groupBy(element_at(split(col("bigram"), " "), 1).as("x"))
-      .agg(sum(col("b")).as("lx"))
+      (a, b) => struct(concat(a, lit(" "), b).as("bigram"), a.as("x")))).as("p"))
+    val perDoc = graft.CacheRegistry.persist(pairs
+      .groupBy(col("doc_id"), col("p.bigram").as("bigram"),
+        h60(col("p.bigram")).as("bh"), h60(col("p.x")).as("xh"))
+      .agg(count(lit(1)).as("c")))
+    val bc = perDoc.groupBy(col("bh")).agg(sum(col("c")).as("b"))
+    val lm = perDoc.groupBy(col("xh")).agg(sum(col("c")).as("lx"))
     val scored = perDoc
-      .join(bc, Seq("bigram"))
-      .join(lm, element_at(split(col("bigram"), " "), 1) === col("x"))
+      .join(bc, Seq("bh"))
+      .join(lm, Seq("xh"))
       .select(col("doc_id"), col("bigram"), col("c"),
         (col("c") * log(col("b").cast("double") / col("lx"))).as("wlp"))
     scored.groupBy(col("doc_id"))

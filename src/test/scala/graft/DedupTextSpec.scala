@@ -132,6 +132,26 @@ class DedupTextSpec extends SparkSpec {
     assert(all == plain)
   }
 
+  test("ngramNovelty: unique-shingle share by hand, lang-blocked df") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a b c d"),   // {a b c, b c d}; "a b c" shared with doc 2
+      (2L, "en", "a b c x"),   // {a b c, b c x}
+      (3L, "de", "a b c d"),   // same text, different lang → fully novel
+      (4L, "en", "hi")         // <3 tokens → no shingles, absent
+    ).map { case (id, lg, t) => (id, t, lg, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.ngramNovelty(docs).orderBy("doc_id").collect()
+    graft.CacheRegistry.release()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "doc 4 must be absent")
+    val byId = got.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+        r.getAs[Double]("novelty"))).toMap
+    assert(byId(1L) == ((2L, 1L, 0.5)))
+    assert(byId(2L) == ((2L, 1L, 0.5)))
+    assert(byId(3L) == ((2L, 2L, 1.0)), "df must be language-blocked")
+  }
+
   test("simhash: identical texts equal; near-dup within small hamming distance") {
     val sh = Dedup.simhashes(docsFixture).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -134,6 +134,20 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), "bounded-heap top-k agg expected")
   }
 
+  test("balanceReport: shares sum to 1, load factors average 1, counts agree") {
+    val rows = idx.balanceReport.collect()
+    assert(rows.length == idx.vectors.select("cluster").distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    val meanLoad = rows.map(_.getAs[Double]("load_factor")).sum / idx.numClusters
+    assert(math.abs(meanLoad - 1.0) < 1e-4,
+      s"mean load factor must be ~1 over all $meanLoad")
+    val counts = idx.vectors.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vectors") == counts(r.getInt(0)))
+    }
+  }
+
   test("index rebuild under fixed seed is deterministic") {
     val dirA = "target/ivf-test/rebuild-a"
     val dirB = "target/ivf-test/rebuild-b"

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "ivf_recall",  // exact side IS knn_batch (broadcast k-row query batch)
     "rerank_cosine", // stage 1 IS bm25_topk (one-row corpus-stats join)
     "q28_funnel",  // three one-row stage-count aggregates cross-joined
-    "pmi_bigrams") // one-row (N, M) totals cross-joined onto the pair table
+    "pmi_bigrams", // one-row (N, M) totals cross-joined onto the pair table
+    "ivf_balance") // one-row total cross-joined onto k cluster rows
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>
