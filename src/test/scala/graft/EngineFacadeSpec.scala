@@ -196,6 +196,35 @@ class EngineFacadeSpec extends SparkSpec {
     engine.releaseCaches()
   }
 
+  test("r6 facade surface: entropy, fluency, collocations, novelty, shard stream") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+    // entropy bounded by ln(n_types); fluency ≤ 0 (log-probs)
+    assert(engine.informationDensity(docs).collect().forall { r =>
+      val h = r.getAs[Double]("entropy_nats")
+      // h is 6-dp rounded, so it can sit up to 5e-7 above the exact bound
+      h >= 0.0 && h <= math.log(r.getAs[Long]("n_types").toDouble) + 1e-6
+    })
+    assert(engine.fluencyScore(docs).collect()
+      .forall(_.getAs[Double]("avg_logp") <= 1e-6))
+
+    // collocations respect minCount; novelty ratios in [0, 1]
+    assert(engine.collocations(docs, minCount = 3L, k = 20).collect()
+      .forall(_.getAs[Long]("n") >= 3L))
+    assert(engine.noveltyReport(docs).collect().forall { r =>
+      val nv = r.getAs[Double]("novelty"); nv >= 0.0 && nv <= 1.0
+    })
+
+    // streaming shard assignment matches the batch md5 contract per row
+    val assigned = engine.shardAssignStream(docs, 8) // stateless: batch-runnable
+    val want = graft.operators.TrainingMix.shuffleShards(docs, 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned.collect().forall(r => want(r.getLong(0)) == r.getInt(2)))
+    engine.releaseCaches()
+  }
+
   test("HashEmbedder is deterministic and L2-normalized") {
     val e = HashEmbedder(64)
     val a = e.embed("spark table scan merge")
