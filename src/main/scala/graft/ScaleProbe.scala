@@ -96,13 +96,25 @@ object ScaleProbe {
       .select(col("vec_id").as("query_id"), col("embedding"))
     val ivfDir = "target/scale-probe-ivf"
     var ivf: IvfIndex = null
+    var ivfWide: IvfIndex = null
     val vectorProbes: Seq[(String, () => Unit)] = Seq(
       "knn_exact" -> (() => noop(KnnExact.topK(emb, q0, 10))),
       "knn_batch" -> (() => noop(KnnBatch.topK(emb, qBatch, 10))),
       "ivf_build" -> (() => { ivf = IvfIndex.build(spark, emb, ivfDir, 16) }),
       "ann_ivf_probe" -> (() => noop(ivf.search(q0, 10, 4))),
       "near_dup_embeddings" -> (() =>
-        noop(Dedup.embeddingNearDupPairs(emb, 0.95))))
+        noop(Dedup.embeddingNearDupPairs(emb, 0.95))),
+      // the scale-correct near-dup form: block on IVF cluster with nlist
+      // GROWN with the corpus (16·K here, nlist ∝ √N in production) so
+      // block size — and with it the per-block pair count — stays bounded
+      // as the corpus grows; the label-blocked probe above is the contrast
+      // case (fixed block cardinality → quadratic pair growth)
+      "ivf_build_wide" -> (() => {
+        ivfWide = IvfIndex.build(spark, emb,
+          "target/scale-probe-ivf-wide", 16 * replication)
+      }),
+      "near_dup_ivf" -> (() =>
+        noop(Dedup.embeddingNearDupPairsBy(ivfWide.vectors, "cluster", 0.95))))
 
     var errors = List.empty[String]
     val timings = (probes ++ vectorProbes).map { case (name, run) =>

@@ -56,6 +56,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.bigramMerges(one, 10).count() == 0, "no adjacent pair")
   }
 
+  test("r6 operators on empty and degenerate corpora") {
+    val emptyFull = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextAnalysis.tokenEntropy(emptyFull).count() == 0)
+    assert(TextAnalysis.bigramLogprob(emptyFull).count() == 0)
+    assert(TextAnalysis.pmiBigrams(emptyFull, 1L, 10).count() == 0)
+    assert(Dedup.ngramNovelty(emptyFull).count() == 0)
+    graft.CacheRegistry.release()
+    // one single-token doc: entropy 0, no bigrams anywhere, no shingles
+    val one = Seq((1L, "solo", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = TextAnalysis.tokenEntropy(one).head()
+    assert(e.getAs[Long]("n_tokens") == 1L &&
+      e.getAs[Double]("entropy_nats") == 0.0)
+    assert(TextAnalysis.bigramLogprob(one).count() == 0)
+    assert(TextAnalysis.pmiBigrams(one, 1L, 10).count() == 0)
+    assert(Dedup.ngramNovelty(one).count() == 0, "<3 tokens → no shingles")
+    graft.CacheRegistry.release()
+  }
+
   test("batch kNN with an empty query batch returns empty") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val noQueries = Seq.empty[(Long, Seq[Float])].toDF("query_id", "embedding")
