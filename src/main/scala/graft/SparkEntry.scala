@@ -140,6 +140,8 @@ object SparkEntry {
         .orderBy(col("cluster"))),
     "ivf_balance"            -> ((s, d) =>
       IvfIndex.forSfDir(s, d, NumClusters).balanceReport),
+    "ivf_purity"             -> ((s, d) =>
+      IvfIndex.forSfDir(s, d, NumClusters).purityReport),
     "ann_lsh_bucket"         -> ((s, d) =>
       LshAnn.assign(tbl(s, d, "embeddings"), EmbDim).orderBy(col("vec_id"))),
     "ann_lsh"                -> ((s, d) => {
@@ -856,6 +858,23 @@ object SparkEntry {
          |  round(CAST(n_vectors AS DOUBLE) / total, 6) AS share,
          |  round(CAST(n_vectors AS DOUBLE) * $NumClusters / total, 6) AS load_factor
          |FROM c, t ORDER BY cluster""".stripMargin,
+
+    // window SUM is CAST to BIGINT (HUGEINT lint); majority = rank-1 row
+    // under the (n DESC, label) total order, same tie-break as the engine;
+    // the assign export carries (vec_id, cluster) only, so the label rides
+    // in from the embeddings table by vec_id
+    "ivf_purity" ->
+      s"""WITH cl AS (SELECT a.cluster, e.label, COUNT(*) AS n
+         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet') a
+         |  JOIN embeddings e ON a.vec_id = e.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT cluster, label, n,
+         |    CAST(SUM(n) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rk
+         |  FROM cl)
+         |SELECT cluster, label AS majority_label, cluster_n AS n_vectors,
+         |  round(CAST(n AS DOUBLE) / cluster_n, 6) AS purity
+         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin,
 
     "ann_lsh" -> LshAnn.searchOracleSql("embeddings", EmbDim, TopK, 0L),
     // the bucket-partitioned serving path scans the SAME rows the flat path

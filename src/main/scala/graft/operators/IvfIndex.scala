@@ -64,6 +64,28 @@ final case class IvfIndex(
       .orderBy(col("cluster"))
   }
 
+  /** Cluster-label agreement report: each cluster's majority label and its
+    * share (purity). With any labeled/categorized corpus this is the cheap
+    * external check that the index geometry tracks the semantics — a
+    * near-uniform purity row flags a cluster of mixed content whose probes
+    * will pull in noise. Per-cluster windows (PARTITION BY cluster) are
+    * parallel across clusters and ≤|labels| rows deep; one aggregate
+    * shuffle, no collects. */
+  def purityReport: DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+    val cl = vectors.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    cl.withColumn("cluster_n", sum(col("n")).over(byCluster))
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(desc("n"), asc("label"))))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("cluster_n").as("n_vectors"),
+        round(col("n").cast("double") / col("cluster_n"), 6).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
   /** [[KnnSearchNode]]-based search: same coarse-prune-fine plan as [[search]],
     * but composed by the Catalyst rewrite rule ([[graft.plans.KnnSearchRewrite]],
     * SURVEY §4 item 2) instead of the API layer. Requires the session to carry

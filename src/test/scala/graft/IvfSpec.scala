@@ -148,6 +148,25 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("purityReport: majority label is the per-cluster argmax, purity in (0,1]") {
+    val rows = idx.purityReport.collect()
+    val byClusterLabel = idx.vectors.groupBy("cluster", "label").count().collect()
+      .groupBy(_.getInt(0))
+    rows.foreach { r =>
+      val cluster = r.getInt(0)
+      val counts = byClusterLabel(cluster)
+        .map(x => x.getInt(1) -> x.getLong(2)).toMap
+      // argmax with (n DESC, label ASC) tie-break
+      val want = counts.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      assert(r.getInt(1) == want._1, s"cluster $cluster majority")
+      val purity = r.getAs[Double]("purity")
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(math.abs(purity - want._2.toDouble / counts.values.sum) < 1e-6)
+      assert(r.getAs[Long]("n_vectors") == counts.values.sum)
+    }
+    assert(rows.length == byClusterLabel.size, "one row per cluster")
+  }
+
   test("index rebuild under fixed seed is deterministic") {
     val dirA = "target/ivf-test/rebuild-a"
     val dirB = "target/ivf-test/rebuild-b"
