@@ -45,13 +45,19 @@ object ScaleProbe {
     spark.sparkContext.setCheckpointDir("target/scale-probe-ckpt")
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // per-copy id shift derived from the data, not assumed: a fixed constant
+    // would silently collide once base ids reach it (e.g. probing from an
+    // sf where doc_ids pass 1e7), corrupting every id-keyed probe
+    val docShift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
     val docs = (0 until replication).map { i =>
       if (i == 0) base
       else base.select(
-        (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(i * docShift)).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"),
-        col("lang"), col("source"),
-        length(col("text")).cast("long").as("n_chars"))
+        col("lang"), col("source"))
+        // n_chars must describe the MUTATED text (the prefixes add ~4 chars
+        // per token); computed after the select so it binds to the new column
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -61,8 +67,11 @@ object ScaleProbe {
       df.write.format("noop").mode("overwrite").save()
 
     import graft.operators._
-    // the slowest families from BENCH_r05, heaviest first is NOT the order —
-    // keep the Bench family order so persist lifecycles mirror the gate
+    // the slowest families from BENCH_r05. Note the lifecycle is stricter
+    // than Bench's: caches are released after EVERY probe (below), so each
+    // probe pays its family's full materialization itself — timings are
+    // conservative upper bounds vs the gate's family-scoped reuse, which is
+    // the right polarity for scale-robustness claims
     val probes: Seq[(String, () => Unit)] = Seq(
       "dedup_exact" -> (() => noop(Dedup.exact(docs))),
       "dedup_minhash" -> (() => noop(Dedup.minhashSignatures(docs))),
@@ -80,13 +89,27 @@ object ScaleProbe {
       "shard_pack" -> (() => noop(TrainingMix.packShards(docs, 64, 512L))),
       "shuffle_shards" -> (() => noop(TrainingMix.shuffleShards(docs, 64))))
 
-    // vector family at the same replication: identical embeddings under
-    // shifted vec_ids (k-means geometry unchanged — duplicated points move
-    // no centroid; search cost scales with rows, which is what we measure)
+    // vector family at the same replication. Each copy gets a per-copy
+    // PERMUTATION of the embedding dimensions: norm-preserving and
+    // within-copy geometry-identical (a permutation is a rotation), while
+    // cross-copy cosines decorrelate — so the scaled table behaves like
+    // K independent shards of "more data", NOT K exact duplicates of every
+    // point (which would hand the near-dup probes a synthetic quadratic
+    // dup mass and confound the blocking comparison below — the same
+    // adversarial-replication trap the text side avoids with token
+    // prefixes).
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
+    val vecShift = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
     val emb = (0 until replication).map { i =>
       if (i == 0) embBase
-      else embBase.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      else {
+        val perm = array((0 until dim).map(j =>
+          element_at(col("embedding"), ((j + 7 * i) % dim) + 1)): _*)
+        embBase
+          .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+          .withColumn("embedding", perm)
+      }
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -125,10 +148,13 @@ object ScaleProbe {
           errors ::= name
           false
       }
-      // same lifecycle rule as Bench/Verify: release shared subtrees between
-      // families so the probe measures each family's own working set
+      // stop the clock BEFORE the release — unpersist is harness bookkeeping,
+      // not query cost
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release after every probe (stricter than Bench's family boundaries —
+      // see the note above the probe list)
       CacheRegistry.release()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val total = timings.collect { case (_, v) if v >= 0 => v }.sum
     val qj = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

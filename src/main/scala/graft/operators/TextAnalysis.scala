@@ -597,8 +597,15 @@ object TextAnalysis {
     * rows than string keys, the [[graft.operators.Dedup]] posting trick);
     * AQE broadcasts the vocab²-bounded count sides. Parity: sorted-fold
     * contract over the doc's distinct bigrams, string-ORDERED (`"x y"`
-    * sorts identically to (x, y) because ' ' precedes every token char);
-    * hash keys change join mechanics, not equality classes. */
+    * sorts identically to (x, y) because ' ' precedes every token char).
+    * Hash-key caveat: 60-bit keys make collisions merge two bigrams'
+    * counts — negligible below ~10^8 distinct bigrams (birthday bound
+    * n²/2^61) and gate-verified exact at test scales, but at ~10^9
+    * distinct bigrams expected collisions reach order 1; a deployment at
+    * that vocabulary scale should widen the key (hash128 or (h60, bigram)
+    * composite) if bit-exactness against a string-keyed reference is
+    * required — the scores themselves shift by O(1/n) and no top-k rank
+    * at realistic counts. */
   def bigramLogprob(documents: DataFrame): DataFrame = {
     val staged = documents.select(col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))

@@ -258,7 +258,12 @@ object EventStreams {
     * candidate stage times and recompute, at 3× the state).
     *
     * State size: O(#users) × 32 bytes; an idle timeout would bound it in a
-    * 24/7 deployment. */
+    * 24/7 deployment. NOTE: adding `seen` changed the state encoder schema
+    * vs the pre-guard 3-field [[FunnelState]] — a checkpoint written by
+    * that version cannot be resumed by this one (Spark state-store schemas
+    * are not migratable in place); restart such a pipeline from a fresh
+    * checkpoint with a batch backfill, the standard stateful-upgrade
+    * procedure. */
   def funnelStateful(events: Dataset[FunnelEvent]): Dataset[UserFunnel] = {
     import events.sparkSession.implicits._
     events
