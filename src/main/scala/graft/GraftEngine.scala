@@ -224,6 +224,10 @@ final class GraftEngine(val spark: SparkSession,
     * spread-out boilerplate that pairwise [[nearDupClusters]] misses. */
   def noveltyReport(documents: DataFrame): DataFrame =
     Dedup.ngramNovelty(documents)
+  /** Per-language quality-score distribution (exact percentiles) — consult
+    * before choosing [[keepTopQualityPerLang]]'s cut. */
+  def qualityDistribution(documents: DataFrame): DataFrame =
+    TextAnalysis.qualityPercentiles(documents)
   /** Bigram collocations by PMI — phrase mining for tokenizer vocabularies
     * (frequency-normalized counterpart of [[tokenizerMergeCandidates]]). */
   def collocations(documents: DataFrame, minCount: Long = 5L,

@@ -295,6 +295,8 @@ object SparkEntry {
     // ---- LLM-data-pipeline: text analysis ----
     "text_quality"           -> ((s, d) =>
       TextAnalysis.quality(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "quality_percentiles"    -> ((s, d) =>
+      TextAnalysis.qualityPercentiles(tbl(s, d, "documents"))),
     "lang_id"                -> ((s, d) =>
       TextAnalysis.languageId(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "doc_fingerprint"        -> ((s, d) =>
@@ -1442,6 +1444,8 @@ object SparkEntry {
     "token_entropy" -> TextAnalysis.tokenEntropyOracleSql("documents"),
 
     "bigram_logprob" -> TextAnalysis.bigramLogprobOracleSql("documents"),
+
+    "quality_percentiles" -> TextAnalysis.qualityPercentilesOracleSql("documents"),
 
     "pmi_bigrams" -> TextAnalysis.pmiBigramsOracleSql("documents", 5L, 100),
 

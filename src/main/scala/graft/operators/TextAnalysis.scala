@@ -392,6 +392,78 @@ object TextAnalysis {
         coalesce(col("tid"), lit(0)).as("tid"))
   }
 
+  /** Per-language distribution of the uniqueness ratio (distinct/total
+    * tokens, the [[graft.operators.TrainingMix.topQualityPerLang]] ranking
+    * signal): exact interpolated p10/p25/p50/p75/p90 — the table you consult
+    * BEFORE choosing a quality cut, instead of guessing a threshold and
+    * counting casualties. Percentiles run over the 6-dp ROUNDED ratio (the
+    * engine-wide rank contract); the interpolation itself is written out
+    * EXPLICITLY over the sorted per-group list with the same expression
+    * shape in both engines — built-in `percentile` vs `quantile_cont`
+    * associate the lerp differently (`lo + f·(hi−lo)` vs `(1−f)·lo + f·hi`)
+    * and the last-ulp difference flips 6-dp rounding on half-way values
+    * (observed at sf0.01: p25 0.358499 vs 0.3585). Groups are languages,
+    * so each group's sort is parallel across languages; the per-group
+    * buffered list is the same memory shape built-in percentile() keeps
+    * (at 100 TB both yield to approx sketches — declared trade-off,
+    * [[Relational.eventPercentiles]]). */
+  def qualityPercentiles(documents: DataFrame): DataFrame = {
+    val staged = documents.select(col("lang"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val scored = staged.select(col("lang"),
+      round(size(array_distinct(col("c.w"))).cast("double") /
+        size(col("c.w")), 6).as("uniq_ratio"))
+    // explicit interpolated order statistic over the sorted list:
+    // h = (n−1)·p; v = l[⌊h⌋+1] + (h−⌊h⌋)·(l[min(⌊h⌋+2, n)] − l[⌊h⌋+1]).
+    // Output rounding is floor(x·10⁶ + 0.5)/10⁶, NEVER round(): lerping
+    // 6-dp lattice inputs at frac .5 lands exactly half-way at the 7th
+    // decimal, where the engines' round() semantics differ (the mix_sample
+    // contract, observed here: 0.3584995 → 0.358499 vs 0.3585)
+    def pct(l: Column, p: Double): Column = {
+      val n = size(l)
+      val h = (n - 1).cast("double") * lit(p)
+      val lo = floor(h).cast("int")
+      val lower = element_at(l, lo + 1)
+      val upper = element_at(l, least(lo + 2, n))
+      val v = lower + (h - lo.cast("double")) * (upper - lower)
+      floor(v * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)
+    }
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("uniq_ratio"))).as("l"))
+      .select(col("lang"), col("n_docs"),
+        pct(col("l"), 0.1).as("p10"), pct(col("l"), 0.25).as("p25"),
+        pct(col("l"), 0.5).as("p50"), pct(col("l"), 0.75).as("p75"),
+        pct(col("l"), 0.9).as("p90"))
+      .orderBy(col("lang"))
+  }
+
+  /** DuckDB oracle for [[qualityPercentiles]] — the SAME explicit lerp,
+    * term-for-term, over `list(… ORDER BY …)`. */
+  def qualityPercentilesOracleSql(table: String): String = {
+    def pct(p: Double): String =
+      s"""floor((l[CAST(floor((n - 1) * CAST($p AS DOUBLE)) AS BIGINT) + 1]
+         |  + ((n - 1) * CAST($p AS DOUBLE)
+         |      - floor((n - 1) * CAST($p AS DOUBLE)))
+         |    * (l[LEAST(CAST(floor((n - 1) * CAST($p AS DOUBLE)) AS BIGINT) + 2, n_docs)]
+         |       - l[CAST(floor((n - 1) * CAST($p AS DOUBLE)) AS BIGINT) + 1]))
+         |  * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         |  / CAST(1000000 AS DOUBLE)"""
+        .stripMargin.replace("\n", " ")
+    s"""WITH s AS (SELECT lang,
+       |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')), 6) AS uniq_ratio
+       |  FROM $table),
+       |g AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    list(uniq_ratio ORDER BY uniq_ratio) AS l
+       |  FROM s GROUP BY lang)
+       |SELECT lang, n_docs,
+       |  ${pct(0.1)} AS p10, ${pct(0.25)} AS p25, ${pct(0.5)} AS p50,
+       |  ${pct(0.75)} AS p75, ${pct(0.9)} AS p90
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   /** Salt for [[langBalancedSample]]. */
   val SampleSalt = "graftsample"
 

@@ -79,6 +79,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(got(1).getAs[Double]("pmi") - pmi(2)) < 1e-6)
   }
 
+  test("qualityPercentiles: exact interpolated quartiles on a hand corpus") {
+    // uniq ratios: "a a" → 0.5, "a b" → 1.0, "a b a b" → 0.5, "a b c d" → 1.0
+    // en has [0.5, 1.0]: p50 = 0.75 (midpoint interpolation), p10 = 0.55
+    val docs = Seq(
+      (1L, "a a", "en"), (2L, "a b", "en"),
+      (3L, "a b a b", "de"), (4L, "a b c d", "de"), (5L, "x y z", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityPercentiles(docs).orderBy("lang").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("de", "en"))
+    val en = got(1)
+    assert(en.getAs[Long]("n_docs") == 2L)
+    assert(en.getAs[Double]("p50") == 0.75)
+    assert(math.abs(en.getAs[Double]("p10") - 0.55) < 1e-9)
+    // de has [0.5, 1.0, 1.0]: p50 = 1.0, p25 = 0.75
+    val de = got(0)
+    assert(de.getAs[Double]("p50") == 1.0 && de.getAs[Double]("p25") == 0.75)
+  }
+
   test("bigramLogprob: hand-computed conditional scores with left-marginal MLE") {
     val docs = Seq(
       (1L, "a b a c"),
