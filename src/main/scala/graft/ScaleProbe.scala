@@ -101,11 +101,21 @@ object ScaleProbe {
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = embBase.select(size(col("embedding"))).head().getInt(0)
     val vecShift = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    // shift STEP must be coprime to dim: with the old fixed step 7, any copy
+    // i with 7i ≡ 0 (mod dim) — e.g. dim=70, i=10 — would get the identity
+    // permutation and be an EXACT duplicate of the base under new ids,
+    // exactly the adversarial K-dup mass this construction exists to avoid.
+    // A coprime step s makes s·i ≡ 0 (mod dim) impossible for 0<i<dim, which
+    // the require guards (dim is read from data, not assumed).
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val shiftStep = (3 until dim).find(s => s % 2 == 1 && gcd(s, dim) == 1).getOrElse(1)
+    require(replication <= dim,
+      s"replication $replication exceeds dim $dim: some copies would repeat a shift")
     val emb = (0 until replication).map { i =>
       if (i == 0) embBase
       else {
         val perm = array((0 until dim).map(j =>
-          element_at(col("embedding"), ((j + 7 * i) % dim) + 1)): _*)
+          element_at(col("embedding"), ((j + shiftStep * i) % dim) + 1)): _*)
         embBase
           .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
           .withColumn("embedding", perm)
@@ -139,8 +149,73 @@ object ScaleProbe {
       "near_dup_ivf" -> (() =>
         noop(Dedup.embeddingNearDupPairsBy(ivfWide.vectors, "cluster", 0.95))))
 
+    // ---- relational/events family (r6 verdict gap #2: q01-q29 had zero
+    // scale evidence, and it was exactly the family whose driver-bench
+    // numbers degraded under ambient load with no independent datapoint to
+    // fall back on). The Relational query code reads from an sfDir, so the
+    // probe materializes a replicated directory under target/ (untimed) and
+    // runs the EXACT production query functions against it — same code path
+    // the gate measures, not probe-local re-implementations.
+    //
+    // Decorrelation discipline (same as the doc/vector probes): fact keys
+    // shift by a disjoint range per copy so no key collides across copies;
+    // amounts perturb by a tiny per-copy offset so no value distribution is
+    // K identical spikes. lineitem and orders shift l_orderkey/o_orderkey by
+    // the SAME per-copy delta, preserving the join fan-out exactly (each
+    // order still matches its own lineitems and nothing else). Customers are
+    // NOT replicated — "same customers, 10× the orders" is the realistic
+    // growth axis, and it keeps the q03 star join's dim sides constant like
+    // production. events shift user_id too: sessionization (q11) and funnel
+    // (q28) state grows with user count, not just events-per-user.
+    val relDir = "target/scale-probe-rel"
+    val relBase = "target/scale-probe-rel-base"
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o  = spark.read.parquet(s"$sfDir/orders.parquet")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val okShift  = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      val eidShift = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val uidShift = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+      def replicate(base: DataFrame)(mut: (DataFrame, Int) => DataFrame): DataFrame =
+        (0 until replication).map(i => if (i == 0) base else mut(base, i))
+          .reduce(_ unionByName _)
+      val liK = replicate(li) { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * okShift))
+          .withColumn("l_extendedprice", col("l_extendedprice") + lit(i * 0.013))
+      }
+      val oK = replicate(o) { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * okShift))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(i * 0.017))
+      }
+      val evK = replicate(ev) { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * eidShift))
+          .withColumn("user_id", col("user_id") + lit(i * uidShift))
+          .withColumn("value", col("value") + lit(i * 0.011))
+      }
+      // both dirs written fresh (untimed): the 1× point re-uses the same
+      // parquet layout/compression as the 10× point, so the two timings
+      // differ only in row count — reading the pristine sfDir for the 1×
+      // point would confound codec/row-group differences into the ratio
+      def writeT(dir: String, name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      for (d <- Seq("customer", "nation", "region", "supplier", "part");
+           dir <- Seq(relDir, relBase))
+        writeT(dir, d, spark.read.parquet(s"$sfDir/$d.parquet"))
+      writeT(relDir, "lineitem", liK); writeT(relBase, "lineitem", li)
+      writeT(relDir, "orders", oK);    writeT(relBase, "orders", o)
+      writeT(relDir, "events", evK);   writeT(relBase, "events", ev)
+    }
+    val relQueries = Seq("q01_pricing_summary", "q03_region_revenue",
+      "q09_events_hourly", "q11_user_sessions", "q12_props_extract",
+      "q13_rollup_returns", "q26_order_event_outer", "q28_funnel")
+    val relationalProbes: Seq[(String, () => Unit)] =
+      relQueries.map { q => s"rel1x_$q" ->
+        (() => noop(SparkEntry.queries(q)(spark, relBase))) } ++
+      relQueries.map { q => s"rel10x_$q" ->
+        (() => noop(SparkEntry.queries(q)(spark, relDir))) }
+
     var errors = List.empty[String]
-    val timings = (probes ++ vectorProbes).map { case (name, run) =>
+    val timings = (probes ++ vectorProbes ++ relationalProbes).map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch {
         case e: Throwable =>

@@ -10,7 +10,8 @@ class BenchFormatSpec extends AnyFunSuite {
   private val line = Bench.summaryLine(
     warmTotal = 57.0714, coldTotal = 70.5161, nQueries = 73,
     errors = Seq("zeta_q", "alpha_q"), sfDir = "/root/testdata/sf0.1",
-    sparkVersion = "4.1.2", cpus = "32", cacheHighWater = 1386200L)
+    sparkVersion = "4.1.2", cpus = "32", cacheHighWater = 1386200L,
+    flags = Seq("warm1_load"), inversions = 2, sentinelSpread = 1.3172)
 
   test("summary line is compact (fits any sane tail-capture window)") {
     assert(line.length < 512, s"summary line too long (${line.length}): $line")
@@ -21,9 +22,30 @@ class BenchFormatSpec extends AnyFunSuite {
     Seq("\"metric\":\"total\"", "\"value\":57.071", "\"unit\":\"sec\"",
       "\"cold_sec\":70.516", "\"warm_sec\":57.071", "\"n_queries\":73",
       "\"errors\":[\"alpha_q\",\"zeta_q\"]", "\"sf\":\"/root/testdata/sf0.1\"",
-      "\"spark\":\"4.1.2\"", "\"cpus\":32", "\"cache_high_water_bytes\":1386200")
+      "\"spark\":\"4.1.2\"", "\"cpus\":32", "\"cache_high_water_bytes\":1386200",
+      "\"flags\":[\"warm1_load\"]", "\"inversions\":2", "\"sentinel_spread\":1.317")
       .foreach(f => assert(line.contains(f), s"missing $f in $line"))
     assert(!line.contains("queries_warm") && !line.contains("knn_exact"))
+  }
+
+  test("a clean run renders empty flags and zero inversions (self-defense)") {
+    val clean = Bench.summaryLine(10.0, 12.0, 5, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Nil, inversions = 0, sentinelSpread = 1.08)
+    assert(clean.contains("\"flags\":[]") && clean.contains("\"inversions\":0"))
+    assert(clean.contains("\"sentinel_spread\":1.080"))
+  }
+
+  test("inversionCount: warm>2×cold above the floor, skipping micro + failed") {
+    val cold = Seq("big" -> 1.0, "micro" -> 0.05, "fail" -> -1.0,
+      "ok" -> 2.0, "edge" -> 0.2)
+    val warm = Seq("big" -> 5.6,  // genuine inversion (r6 q13 shape)
+      "micro" -> 0.25,            // >2× but below the 0.3 s floor — jitter
+      "fail" -> 3.0,              // cold failed: never counts
+      "ok" -> 1.5,                // warm < cold — the healthy case
+      "edge" -> 0.41)             // 0.41 > 2×0.2 and above floor — counts
+    assert(Bench.inversionCount(cold, warm) == 2)
+    // a query missing from cold entirely never counts
+    assert(Bench.inversionCount(Nil, Seq("x" -> 9.0)) == 0)
   }
 
   test("timings render fixed-point 3-dp, never scientific notation") {
