@@ -83,6 +83,16 @@ object ScaleProbe {
       "contamination_flags" -> (() => noop(Dedup.benchmarkContamination(docs))),
       "corpus_curate" -> (() => noop(CorpusPipeline.curate(docs))),
       "unigram_logprob" -> (() => noop(TextAnalysis.unigramLogprob(docs))),
+      // not a timing probe so much as a scale-gated invariant: bigramLogprob
+      // keys its count tables on 60-bit hashes, and this asserts injectivity
+      // over the scaled corpus' actual bigram/token sets (collision would
+      // silently merge two bigrams' counts — the documented caveat at
+      // TextAnalysis.bigramLogprob, here enforced where scale grows)
+      "bigram_hash_audit" -> (() => {
+        val r = TextAnalysis.bigramHashAudit(docs).head()
+        require(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3),
+          s"60-bit hash collision at probe scale: $r")
+      }),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),

@@ -678,14 +678,38 @@ object TextAnalysis {
     * composite) if bit-exactness against a string-keyed reference is
     * required — the scores themselves shift by O(1/n) and no top-k rank
     * at realistic counts. */
-  def bigramLogprob(documents: DataFrame): DataFrame = {
+  /** Adjacent-pair explode shared by [[bigramLogprob]] and
+    * [[bigramHashAudit]]: (doc_id, p.bigram = "x y", p.x = left token). */
+  private def adjacentPairs(documents: DataFrame): DataFrame = {
     val staged = documents.select(col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
     val w = col("c.w")
     val len = greatest(size(w) - 1, lit(0))
-    val pairs = staged.select(col("doc_id"), explode(zip_with(
+    staged.select(col("doc_id"), explode(zip_with(
       slice(w, lit(1), len), slice(w, lit(2), len),
       (a, b) => struct(concat(a, lit(" "), b).as("bigram"), a.as("x")))).as("p"))
+  }
+
+  /** Enforces the 60-bit hash-key caveat documented on [[bigramLogprob]]:
+    * the operator's count tables key on `h60(bigram)` / `h60(x)`, which is
+    * only equivalent to string keying while the hash is injective over the
+    * corpus' actual key sets. This audit measures exactly that —
+    * `n_bigrams == n_bh && n_x == n_xh` means zero collisions, so the
+    * hash-keyed engine output provably matches a string-keyed reference on
+    * THIS corpus. One countDistinct aggregate over the same pair explode the
+    * operator runs; cheap enough to gate tests and scale probes, kept out of
+    * the operator's own hot path. Run it wherever the operator meets a new
+    * corpus scale (birthday bound: expected collisions ≈ n²/2^61 reach
+    * order 1 near 10^9 distinct bigrams). */
+  def bigramHashAudit(documents: DataFrame): DataFrame =
+    adjacentPairs(documents).agg(
+      countDistinct(col("p.bigram")).as("n_bigrams"),
+      countDistinct(h60(col("p.bigram"))).as("n_bh"),
+      countDistinct(col("p.x")).as("n_x"),
+      countDistinct(h60(col("p.x"))).as("n_xh"))
+
+  def bigramLogprob(documents: DataFrame): DataFrame = {
+    val pairs = adjacentPairs(documents)
     val perDoc = graft.CacheRegistry.persist(pairs
       .groupBy(col("doc_id"), col("p.bigram").as("bigram"),
         h60(col("p.bigram")).as("bh"), h60(col("p.x")).as("xh"))

@@ -233,12 +233,31 @@ object EventStreams {
   /** Per-user funnel progress: first view, first click strictly after it,
     * first purchase strictly after that (0 = stage not reached). `seen` is
     * the max event time folded so far — the ordered-arrival contract guard
-    * (see [[funnelStateful]]). */
+    * (see [[funnelStateful]]); `nLate` counts events dropped under
+    * [[DropAndCount]] (always 0 under [[FailOnDisorder]]). */
   final case class FunnelState(tView: Long, tClick: Long, tBuy: Long,
-      seen: Long = 0L)
-  /** Emitted per user per micro-batch: stage flags so far. */
+      seen: Long = 0L, nLate: Long = 0L)
+  /** Emitted per user per micro-batch: stage flags so far, plus the user's
+    * cumulative dropped-late-event count (the [[DropAndCount]] metric; 0
+    * under the default fail-fast policy). */
   final case class UserFunnel(user_id: Long, viewed: Boolean, clicked: Boolean,
-      purchased: Boolean)
+      purchased: Boolean, n_late: Long = 0L)
+
+  /** What [[funnelStateful]] does when a micro-batch delivers an event older
+    * than the per-user folded horizon (a violation of the time-ordered-
+    * arrival contract the fold's correctness rests on). */
+  sealed trait DisorderPolicy
+  /** Fail the query with a diagnostic (default): divergence from the batch
+    * funnel becomes an immediate outage, never a silently-wrong dashboard. */
+  case object FailOnDisorder extends DisorderPolicy
+  /** Drop the late events and surface the count in `UserFunnel.n_late`: a
+    * marginally-unordered source degrades to a visible data-loss metric a
+    * monitor can alert on, instead of an outage (ADVICE r6). The funnel
+    * flags then reflect the ON-TIME prefix of the stream only — pick this
+    * policy only where that approximation is acceptable; a genuinely
+    * unordered source should instead keep candidate stage times and
+    * recompute, at 3× the state. */
+  case object DropAndCount extends DisorderPolicy
 
   /** Streaming funnel progression — the incremental twin of the batch
     * ordered funnel (`Relational.conversionFunnel`, q28): per user, carry
@@ -251,32 +270,41 @@ object EventStreams {
     * [[sessionizeStateful]], guaranteed upstream by watermark + source
     * order; the spec drives a checkpointed time-split restart). Within a
     * batch the fold sorts, so only CROSS-batch regressions can violate the
-    * contract — and those are ENFORCED: state carries the max folded event
-    * time and a batch whose events predate it fails the query with a clear
-    * message instead of silently diverging from batch q28 (ADVICE r5; a
-    * deployment with a genuinely unordered source should instead keep
-    * candidate stage times and recompute, at 3× the state).
+    * contract — and those are ENFORCED under the default [[FailOnDisorder]]
+    * policy: state carries the max folded event time and a batch whose
+    * events predate it fails the query with a clear message instead of
+    * silently diverging from batch q28 (ADVICE r5). [[DropAndCount]] trades
+    * that outage for a visible per-user `n_late` metric (ADVICE r6).
     *
-    * State size: O(#users) × 32 bytes; an idle timeout would bound it in a
-    * 24/7 deployment. NOTE: adding `seen` changed the state encoder schema
-    * vs the pre-guard 3-field [[FunnelState]] — a checkpoint written by
-    * that version cannot be resumed by this one (Spark state-store schemas
-    * are not migratable in place); restart such a pipeline from a fresh
-    * checkpoint with a batch backfill, the standard stateful-upgrade
+    * State size: O(#users) × 40 bytes; an idle timeout would bound it in a
+    * 24/7 deployment. NOTE: the state encoder schema has changed twice
+    * (r6 added `seen`, r7 added `nLate`) — a checkpoint written by an older
+    * [[FunnelState]] cannot be resumed by this one (Spark state-store
+    * schemas are not migratable in place); restart such a pipeline from a
+    * fresh checkpoint with a batch backfill, the standard stateful-upgrade
     * procedure. */
-  def funnelStateful(events: Dataset[FunnelEvent]): Dataset[UserFunnel] = {
+  def funnelStateful(events: Dataset[FunnelEvent],
+      policy: DisorderPolicy = FailOnDisorder): Dataset[UserFunnel] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, UserFunnel](GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
           var st = gs.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          val batch = it.toArray.sortBy(e => (e.sec, e.event_type))
-          if (batch.nonEmpty && batch.head.sec < st.seen)
-            throw new IllegalStateException(
-              s"funnelStateful: user $uid received event at t=${batch.head.sec} " +
-                s"after folding t=${st.seen} — per-user time-ordered arrival " +
-                "across micro-batches is a contract of this operator")
+          val sorted = it.toArray.sortBy(e => (e.sec, e.event_type))
+          // late = older than the folded horizon; the batch-local sort means
+          // all late events sit at the head, so this split is the whole check
+          val (late, batch) = sorted.partition(_.sec < st.seen)
+          if (late.nonEmpty) policy match {
+            case FailOnDisorder =>
+              throw new IllegalStateException(
+                s"funnelStateful: user $uid received event at t=${late.head.sec} " +
+                  s"after folding t=${st.seen} — per-user time-ordered arrival " +
+                  "across micro-batches is a contract of this operator " +
+                  "(use DropAndCount to degrade to a drop metric instead)")
+            case DropAndCount =>
+              st = st.copy(nLate = st.nLate + late.length)
+          }
           batch.foreach { e =>
             st = st.copy(seen = math.max(st.seen, e.sec))
             e.event_type match {
@@ -292,7 +320,8 @@ object EventStreams {
             }
           }
           gs.update(st)
-          UserFunnel(uid, st.tView != 0L, st.tClick != 0L, st.tBuy != 0L)
+          UserFunnel(uid, st.tView != 0L, st.tClick != 0L, st.tBuy != 0L,
+            st.nLate)
       }
   }
 

@@ -328,6 +328,45 @@ class StreamingSpec extends SparkSpec {
       s"expected the contract-guard message in the cause chain, got: $e")
   }
 
+  test("stateful funnel DropAndCount drops late events into n_late, no outage") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{DropAndCount, FunnelEvent, UserFunnel}
+    val dir = Files.createTempDirectory(Paths.get("target"), "funnel-drop-src").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "funnel-drop-ckpt").toString
+    val updates = scala.collection.mutable.ArrayBuffer.empty[UserFunnel]
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, sec LONG, event_type STRING")
+        .parquet(dir)
+        .as[FunnelEvent]
+      val q = graft.streaming.EventStreams.funnelStateful(stream, DropAndCount)
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[UserFunnel], _: Long) =>
+            updates ++= batch.collect(); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Seq((1L, 100L, "view")).toDF("user_id", "sec", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    // the same regression FailOnDisorder turns into an outage: here the late
+    // click (t=50 < folded 100) must be dropped and counted, the on-time
+    // click (t=150) must still advance the funnel
+    Seq((1L, 50L, "click"), (1L, 150L, "click"))
+      .toDF("user_id", "sec", "event_type")
+      .coalesce(1).write.mode("append").parquet(dir)
+    runOnce()
+    val last = updates.last
+    assert(last == UserFunnel(1L, viewed = true, clicked = true,
+      purchased = false, n_late = 1L),
+      s"late event must drop into n_late, on-time must fold: $updates")
+  }
+
   test("watermark-bounded streaming dedup suppresses dupes within the horizon") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"), lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))

@@ -119,6 +119,17 @@ class TextPipelineSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("bigramHashAudit: h60 is injective over the corpus bigram/token sets") {
+    // the invariant bigramLogprob's hash-keyed count tables rely on (its
+    // scaladoc documents the ~1e9-bigram birthday bound; this enforces the
+    // zero-collision end wherever tests run, ScaleProbe enforces it at 10×)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val r = TextAnalysis.bigramHashAudit(docs).head()
+    assert(r.getLong(0) > 0, s"audit must see a real corpus: $r")
+    assert(r.getLong(0) == r.getLong(1), s"bigram hash collision: $r")
+    assert(r.getLong(2) == r.getLong(3), s"left-token hash collision: $r")
+  }
+
   test("near-dup clusters: transitive chains collapse to the min-id representative") {
     import graft.operators.Dedup
     // 1~2 (j=0.75) and 2~3 (j=0.6) but 1~3 only 0.4: the chain must still
