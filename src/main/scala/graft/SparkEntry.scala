@@ -363,7 +363,19 @@ object SparkEntry {
       TrainingMix.packShards(tbl(s, d, "documents"), ShuffleShards, PackBudget)),
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
-      Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id")))
+      Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "multimodal_knn"         -> ((s, d) => {
+      // the composed media pipeline, reference entry-point-1 semantics
+      // (IVF.cpp:648-708) over a multimodal column: payload → decode
+      // (FakeDecoder, portable-hash stub) → frame embedding (HashEmbedder
+      // contract) → batched exact kNN against the embedding corpus. The
+      // 3 query frames ride the broadcast side; the corpus is scanned once.
+      val queries = Multimodal.frameEmbeddings(s,
+          Multimodal.withPayload(tbl(s, d, "documents").where(col("doc_id") < 3)))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      KnnBatch.topK(tbl(s, d, "embeddings"), queries, 5)
+        .orderBy(col("query_id"), col("rn"))
+    })
   )
 
   /** Cache-sharing family of each query: members share operator-persisted
@@ -1312,6 +1324,24 @@ object SparkEntry {
     },
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents"),
+
+    // composed decode→embed→kNN: the query frames' embeddings are re-derived
+    // in SQL from the portable decode/embed contract (md5-based, see
+    // Multimodal.frameEmbeddingQuerySql), then brute-force ranked exactly
+    // like knn_batch
+    "multimodal_knn" ->
+      s"""WITH ${Multimodal.frameEmbeddingQuerySql("doc_id < 3")},
+         |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings),
+         |scored AS (SELECT q.query_id, e.vec_id, e.label,
+         |    round(list_dot_product(e.v, q.v) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |  FROM e, q),
+         |ranked AS (SELECT query_id, vec_id, label, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     // training-mix rollup: GROUPING() markers make the sort total (q24 rule);
     // integer sums cast to BIGINT (DuckDB SUM(int) is HUGEINT)

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (builder iteration
+    // on one query without the full 100-query dump); absent = run everything
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
@@ -25,10 +29,11 @@ object Verify {
     // Bench — round-5 review: two hand-maintained copies of the boundary
     // rule would let timings drift from the discipline correctness ran under)
     SparkEntry.foreachOrdered { (name, fn) =>
+      if (!only.forall(_.contains(name))) ()
       // plain parallel write — the comparator reads the whole directory and
       // sorts rows itself, so funneling each result through one task via
       // coalesce(1) bought nothing and serialized the dump at sf1+ (r5 item 6)
-      try fn(spark, sfDir).write.mode("overwrite")
+      else try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -26,20 +26,23 @@ object Multimodal {
   /** Deterministic fake decoder standing in for libjpeg/ffmpeg: derives
     * plausible dimensions + a checksum from the payload bytes alone.
     * Replace `decode` with a real codec call at the `???`-boundary; signature
-    * and batch shape stay fixed. */
+    * and batch shape stay fixed.
+    *
+    * The stub's formulas are the PORTABLE hashes ([[graft.functions
+    * .PortableHash]], md5-derived) so (a) a decoded [[Frame]] is bit-identical
+    * to the columnar [[metadata]] projection (consistency is tested), and
+    * (b) the composed decode→embed→kNN query (`multimodal_knn`) is
+    * reproducible in the DuckDB oracle down to the hash. */
   object FakeDecoder {
     def decode(docId: Long, payload: Array[Byte]): Frame = {
       // real implementation would be e.g.: ImageIO.read(new ByteArrayInputStream(payload))
-      var h = 1125899906842597L // deterministic FNV-ish roll over bytes
-      var i = 0
-      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-      val pos = h & Long.MaxValue
+      val h32 = graft.functions.PortableHash.h32(payload)
       Frame(docId,
-        width = 16 + (pos % 240).toInt,
-        height = 16 + ((pos >> 8) % 240).toInt,
+        width = 16 + (h32 % 240).toInt,
+        height = 16 + ((h32 >> 8) % 240).toInt,
         channels = 3,
         n_bytes = payload.length.toLong,
-        checksum = pos)
+        checksum = graft.functions.PortableHash.h60(payload))
     }
   }
 
@@ -96,26 +99,53 @@ object Multimodal {
     * a deterministic stub (hash-derived L2-normalized vector from the frame
     * checksum — no vision model in the container); a real encoder replaces
     * the per-row function only, the partition-batched boundary and output
-    * contract stay fixed. */
+    * contract stay fixed.
+    *
+    * Derivation contract (portable — [[frameEmbeddingQuerySql]] renders the
+    * identical computation for the DuckDB oracle): per dimension i,
+    * `d_i = (h32(checksum + "#" + i) % 2001 - 1000) / 1000.0` in DOUBLE;
+    * the L2 norm folds `d_i²` in index order from a 0.0 seed; each component
+    * casts to FLOAT only once, after the double-precision divide. */
   def frameEmbeddings(spark: SparkSession, withPayloads: DataFrame,
       dim: Int = 64): DataFrame = {
     import spark.implicits._
     decodeFrames(spark, withPayloads)
       .mapPartitions(_.map { f =>
         // encoder init would happen here, once per partition
+        val d = new Array[Double](dim)
         val v = new Array[Float](dim)
         var i = 0
         var ss = 0.0
         while (i < dim) {
-          val x = ((graft.functions.PortableHash.h32(
-            s"${f.checksum}#$i".getBytes("UTF-8")) % 2001L) - 1000L) / 1000f
-          v(i) = x; ss += x.toDouble * x; i += 1
+          val x = (graft.functions.PortableHash.h32(
+            s"${f.checksum}#$i".getBytes("UTF-8")) % 2001L - 1000L).toDouble / 1000.0
+          d(i) = x; ss += x * x; i += 1
         }
         val n = math.sqrt(ss)
-        if (n > 0) { i = 0; while (i < dim) { v(i) = (v(i) / n).toFloat; i += 1 } }
+        if (n > 0) { i = 0; while (i < dim) { v(i) = (d(i) / n).toFloat; i += 1 } }
         (f.doc_id, v)
       })
       .toDF("vec_id", "embedding")
+  }
+
+  /** DuckDB CTE fragment reproducing [[frameEmbeddings]] over the documents
+    * whose `doc_id` satisfies `pred`: yields `(query_id, v)` with `v` the
+    * frame embedding as a DOUBLE list (each component the exact FLOAT the
+    * engine emits, widened back to DOUBLE for list math). The norm fold uses
+    * `list_reduce` over `ORDER BY i` — seeded by the first element, which is
+    * bit-identical to the engine's 0.0-seeded in-order accumulation. */
+  def frameEmbeddingQuerySql(pred: String, dim: Int = 64): String = {
+    val h32 = "(('0x' || substr(md5(CAST(cs AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT)"
+    s"""qd AS (SELECT doc_id, (('0x' || substr(md5(text), 1, 15))::BIGINT) AS cs
+       |  FROM documents WHERE $pred),
+       |qraw AS (SELECT doc_id, i, ($h32 % 2001 - 1000) / 1000.0 AS d
+       |  FROM qd, range($dim) r(i)),
+       |qn AS (SELECT doc_id,
+       |    sqrt(list_reduce(list(d * d ORDER BY i), (a, x) -> a + x)) AS nrm
+       |  FROM qraw GROUP BY doc_id),
+       |q AS (SELECT doc_id AS query_id,
+       |    list(CAST(CAST(d / nrm AS REAL) AS DOUBLE) ORDER BY i) AS v
+       |  FROM qraw JOIN qn USING (doc_id) GROUP BY doc_id)""".stripMargin
   }
 
   /** Deterministic frame-sampling stub: one "frame" per `stride` payload bytes

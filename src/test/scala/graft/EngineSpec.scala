@@ -63,6 +63,19 @@ class EngineSpec extends SparkSpec {
     assert(dims.getInt(2) >= 16 && dims.getInt(3) < 256)
   }
 
+  test("multimodal: decodeFrames agrees bit-for-bit with the columnar metadata projection") {
+    // FakeDecoder (imperative, mapPartitions) and metadata() (columnar h32
+    // projection) implement ONE portable contract — a drift between them
+    // would split the multimodal family across two incompatible fakes
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val fromDecoder = Multimodal.decodeFrames(spark, Multimodal.withPayload(docs))
+      .toDF().select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+    val fromMeta = Multimodal.metadata(docs)
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"), col("channels"))
+    assert(fromDecoder.except(fromMeta).isEmpty && fromMeta.except(fromDecoder).isEmpty,
+      "decoder stub and metadata projection diverged")
+  }
+
   test("multimodal: decodeFrames is deterministic and batch-shaped") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
     val p = Multimodal.withPayload(docs)
