@@ -60,6 +60,9 @@ object SparkEntry {
   private val MixEpochTokens = 10000L
   /** Candidate-list depth for reciprocal-rank fusion (per list, pre-fusion). */
   private val RrfDepth = 50
+  /** BPE training rounds — small K keeps the unrolled oracle readable; the
+    * operator itself takes any K. */
+  private val BpeRounds = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational surface (SURVEY §2 Table B) ----
@@ -317,6 +320,8 @@ object SparkEntry {
       TextAnalysis.vocabulary(tbl(s, d, "documents"), 200)),
     "bigram_merges"          -> ((s, d) =>
       TextAnalysis.bigramMerges(tbl(s, d, "documents"), 100)),
+    "bpe_merges_k"           -> ((s, d) =>
+      Bpe.trainMerges(s, tbl(s, d, "documents"), BpeRounds)),
     "lang_sample"            -> ((s, d) =>
       TextAnalysis.langBalancedSample(tbl(s, d, "documents"),
         Map("en" -> 0.5, "de" -> 0.8), defaultRate = 0.25).orderBy(col("doc_id"))),
@@ -1312,6 +1317,11 @@ object SparkEntry {
          |  FROM (SELECT $W AS w FROM documents))
          |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
          |ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
+
+    // K-round BPE training, unrolled: same pair-count/argmax/greedy-merge
+    // per round; (n DESC, lhs, rhs) is total so each round's winner is
+    // engine-stable (see Bpe.oracleSql)
+    "bpe_merges_k" -> Bpe.oracleSql("documents", BpeRounds),
 
     "lang_sample" -> {
       val hash = h60Sql(s"('${TextAnalysis.SampleSalt}#' || CAST(doc_id AS VARCHAR))")

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.tokens
+
+/** Iterative byte-pair-encoding merge training — the actual tokenizer-training
+  * kernel the mix/tokenize family builds toward ([[TextAnalysis.bigramMerges]]
+  * ranks only the FIRST merge candidate; this runs the K-round loop).
+  *
+  * Classic word-type BPE (Sennrich et al. 2016, "Neural Machine Translation of
+  * Rare Words with Subword Units", public): train over the DISTINCT-word table
+  * weighted by corpus frequency, not the token stream — the type table is
+  * bounded by vocabulary size (MBs at 100 TB corpus scale, since natural-
+  * language vocabularies grow ~Heaps' law, sub-linearly in corpus size), so
+  * every per-round job is vocabulary-scale while only the initial word count
+  * touches the corpus.
+  *
+  * Per round: (1) adjacent symbol pairs exploded from the type table, counted
+  * weighted by word frequency — map-side-combined aggregate, shuffle volume
+  * ∝ distinct pairs × partitions; (2) argmax pair under the TOTAL order
+  * (n DESC, lhs ASC, rhs ASC) — a 1-row driver collect (the merge RULE is the
+  * only thing the driver ever holds, K rows total); (3) the merge applied to
+  * every type's symbol sequence by a greedy left-to-right fold written as a
+  * Catalyst `aggregate` HOF (codegen'd, no UDF): the accumulator list's last
+  * symbol merges with the incoming symbol iff they equal the rule — identical
+  * semantics to the reference algorithm's single-pass merge.
+  *
+  * Parity contract with the DuckDB oracle ([[oracleSql]], same computation
+  * unrolled K times over a space-joined symbol string): symbols never contain
+  * spaces (initial symbols are single characters of space-split words; merges
+  * concatenate), so the oracle's space-joined fold is unambiguous; the
+  * argmax order is total, so the per-round winner is engine-stable.
+  */
+object Bpe {
+
+  /** One learned merge rule. */
+  final case class MergeRule(merge_rank: Int, lhs: String, rhs: String,
+      merged: String, n: Long)
+
+  /** Train `rounds` BPE merges over the corpus' word types. Returns the rule
+    * table (merge_rank, lhs, rhs, merged, n) — ≤ `rounds` rows (fewer iff the
+    * corpus runs out of adjacent pairs). Each round's symbol table is
+    * persisted and the previous round's released, so lineage stays one round
+    * deep (no K-fold recompute of the merge chain). */
+  def trainMerges(spark: SparkSession, documents: DataFrame, rounds: Int): DataFrame = {
+    import spark.implicits._
+    val wordCounts = documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    var syms = wordCounts
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .persist()
+    syms.count()
+
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val n = size(col("syms"))
+      val len = greatest(n - 1, lit(0))
+      val pairs = syms
+        .select(explode(zip_with(
+          slice(col("syms"), lit(1), len), slice(col("syms"), lit(2), len),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), col("cnt"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(desc("n"), asc("lhs"), asc("rhs"))
+        .limit(1)
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val best = pairs.head
+        val (a, b) = (best.getString(0), best.getString(1))
+        rules += MergeRule(r, a, b, a + b, best.getLong(2))
+        val next = syms
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
+          .persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+        r += 1
+      }
+    }
+    syms.unpersist()
+    spark.createDataFrame(rules.toSeq).orderBy(col("merge_rank"))
+  }
+
+  /** Greedy left-to-right single-pass merge of pair (a, b) over a symbol
+    * array, as a codegen'd fold: merge iff the accumulator's last symbol is
+    * exactly `a` and the incoming symbol is exactly `b` (the just-merged
+    * symbol `a+b` can never re-trigger as `a` — that would need `b` empty). */
+  def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Single-node reference implementation (plain Scala, no Spark) — the
+    * parity oracle for property tests: same algorithm over an in-memory
+    * word-count map. */
+  def trainMergesLocal(wordCounts: Map[String, Long], rounds: Int): Seq[MergeRule] = {
+    var types: Seq[(Vector[String], Long)] =
+      wordCounts.toSeq.map { case (w, c) => (w.toVector.map(_.toString), c) }
+    val rules = scala.collection.mutable.ArrayBuffer.empty[MergeRule]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (s, c) =>
+        s.iterator.zip(s.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+        rules += MergeRule(r, a, b, a + b, cnt)
+        types = types.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          s.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toVector, c)
+        }
+        r += 1
+      }
+    }
+    rules.toSeq
+  }
+
+  /** DuckDB oracle: the identical K-round computation unrolled — symbol
+    * sequences as space-joined strings, the greedy merge as a `list_reduce`
+    * fold appending `rhs` (no space) when the accumulator's last
+    * space-delimited symbol equals `lhs`. */
+  def oracleSql(table: String, rounds: Int): String = {
+    val base =
+      s"""s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS s, cnt FROM (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM $table)
+         |  GROUP BY word))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr, cnt
+         |    FROM (SELECT string_split(s, ' ') AS l, cnt FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+         |s$r AS (SELECT list_reduce(string_split(s, ' '), (acc, x) ->
+         |    CASE WHEN (acc = b$r.lhs OR ends_with(acc, ' ' || b$r.lhs)) AND x = b$r.rhs
+         |         THEN acc || b$r.rhs ELSE acc || ' ' || x END) AS s, cnt
+         |  FROM $prev, b$r)""".stripMargin
+    }
+    val union = (1 to rounds)
+      .map(r => s"SELECT $r AS merge_rank, lhs, rhs, lhs || rhs AS merged, n FROM b$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH $base,
+       |${roundCtes.mkString(",\n")}
+       |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs, merged, n
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+}
