@@ -407,34 +407,70 @@ object TextAnalysis {
     * buffered list is the same memory shape built-in percentile() keeps
     * (at 100 TB both yield to approx sketches — declared trade-off,
     * [[Relational.eventPercentiles]]). */
+  /** Explicit interpolated order statistic over a SORTED double list:
+    * h = (n−1)·p; v = l[⌊h⌋+1] + (h−⌊h⌋)·(l[min(⌊h⌋+2, n)] − l[⌊h⌋+1]).
+    * Output rounding is floor(x·10⁶ + 0.5)/10⁶, NEVER round(): lerping
+    * 6-dp lattice inputs at frac .5 lands exactly half-way at the 7th
+    * decimal, where the engines' round() semantics differ (the mix_sample
+    * contract, observed in [[qualityPercentiles]]: 0.3584995 → 0.358499 vs
+    * 0.3585). Shared by the batch report and the streaming drift monitor
+    * ([[graft.streaming.EventStreams.qualityDriftStream]]) so their parity
+    * is by construction. */
+  def pctLerp(l: Column, p: Double): Column = {
+    val n = size(l)
+    val h = (n - 1).cast("double") * lit(p)
+    val lo = floor(h).cast("int")
+    val lower = element_at(l, lo + 1)
+    val upper = element_at(l, least(lo + 2, n))
+    val v = lower + (h - lo.cast("double")) * (upper - lower)
+    floor(v * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)
+  }
+
+  /** 6-dp-rounded uniqueness ratio (distinct/total tokens) of a STAGED token
+    * array — the quality signal shared by [[qualityPercentiles]], its approx
+    * and streaming variants, and [[graft.operators.TrainingMix
+    * .topQualityPerLang]]'s contract. Callers must stage `words` behind a
+    * Generate barrier (the explode(array(struct)) idiom) so the tokenize
+    * runs once per row, not once per operator. */
+  def uniqRatio(words: Column): Column =
+    round(size(array_distinct(words)).cast("double") / size(words), 6)
+
   def qualityPercentiles(documents: DataFrame): DataFrame = {
     val staged = documents.select(col("lang"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))
-    val scored = staged.select(col("lang"),
-      round(size(array_distinct(col("c.w"))).cast("double") /
-        size(col("c.w")), 6).as("uniq_ratio"))
-    // explicit interpolated order statistic over the sorted list:
-    // h = (n−1)·p; v = l[⌊h⌋+1] + (h−⌊h⌋)·(l[min(⌊h⌋+2, n)] − l[⌊h⌋+1]).
-    // Output rounding is floor(x·10⁶ + 0.5)/10⁶, NEVER round(): lerping
-    // 6-dp lattice inputs at frac .5 lands exactly half-way at the 7th
-    // decimal, where the engines' round() semantics differ (the mix_sample
-    // contract, observed here: 0.3584995 → 0.358499 vs 0.3585)
-    def pct(l: Column, p: Double): Column = {
-      val n = size(l)
-      val h = (n - 1).cast("double") * lit(p)
-      val lo = floor(h).cast("int")
-      val lower = element_at(l, lo + 1)
-      val upper = element_at(l, least(lo + 2, n))
-      val v = lower + (h - lo.cast("double")) * (upper - lower)
-      floor(v * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)
-    }
+    val scored = staged.select(col("lang"), uniqRatio(col("c.w")).as("uniq_ratio"))
     scored.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("uniq_ratio"))).as("l"))
       .select(col("lang"), col("n_docs"),
-        pct(col("l"), 0.1).as("p10"), pct(col("l"), 0.25).as("p25"),
-        pct(col("l"), 0.5).as("p50"), pct(col("l"), 0.75).as("p75"),
-        pct(col("l"), 0.9).as("p90"))
+        pctLerp(col("l"), 0.1).as("p10"), pctLerp(col("l"), 0.25).as("p25"),
+        pctLerp(col("l"), 0.5).as("p50"), pctLerp(col("l"), 0.75).as("p75"),
+        pctLerp(col("l"), 0.9).as("p90"))
+      .orderBy(col("lang"))
+  }
+
+  /** Bounded-memory production variant of [[qualityPercentiles]]: Spark's
+    * `percentile_approx` (Greenwald–Khanna quantile summaries, public
+    * algorithm) instead of the exact sorted buffer — per-group state is the
+    * O(accuracy·log n) sketch, not the group's whole ratio list, so a
+    * dominant language can no longer concentrate the corpus into one
+    * aggregation buffer (the r6-ADVICE OOM hazard of the exact form; that
+    * form stays as the oracle-parity report). Rank error ≤ n/accuracy per
+    * group; returned values are actual data points (no interpolation), so
+    * this variant is deliberately NOT hash-oracled — [[QualitySpec]] gates
+    * it against the exact report instead. */
+  def qualityPercentilesApprox(documents: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val staged = documents.select(col("lang"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    staged.select(col("lang"), uniqRatio(col("c.w")).as("uniq_ratio"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("uniq_ratio"),
+          array(ps.map(lit): _*), lit(accuracy)).as("ps"))
+      .select(col("lang") +: col("n_docs") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          element_at(col("ps"), i + 1).as(s"p${(p * 100).toInt}") }: _*)
       .orderBy(col("lang"))
   }
 

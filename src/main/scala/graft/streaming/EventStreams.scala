@@ -59,6 +59,39 @@ object EventStreams {
         sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
   }
 
+  /** Streaming quality-drift monitor — the continuous twin of
+    * [[graft.operators.TextAnalysis.qualityPercentiles]]: per ingest-hour
+    * tumbling window and language, the interpolated p10/p25/p50/p75/p90 of
+    * the uniqueness-ratio quality signal — the dashboard a production
+    * curation pipeline watches to catch a source going stale or spammy
+    * DURING ingestion, not at the next batch report. `docs` must carry
+    * (ts, lang, text).
+    *
+    * Exact percentiles by construction share [[graft.operators.TextAnalysis
+    * .pctLerp]] / `uniqRatio` with the batch report, so stream/batch parity
+    * is definitional (asserted in StreamingSpec). State per open (window,
+    * lang) group is that window's ratio list — bounded by the watermark
+    * horizon times ingest rate, NOT stream length; at 100 TB/day ingest,
+    * swap the collect_list for `percentile_approx` exactly as the batch
+    * report's bounded-memory variant does ([[graft.operators.TextAnalysis
+    * .qualityPercentilesApprox]]) and state drops to the sketch. */
+  def qualityDriftStream(docs: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.tokens
+    import graft.operators.TextAnalysis.{pctLerp, uniqRatio}
+    val staged = docs.select(col("ts"), col("lang"),
+      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+    staged
+      .select(col("ts"), col("lang"), uniqRatio(col("c.w")).as("uniq_ratio"))
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("uniq_ratio"))).as("l"))
+      .select(col("window.start").as("window_start"), col("lang"), col("n_docs"),
+        pctLerp(col("l"), 0.1).as("p10"), pctLerp(col("l"), 0.25).as("p25"),
+        pctLerp(col("l"), 0.5).as("p50"), pctLerp(col("l"), 0.75).as("p75"),
+        pctLerp(col("l"), 0.9).as("p90"))
+  }
+
   /** Streaming training-shuffle assignment — the continuous-ingest twin of
     * [[graft.operators.TrainingMix.shuffleShards]] /
     * [[graft.operators.TrainingMix.packShards]]: each arriving doc gets its

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Gates for the bounded-memory approx variant of the quality-percentile
+  * report (the exact form is hash-oracled by the driver gate; the approx form
+  * returns sketch-chosen data points, so its gate is closeness to exact). */
+class QualitySpec extends SparkSpec {
+
+  test("approx percentiles track the exact report within rank-error bounds") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = TextAnalysis.qualityPercentiles(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = TextAnalysis.qualityPercentilesApprox(docs, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, e) =>
+      val a = approx(lang)
+      assert(a.getLong(1) == e.getLong(1), s"$lang n_docs")
+      (2 to 6).foreach { i =>
+        // at accuracy=10000 and sf0.001 group sizes the rank error is < 1,
+        // so the sketch's data point must sit within one 6-dp ratio step of
+        // the interpolated exact value
+        assert(math.abs(a.getDouble(i) - e.getDouble(i)) <= 0.02,
+          s"$lang col $i: approx ${a.getDouble(i)} vs exact ${e.getDouble(i)}")
+      }
+      // and the approx row is internally ordered
+      assert((2 until 6).forall(i => a.getDouble(i) <= a.getDouble(i + 1)))
+    }
+  }
+
+  test("approx variant carries no per-doc list state in its aggregate") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = TextAnalysis.qualityPercentilesApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), plan.take(400))
+    assert(!plan.contains("collect_list"),
+      "approx variant must not buffer the group's ratio list:\n" + plan.take(600))
+  }
+}

@@ -213,6 +213,38 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getAs[String]("text_md5")).distinct.length == got.length)
   }
 
+  test("streaming quality drift == the same pipeline in batch, per (window, lang)") {
+    // qualityDriftStream shares pctLerp/uniqRatio with the batch report and
+    // withWatermark is a no-op on a batch frame — so the batch 'want' IS the
+    // same function applied to the static table: parity by construction,
+    // checked by execution
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("ts", expr(
+        "timestamp '2026-01-01 00:00:00' + (doc_id % 3) * INTERVAL '1' HOUR"))
+      .select("ts", "lang", "text")
+    val dir = Files.createTempDirectory(Paths.get("target"), "qstream").toString
+    docs.coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, lang STRING, text STRING")
+      .parquet(dir)
+    def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0).getTime, r.getString(1))
+    def vals(r: org.apache.spark.sql.Row) = (r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.qualityDriftStream(stream), "quality_drift_out",
+      OutputMode.Complete())
+      .map(r => key(r) -> vals(r)).toMap
+    val want = EventStreams.qualityDriftStream(docs).collect()
+      .map(r => key(r) -> vals(r)).toMap
+    assert(got == want, s"stream/batch divergence: ${got.size} vs ${want.size}")
+    assert(got.size >= 6, s"expect >=3 windows x langs, got ${got.keySet}")
+    // and each window's percentiles are ordered
+    got.values.foreach { case (_, p10, p25, p50, p75, p90) =>
+      assert(p10 <= p25 && p25 <= p50 && p50 <= p75 && p75 <= p90)
+    }
+  }
+
   test("streaming mix monitor == batch mixStats leaf rows (Complete mode)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = Files.createTempDirectory(Paths.get("target"), "mixstream").toString
