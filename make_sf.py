@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Builder tooling (like selfcheck.py, not part of the shipped library):
+materialize an on-disk scaled testdata directory by replicating a source SF
+K times with the SAME decorrelation discipline ScaleProbe uses in memory —
+so the full 100+-query DuckDB oracle pass can run at sf1 row counts over
+real parquet, upgrading "correct at sf0.1" to "correct at sf1".
+
+Replication recipes (mirroring ScaleProbe.scala):
+ - dims (region/nation/customer/supplier/part): copied unchanged — "same
+   customers, 10x the facts" is the production growth axis.
+ - orders/lineitem: orderkeys shift by the same per-copy delta (join fan-out
+   preserved exactly); prices perturb by a tiny per-copy offset.
+ - events: event_id/user_id shift per copy (sessionization and funnel state
+   grow with user count); value perturbs. ts kept bit-identical and written
+   via pyarrow so the TIMESTAMP(NANOS) physical type survives (DuckDB COPY
+   would silently downgrade to micros and break the engine's nanosAsLong
+   read path).
+ - documents: every token gets a per-copy prefix (c3_the) so replicas share
+   NO shingles with their source (a text-identical copy would hand the dedup
+   family a synthetic K-dup corpus); n_chars recomputed over the mutated
+   text; doc_ids shift by a disjoint range.
+ - embeddings: per-copy cyclic dimension-shift with a step coprime to dim
+   (norm-preserving rotation; cross-copy cosines decorrelate; coprimality
+   guarantees no copy gets the identity permutation).
+
+Usage: python3 make_sf.py [srcDir] [outDir] [replication]
+"""
+import re, sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1")
+OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1")
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def write(name, table):
+    pq.write_table(table, OUT / f"{name}.parquet")
+    print(f"  {name}: {table.num_rows} rows")
+
+
+def replicate(table, mut):
+    """Copies 0..K-1; copy 0 is the untouched base."""
+    return pa.concat_tables([table] + [mut(table, i) for i in range(1, K)])
+
+
+def shifted(table, col, delta):
+    i = table.column_names.index(col)
+    return table.set_column(i, col, pc.add(table.column(col), delta))
+
+
+def perturbed(table, col, delta):
+    i = table.column_names.index(col)
+    return table.set_column(i, col, pc.add(table.column(col), delta))
+
+
+for d in ["region", "nation", "customer", "supplier", "part"]:
+    write(d, pq.read_table(SRC / f"{d}.parquet"))
+
+orders = pq.read_table(SRC / "orders.parquet")
+lineitem = pq.read_table(SRC / "lineitem.parquet")
+events = pq.read_table(SRC / "events.parquet")
+docs = pq.read_table(SRC / "documents.parquet")
+emb = pq.read_table(SRC / "embeddings.parquet")
+
+ok_shift = pc.max(orders.column("o_orderkey")).as_py() + 1
+write("orders", replicate(orders, lambda t, i: perturbed(
+    shifted(t, "o_orderkey", i * ok_shift), "o_totalprice", i * 0.017)))
+write("lineitem", replicate(lineitem, lambda t, i: perturbed(
+    shifted(t, "l_orderkey", i * ok_shift), "l_extendedprice", i * 0.013)))
+
+eid_shift = pc.max(events.column("event_id")).as_py() + 1
+uid_shift = pc.max(events.column("user_id")).as_py() + 1
+write("events", replicate(events, lambda t, i: perturbed(
+    shifted(shifted(t, "event_id", i * eid_shift), "user_id", i * uid_shift),
+    "value", i * 0.011)))
+assert pq.read_schema(OUT / "events.parquet").field("ts").type == pa.timestamp("ns"), \
+    "events.ts must stay TIMESTAMP(NANOS)"
+
+doc_shift = pc.max(docs.column("doc_id")).as_py() + 1
+token_re = re.compile(r"(\S+)")
+
+
+def mut_docs(t, i):
+    texts = [token_re.sub(rf"c{i}_\1", x) for x in t.column("text").to_pylist()]
+    arr = pa.array(texts, type=pa.string())
+    out = shifted(t, "doc_id", i * doc_shift)
+    out = out.set_column(out.column_names.index("text"), "text", arr)
+    n_chars = pa.array([len(x) for x in texts], type=pa.int64())
+    return out.set_column(out.column_names.index("n_chars"), "n_chars", n_chars)
+
+
+write("documents", replicate(docs, mut_docs))
+
+vec_shift = pc.max(emb.column("vec_id")).as_py() + 1
+mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
+dim = mat.shape[1]
+step = next(s for s in range(3, dim) if s % 2 == 1 and np.gcd(s, dim) == 1)
+assert K <= dim, f"replication {K} exceeds dim {dim}"
+
+
+def mut_emb(t, i):
+    perm = np.roll(np.arange(dim), -(step * i) % dim)
+    rolled = mat[:, perm]
+    col = pa.array(list(rolled), type=pa.list_(pa.float32()))
+    out = shifted(t, "vec_id", i * vec_shift)
+    return out.set_column(out.column_names.index("embedding"), "embedding", col)
+
+
+write("embeddings", replicate(emb, mut_emb))
+print(f"done: {OUT} at {K}x {SRC}")

@@ -48,6 +48,14 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.inversionCount(Nil, Seq("x" -> 9.0)) == 0)
   }
 
+  test("invertedQueries names exactly the queries inversionCount counts") {
+    val cold = Seq("big" -> 1.0, "micro" -> 0.05, "fail" -> -1.0,
+      "ok" -> 2.0, "edge" -> 0.2)
+    val warm = Seq("big" -> 5.6, "micro" -> 0.25, "fail" -> 3.0,
+      "ok" -> 1.5, "edge" -> 0.41)
+    assert(Bench.invertedQueries(cold, warm).toSet == Set("big", "edge"))
+  }
+
   test("timings render fixed-point 3-dp, never scientific notation") {
     val tiny = Bench.summaryLine(1.23456e-4, 9.87654e-5, 1, Nil, "sf", "v", "8", 0L)
     assert(tiny.contains("\"value\":0.000") && !tiny.toLowerCase.contains("e-"))
