@@ -542,6 +542,14 @@ object SparkEntry {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
+  /** DuckDB mirror of [[graft.operators.Relational.exactSum]]: quantize each
+    * addend to 6 dp with the identical IEEE double formula, sum exactly as
+    * integers (DuckDB widens SUM(BIGINT) to HUGEINT — collapse back to BIGINT
+    * before the float conversion so both engines do the same int64→double
+    * rounding), then one division by 1e6. */
+  private def sumXSql(e: String): String =
+    s"CAST(CAST(SUM(CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6"
+
   /** word-list fragment */
   private val W = "string_split(text, ' ')"
 
@@ -592,25 +600,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  COUNT(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumXSql("l_quantity")} AS sum_qty,
+         |  ${sumXSql("l_extendedprice")} AS sum_base_price,
+         |  ${sumXSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_substr_filter" ->
       """SELECT doc_id, substring(text, 1, 200) AS snippet, n_chars
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "q03_region_revenue" ->
-      """SELECT r_name,
-        |  COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
-        |FROM lineitem
+      s"""SELECT r_name,
+         |  COUNT(*) AS n_items,
+         |  ${sumXSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -628,18 +636,18 @@ object SparkEntry {
         |LIMIT 100""".stripMargin,
 
     "q06_union_tagged" ->
-      """SELECT tag, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
-        |FROM (
+      s"""SELECT tag, COUNT(*) AS n_orders,
+         |  ${sumXSql("o_totalprice")} AS total_price
+         |FROM (
         |  SELECT 'urgent' AS tag, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
         |  UNION ALL
         |  SELECT 'finished' AS tag, o_totalprice FROM orders WHERE o_orderstatus = 'F') u
         |GROUP BY tag ORDER BY tag""".stripMargin,
 
     "q07_suppliers_per_nation" ->
-      """SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
-        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal
-        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      s"""SELECT n_name, COUNT(DISTINCT s_suppkey) AS n_suppliers,
+         |  ${sumXSql("s_acctbal")} AS total_acctbal
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q08_cust_no_open_orders" ->
@@ -650,10 +658,10 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q09_events_hourly" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
-        |  event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         |  event_type, COUNT(*) AS n_events,
+         |  ${sumXSql("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q10_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
@@ -681,9 +689,9 @@ object SparkEntry {
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q13_rollup_returns" ->
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+         |  ${sumXSql("l_quantity")} AS sum_qty
+         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
@@ -696,10 +704,10 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q15_monthly_orders" ->
-      """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
-        |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
+         |  COUNT(*) AS n_orders,
+         |  ${sumXSql("o_totalprice")} AS total
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_status_pivot" ->
       """SELECT o_orderpriority, COUNT(*) AS n_total,
@@ -733,7 +741,7 @@ object SparkEntry {
         .map { case (n, lo, hi) => s"('$n', ${lo}, ${hi})" }.mkString(", ")
       s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
          |SELECT tier, COUNT(*) AS n_orders,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+         |  ${sumXSql("o_totalprice")} AS total
          |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
          |GROUP BY tier ORDER BY tier""".stripMargin
     },
@@ -765,9 +773,9 @@ object SparkEntry {
     // with CUBE margin rows on the sort key — ADVICE r4); value-identical on
     // NULL-free data
     "q24_cube_orders" ->
-      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
-        |FROM orders
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+         |  ${sumXSql("o_totalprice")} AS total
+         |FROM orders
         |GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority ASC NULLS FIRST, GROUPING(o_orderpriority),
         |  o_orderstatus ASC NULLS FIRST, GROUPING(o_orderstatus)""".stripMargin,
@@ -833,10 +841,10 @@ object SparkEntry {
     "q21_moving_avg" ->
       """WITH daily AS (
         |  SELECT CAST(floor(epoch(date_trunc('day', o_orderdate))) AS BIGINT) AS day_epoch,
-        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS d
+        |    CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS d
         |  FROM orders GROUP BY 1)
-        |SELECT day_epoch, round(CAST(d AS DOUBLE), 6) AS day_total,
-        |  round(CAST(SUM(d) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS ma7
+        |SELECT day_epoch, round(CAST(d AS DOUBLE) / 1e6, 6) AS day_total,
+        |  round(CAST(CAST(SUM(d) OVER w AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) OVER w, 6) AS ma7
         |FROM daily
         |WINDOW w AS (ORDER BY day_epoch ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY day_epoch""".stripMargin,

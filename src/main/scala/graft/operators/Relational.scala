@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * top-k-per-group, set ops, sorts/limits, string/date fns).
   *
   * Determinism-for-oracle conventions used throughout:
-  *  - Double SUMs go through DECIMAL(18,6) per-row casts so the aggregate is
-  *    exact decimal arithmetic — order-independent, so Spark's shuffled partial
-  *    aggregation and DuckDB's single-node sum agree bit-for-bit. (Plain double
-  *    sums are order-dependent; at 1000 executors the order is nondeterministic.)
+  *  - Double SUMs go through [[exactSum]]: per-row quantization to 6 dp, LONG
+  *    accumulation (associative — order-independent under Spark's shuffled
+  *    partial aggregation AND any engine's sum order), then ONE int64→double
+  *    conversion plus ONE division, both IEEE-round-to-nearest and therefore
+  *    bit-identical across engines. (Plain double sums are order-dependent; a
+  *    SUM(DECIMAL)→DOUBLE form is exact in the sum but the final
+  *    decimal→double cast itself rounds differently between the JVM's
+  *    BigDecimal and DuckDB's int128-scaled conversion — adjacent-ulp
+  *    mismatches appeared at sf1 on q01/q03/q24.)
   *  - Ratios/rounded outputs use round(x, 6); counts are BIGINT; timestamps are
   *    exported as epoch seconds (BIGINT) to sidestep ns-vs-us parquet precision.
   *  - Every query ends in a deterministic ORDER BY over a unique key set.
@@ -23,7 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  private val Dec = "decimal(18,6)"
+  /** Exact, order-independent, engine-portable SUM of a double expression.
+    *
+    * Each addend is quantized to 6 dp (`floor(x*1e6 + 0.5)` — the same
+    * rounding the previous DECIMAL(18,6) cast performed, and an identical
+    * IEEE double computation in Spark and DuckDB), accumulated as LONG
+    * (exact and associative; overflows only past ~9.2e12 in source units —
+    * document per call site if a 100 TB sum could approach that), then
+    * converted through exactly one int64→double rounding and one division
+    * by 1e6. Both of those are IEEE round-to-nearest in the JVM and in
+    * DuckDB, so the result is bit-identical however either engine orders
+    * the sum. DuckDB mirror: [[graft.SparkEntry.sumXSql]].
+    *
+    * Why not SUM(DECIMAL)→DOUBLE: the decimal sum is exact, but the final
+    * decimal→double CAST is engine-specific (JVM BigDecimal is correctly
+    * rounded; DuckDB converts via scaled-int128 float ops) and the two can
+    * land on ADJACENT doubles — observed at sf1 (q01/q03/q24, round 7). */
+  private[graft] def exactSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(x * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -46,10 +68,10 @@ object Relational {
       .where(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast(Dec)).cast("double").as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
-          .cast("double").as("sum_disc_price"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -77,8 +99,8 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(Dec))
-          .cast("double").as("revenue"))
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
       .orderBy(col("r_name"))
   }
 
@@ -116,7 +138,7 @@ object Relational {
       .groupBy(col("tag"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast("double").as("total_price"))
+        exactSum(col("o_totalprice")).as("total_price"))
       .orderBy(col("tag"))
   }
 
@@ -128,7 +150,7 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         countDistinct(col("s_suppkey")).as("n_suppliers"),
-        sum(col("s_acctbal").cast(Dec)).cast("double").as("total_acctbal"))
+        exactSum(col("s_acctbal")).as("total_acctbal"))
       .orderBy(col("n_name"))
 
   /** Anti join (NOT EXISTS): customers with no open ('O') orders, per segment.
@@ -153,7 +175,7 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(Dec)).cast("double").as("sum_value"))
+        exactSum(col("value")).as("sum_value"))
       .orderBy(col("hour_epoch"), col("event_type"))
 
   /** Group stats with exact integer-sum average (order-independent). */
@@ -190,7 +212,7 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast(Dec)).cast("double").as("sum_qty"))
+        exactSum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** CUBE over (priority, status) — the full grouping-sets lattice (q13's
@@ -202,7 +224,7 @@ object Relational {
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"),
+        exactSum(col("o_totalprice")).as("total"),
         // GROUPING() sort markers (dropped below): distinguish CUBE margin
         // rows (grouping = 1, value NULL) from genuine NULL group values
         // (grouping = 0) so the ORDER BY is total even on NULL-bearing data
@@ -351,7 +373,7 @@ object Relational {
       .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+        exactSum(col("o_totalprice")).as("total"))
       .orderBy(col("month_epoch"))
 
   /** Per-group top-k via the bounded-heap aggregate ([[graft.functions
@@ -377,22 +399,23 @@ object Relational {
     * window runs over the aggregated day table (≤ a few thousand rows per
     * year at ANY corpus scale), never the raw orders, so the single-partition
     * global window is bounded by the calendar, not the data. Sums feed the
-    * frame as DECIMAL-cast doubles and the average is rounded for oracle
+    * frame as exact micro-unit LONGs and the average is rounded for oracle
     * parity. */
   def movingAvgDaily(spark: SparkSession, sfDir: String): DataFrame = {
-    // frame math runs on DECIMAL sums (exact, association-order independent —
-    // engines disagree on float accumulation order inside sliding frames:
-    // Spark's SlidingWindowFunctionFrame updates by add/remove, others
-    // recompute or tree-aggregate), divided as double only at the end
+    // frame math runs on exact LONG micro-unit sums (associative — engines
+    // disagree on float accumulation order inside sliding frames: Spark's
+    // SlidingWindowFunctionFrame updates by add/remove, others recompute or
+    // tree-aggregate), converted to double only at the end via the same
+    // single-rounding route as [[exactSum]]
     val daily = t(spark, sfDir, "orders")
       .groupBy(unix_timestamp(date_trunc("day", col("o_orderdate"))).as("day_epoch"))
-      .agg(sum(col("o_totalprice").cast(Dec)).as("day_total_dec"))
+      .agg(sum(floor(col("o_totalprice") * lit(1e6) + lit(0.5))).as("day_total_u"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("day_epoch")).rowsBetween(-6, 0)
     daily
       .select(col("day_epoch"),
-        round(col("day_total_dec").cast("double"), 6).as("day_total"),
-        round(sum(col("day_total_dec")).over(w).cast("double") /
+        round(col("day_total_u").cast("double") / lit(1e6), 6).as("day_total"),
+        round(sum(col("day_total_u")).over(w).cast("double") / lit(1e6) /
           count(lit(1)).over(w), 6).as("ma7"))
       .orderBy(col("day_epoch"))
   }
@@ -450,7 +473,7 @@ object Relational {
       .groupBy(col("tier"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(Dec)).cast("double").as("total"))
+        exactSum(col("o_totalprice")).as("total"))
       .orderBy(col("tier"))
   }
 

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "rerank_cosine", // stage 1 IS bm25_topk (one-row corpus-stats join)
     "q28_funnel",  // three one-row stage-count aggregates cross-joined
     "pmi_bigrams", // one-row (N, M) totals cross-joined onto the pair table
-    "ivf_balance") // one-row total cross-joined onto k cluster rows
+    "ivf_balance", // one-row total cross-joined onto k cluster rows
+    "multimodal_knn") // exact side IS knn_batch (broadcast decoded-frame batch)
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>
