@@ -267,6 +267,21 @@ object SparkEntry {
       Dedup.incrementalExact(docs.where(col("doc_id") % 5 === 4), seen)
         .orderBy(col("text_md5"))
     }),
+    "dedup_bloom"            -> ((s, d) => {
+      // same daily-ingest split as dedup_incremental, but with the bloom
+      // runtime filter pushed into the historical scan — result-identical by
+      // construction (no false negatives; false positives die in the exact
+      // anti-join), so it shares dedup_incremental's oracle shape
+      val docs = tbl(s, d, "documents")
+      val seen = Dedup.exact(docs.where(col("doc_id") % 5 =!= 4))
+        .select(col("text_md5"))
+      // sketch sized for the suite's batch scale (≤100k docs/batch at sf10:
+      // fpp <1% at a 128 KiB sketch); production sizes by expected daily
+      // volume — parity holds at ANY size, sizing only tunes pruning
+      Dedup.incrementalExactBloom(docs.where(col("doc_id") % 5 === 4), seen,
+          expectedItems = 1L << 16, numBits = 1L << 20)
+        .orderBy(col("text_md5"))
+    }),
     "split_leak_pairs"       -> ((s, d) =>
       Dedup.splitLeakPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -429,6 +444,8 @@ object SparkEntry {
     // different source frames → separate single-member families)
     "near_dup_embeddings" -> "nd-emb",
     "near_dup_ivf"        -> "nd-ivf",
+    // slim hashed-batch projection ([[Dedup.incrementalExactBloom]])
+    "dedup_bloom"         -> "incbloom",
     // slim funnel-event projection ([[Relational.conversionFunnel]])
     "q28_funnel"          -> "funnel",
     // (user, week) presence pairs ([[Relational.cohortRetention]])
@@ -1076,6 +1093,18 @@ object SparkEntry {
     // incremental (daily-ingest) dedup: history = doc_id % 5 <> 4, batch =
     // the rest; NOT IN is safe because md5(text) is never NULL here
     "dedup_incremental" ->
+      """WITH seen AS (
+        |  SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 5 <> 4),
+        |nw AS (
+        |  SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 5 = 4)
+        |SELECT text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM nw WHERE text_md5 NOT IN (SELECT text_md5 FROM seen)
+        |GROUP BY text_md5 ORDER BY text_md5""".stripMargin,
+
+    // bloom-prefiltered variant: the sketch only prunes the history scan and
+    // admits false positives into the same exact anti-join, so the oracle is
+    // dedup_incremental's verbatim — identical results is the CONTRACT
+    "dedup_bloom" ->
       """WITH seen AS (
         |  SELECT DISTINCT md5(text) AS text_md5 FROM documents WHERE doc_id % 5 <> 4),
         |nw AS (

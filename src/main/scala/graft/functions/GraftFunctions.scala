@@ -1,8 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftColumnBridge => ExpressionUtils, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge => ExpressionUtils, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{BinaryType, LongType}
 
 /** Column-level API for the graft engine's scalar surface.
   *
@@ -215,6 +217,43 @@ object GraftFunctions {
     // foldRight means earlier entries override later ones on ties
     pick
   }
+
+  // ------------------------------------------------- bloom runtime filter
+
+  /** Build a serialized bloom-filter sketch over a column's xxhash64 values —
+    * the hand-rolled form of Spark's runtime row-level filter
+    * (`BloomFilterAggregate`, the aggregate `InjectRuntimeFilter` plants; we
+    * construct it explicitly so the filter placement is deterministic and
+    * testable rather than optimizer-heuristic). ONE scan of `df`, partial
+    * sketches merged tree-wise by the aggregate, and a single bounded
+    * artifact (`numBits / 8` bytes, ~1 MiB at the 2²³-bit default) lands on
+    * the driver — the same bounded-by-contract collect class as the IVF
+    * centroid table. Returns null when `df` is empty.
+    *
+    * The sketch never affects results, only pruning: probes
+    * ([[bloomMightContain]]) admit false positives into whatever EXACT join
+    * follows, and have no false negatives.
+    */
+  def bloomSketch(df: DataFrame, c: Column, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    val agg = new BloomFilterAggregate(
+      new XxHash64(Seq(ExpressionUtils.expression(c))),
+      Literal(expectedItems), Literal(numBits))
+    df.select(ExpressionUtils.column(agg.toAggregateExpression()))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd bloom probe of [[bloomSketch]] bytes (internally
+    * `BloomFilterMightContain` over the same xxhash64) — rides INSIDE
+    * whole-stage codegen directly on top of the scan, so rows the sketch
+    * rejects die before reaching any exchange. The serialized sketch ships
+    * with the plan as a literal: one broadcast-sized constant per executor,
+    * no shuffle, no driver round-trips.
+    */
+  def bloomMightContain(sketch: Array[Byte], c: Column): Column =
+    ExpressionUtils.column(new BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      new XxHash64(Seq(ExpressionUtils.expression(c)))))
 
   def langIdSql(w: String): String = {
     def cnt(ms: Seq[String]): String =

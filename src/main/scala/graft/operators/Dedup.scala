@@ -386,6 +386,44 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** [[incrementalExact]] with a bloom runtime filter pushed into the
+    * HISTORICAL side's scan — the shape that actually survives 100 TB.
+    *
+    * The plain anti-join's cost profile inverts at scale: the daily batch is
+    * small but `seen` is the full corpus hash table, and a shuffled anti-join
+    * moves ALL of it every day. Here a bloom sketch of the batch's hashes
+    * (one batch scan, bounded `numBits/8`-byte artifact) is probed INSIDE the
+    * `seen` scan via a codegen'd predicate, so the big side shrinks from
+    * |corpus| to ≈ |true dups| + fpp·|corpus| rows BEFORE any exchange — at
+    * which point AQE sees a tiny right side and the anti-join broadcasts.
+    * This is Spark's own runtime row-level filter (InjectRuntimeFilter)
+    * built explicitly: deterministic placement, no optimizer heuristics.
+    *
+    * Result is bit-identical to [[incrementalExact]] for ANY sketch size:
+    * the bloom has no false negatives (every batch hash present in `seen`
+    * survives the pruned scan, so the anti-join drops exactly the same
+    * rows), and false positives only feed extra rows into the exact
+    * anti-join, which discards them. Sizing only tunes the pruning rate —
+    * parity is structural, and DedupSpec asserts it down to a 64-bit sketch.
+    */
+  def incrementalExactBloom(newDocs: DataFrame, seen: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    // slim (doc_id, text_md5) projection: the sketch build and the join both
+    // read it, and neither needs text again after the one hashing pass
+    val hashed = graft.CacheRegistry.persist(
+      newDocs.select(col("doc_id"), contentHash(col("text")).as("text_md5")))
+    val sketch = bloomSketch(hashed, col("text_md5"), expectedItems, numBits)
+    // empty batch → aggregate yields no sketch; result is structurally empty
+    val pruned =
+      if (sketch == null) seen.select(col("text_md5")).limit(0)
+      else seen.select(col("text_md5"))
+        .where(bloomMightContain(sketch, col("text_md5")))
+    hashed
+      .join(pruned, Seq("text_md5"), "left_anti")
+      .groupBy(col("text_md5"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked on `label` (the cluster/LSH
     * blocking key analog — never all-pairs; reference-formula cosine per pair).
     * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which

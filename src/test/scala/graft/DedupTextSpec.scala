@@ -212,4 +212,53 @@ class DedupTextSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (3L, 4L)),
       "pairs must stay inside the blocking key; 5 never meets 1/2 across blocks")
   }
+
+  private val bloomHist = Seq(
+    (1L, "old doc one"), (2L, "old doc two"), (3L, "old doc three")
+  ).toDF("doc_id", "text")
+  private val bloomBatch = Seq(
+    (10L, "old doc one"),   // already in history -> dropped
+    (11L, "brand new"),     // survives
+    (12L, "brand new"),     // in-batch dup of 11 -> folded, keep min id
+    (13L, "also new")
+  ).toDF("doc_id", "text")
+
+  private def incResult(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("keep_doc_id").collect()
+      .map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies"))).toSeq
+
+  test("bloom-prefiltered incremental dedup matches the plain anti-join") {
+    val seen = Dedup.exact(bloomHist).select("text_md5")
+    val got = incResult(Dedup.incrementalExactBloom(bloomBatch, seen))
+    assert(got == incResult(Dedup.incrementalExact(bloomBatch, seen)))
+    assert(got == Seq((11L, 2L), (13L, 1L)), s"got $got")
+    graft.CacheRegistry.release()
+  }
+
+  test("bloom parity is structural: a saturated 64-bit sketch stays exact") {
+    // numBits=64 with 4 items -> sketch is near-all-ones, so nearly every
+    // probe is a false positive; the exact anti-join must absorb them all
+    val seen = Dedup.exact(bloomHist).select("text_md5")
+    val got = incResult(
+      Dedup.incrementalExactBloom(bloomBatch, seen, expectedItems = 4, numBits = 64))
+    assert(got == Seq((11L, 2L), (13L, 1L)), s"got $got")
+    graft.CacheRegistry.release()
+  }
+
+  test("bloom incremental dedup of an empty batch is empty (null-sketch path)") {
+    val seen = Dedup.exact(bloomHist).select("text_md5")
+    val got = Dedup.incrementalExactBloom(bloomBatch.limit(0), seen).collect()
+    assert(got.isEmpty, s"empty batch must produce no rows: ${got.toSeq}")
+    graft.CacheRegistry.release()
+  }
+
+  test("bloom probe is planted in the history side's scan stage") {
+    // parquet-backed (the LocalRelation fixture would let ConvertToLocalRelation
+    // evaluate the probe eagerly and erase the Filter node from the plan)
+    val plan = SparkEntry.queries("dedup_bloom")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"history scan must carry the bloom probe predicate:\n${plan.take(800)}")
+    graft.CacheRegistry.release()
+  }
 }
