@@ -75,6 +75,12 @@ object SparkEntry {
     "q07_suppliers_per_nation" -> ((s, d) => Relational.suppliersPerNation(s, d)),
     "q08_cust_no_open_orders" -> ((s, d) => Relational.customersNoOpenOrders(s, d)),
     "q09_events_hourly"      -> ((s, d) => Relational.eventsHourly(s, d)),
+    "events_sorted_range"    -> ((s, d) =>
+      // the zone-map layout path: time-window aggregate over the
+      // range-partitioned time-sorted lake copy of events — literal ts-range
+      // predicate pruning parquet row groups on footer stats; oracle runs on
+      // the RAW table (layout invariance IS the contract)
+      graft.sources.SortedLake.windowedTypeStats(s, d)),
     "q10_lang_stats"         -> ((s, d) => Relational.langStats(s, d)),
     "q11_user_sessions"      -> ((s, d) => Relational.userSessions(s, d)),
     "q12_props_extract"      -> ((s, d) => Relational.propsExtract(s, d)),
@@ -679,6 +685,28 @@ object SparkEntry {
          |  event_type, COUNT(*) AS n_events,
          |  ${sumXSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // zone-map layout query: the engine reads its time-sorted lake copy, the
+    // oracle the raw table — identical rows is the layout-invariance contract.
+    // Window bounds are integer arithmetic on the table's own epoch-second
+    // min/max (engine: one bounded collect; oracle: the b/w CTEs), and
+    // `ts >= wlo·10⁹` over integer nanos ≡ `floor-second(ts) >= wlo`, so both
+    // predicates select identical rows while the engine's stays a pushable
+    // pair of long literals.
+    "events_sorted_range" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) AS lo,
+         |         CAST(floor(epoch(MAX(ts))) AS BIGINT) AS hi
+         |  FROM events),
+         |w AS (SELECT lo + (hi - lo) // 4 AS wlo, lo + (hi - lo) // 2 AS whi FROM b)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  ${sumXSql("value")} AS sum_value,
+         |  MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS first_sec,
+         |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_sec
+         |FROM events, w
+         |WHERE CAST(floor(epoch(ts)) AS BIGINT) >= wlo
+         |  AND CAST(floor(epoch(ts)) AS BIGINT) < whi
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q10_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,

@@ -97,4 +97,49 @@ class SourcesSpec extends SparkSpec {
     assert(got.map(_._2).sameElements(Array("zzz", "aaa", "ddd", "ccc")),
       s"file-then-position order: ${got.mkString(",")}")
   }
+
+  test("sorted lake: windowed stats match the raw-table computation exactly") {
+    import org.apache.spark.sql.functions._
+    val fromSorted = graft.sources.SortedLake.windowedTypeStats(spark, sf0001)
+      .collect().toSeq
+    // same computation straight off the raw table (no layout)
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val (wlo, whi) = graft.sources.SortedLake.quarterWindowSec(raw)
+    val fromRaw = raw
+      .where(col("ts") >= wlo * 1000000000L && col("ts") < whi * 1000000000L)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.operators.Relational.exactSum(col("value")).as("sum_value"),
+        min(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("first_sec"),
+        max(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("last_sec"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(fromSorted == fromRaw, s"layout changed results:\n$fromSorted\n$fromRaw")
+    assert(fromSorted.nonEmpty, "window must be non-empty on testdata")
+  }
+
+  test("sorted lake: the ts range predicate reaches the parquet scan") {
+    val plan = graft.sources.SortedLake.windowedTypeStats(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(ts".r.findFirstIn(plan).isDefined,
+      s"ts range must be pushed to the scan:\n${plan.take(800)}")
+  }
+
+  test("sorted lake: row-group zone maps actually skip out-of-window data") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE off so the executed plan tree is directly traversable for metrics
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.sources.SortedLake.windowedTypeStats(spark, sf0001)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      val scanned = scan.metrics("numOutputRows").value
+      val total = spark.read.parquet(s"$sf0001/events.parquet").count()
+      // the ~25% window must not decode the whole table: row groups whose
+      // [min,max] ts stats miss the window are dropped on footer stats
+      assert(scanned < total,
+        s"scan decoded all $total rows — zone-map skipping is not happening")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
