@@ -75,6 +75,11 @@ object SparkEntry {
     "q07_suppliers_per_nation" -> ((s, d) => Relational.suppliersPerNation(s, d)),
     "q08_cust_no_open_orders" -> ((s, d) => Relational.customersNoOpenOrders(s, d)),
     "q09_events_hourly"      -> ((s, d) => Relational.eventsHourly(s, d)),
+    "key_skew_report"        -> ((s, d) =>
+      // shuffle-key skew observable on the fact table's join key — the
+      // diagnostic a production pipeline runs before salting (SkewJoin) or
+      // trusting AQE's skew split; bounded plans only past the count shuffle
+      Relational.keySkewReport(tbl(s, d, "events"), "user_id")),
     "events_sorted_range"    -> ((s, d) =>
       // the zone-map layout path: time-window aggregate over the
       // range-partitioned time-sorted lake copy of events — literal ts-range
@@ -452,6 +457,8 @@ object SparkEntry {
     "near_dup_ivf"        -> "nd-ivf",
     // slim hashed-batch projection ([[Dedup.incrementalExactBloom]])
     "dedup_bloom"         -> "incbloom",
+    // per-key count table ([[Relational.keySkewReport]])
+    "key_skew_report"     -> "skew",
     // slim funnel-event projection ([[Relational.conversionFunnel]])
     "q28_funnel"          -> "funnel",
     // (user, week) presence pairs ([[Relational.cohortRetention]])
@@ -685,6 +692,22 @@ object SparkEntry {
          |  event_type, COUNT(*) AS n_events,
          |  ${sumXSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "key_skew_report" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+        |tot AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |         MAX(c) AS max_rows
+        |  FROM counts),
+        |top AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS topk_rows
+        |  FROM (SELECT c FROM counts ORDER BY c DESC, user_id LIMIT 10))
+        |SELECT n_keys, n_rows, max_rows,
+        |  round(CAST(max_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE), 6) AS hot_factor,
+        |  round(CAST(topk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS topk_share
+        |FROM tot, top""".stripMargin,
 
     // zone-map layout query: the engine reads its time-sorted lake copy, the
     // oracle the raw table — identical rows is the layout-invariance contract.

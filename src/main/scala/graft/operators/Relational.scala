@@ -516,6 +516,40 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Join-key skew report — the shuffle-key observable behind salting /
+    * AQE-skew-join decisions ([[SkewJoin]]'s diagnostic counterpart, and the
+    * relational analog of [[IvfIndex]]'s balance report): per-key row counts
+    * summarized as hot-key factor (max over mean) and top-k concentration.
+    * A production pipeline runs this on its fact-table join keys BEFORE the
+    * join that would die: hot_factor ≈ 1 means uniform keys, hot_factor ≫
+    * task count means one straggler task per hot key.
+    *
+    * Scale shape: one count shuffle on the key (the same exchange the real
+    * join would pay), then ONLY bounded plans — a `topK`-row bounded heap
+    * (TakeOrderedAndProject) and two one-row aggregates cross-joined (the
+    * canonical scalar-broadcast shape, PlanAuditSpec-allowlisted). No global
+    * window, no driver materialization of the key distribution: the report
+    * stays a handful of rows no matter how many distinct keys exist.
+    */
+  def keySkewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = graft.CacheRegistry.persist(
+      df.groupBy(col(key)).agg(count(lit(1)).as("c")))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_rows"))
+    val top = counts
+      .orderBy(col("c").desc, col(key))
+      .limit(topK)
+      .agg(sum(col("c")).as("topk_rows"))
+    totals.crossJoin(top).select(
+      col("n_keys"), col("n_rows"), col("max_rows"),
+      round(col("max_rows").cast("double") * col("n_keys").cast("double")
+        / col("n_rows").cast("double"), 6).as("hot_factor"),
+      round(col("topk_rows").cast("double")
+        / col("n_rows").cast("double"), 6).as("topk_share"))
+  }
+
   /** Semi-structured extraction: regexp over the JSON-ish props column (the
     * reference's only JSON field access is `["text"]`, IVF.cpp:117 — this is
     * the engine's general version). Guarded cast: ANSI-safe on no-match. */

@@ -169,4 +169,30 @@ class EdgeCaseSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Double]]("v")
     assert(dq == Seq(1.0, 2.0), s"constant dims must round-trip exactly: $dq")
   }
+
+  test("key skew report: hand-computable hot-key factor and top-k share") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // key 'a' carries 6 of 10 rows; 4 distinct keys
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val r = Relational.keySkewReport(df, "k", topK = 2).head()
+    assert(r.getAs[Long]("n_keys") == 4 && r.getAs[Long]("n_rows") == 10
+      && r.getAs[Long]("max_rows") == 6, s"counts wrong: $r")
+    // hot_factor = max/mean = 6 / (10/4) = 2.4; top2 = (6+2)/10 = 0.8
+    assert(r.getAs[Double]("hot_factor") == 2.4, s"hot_factor: $r")
+    assert(r.getAs[Double]("topk_share") == 0.8, s"topk_share: $r")
+    graft.CacheRegistry.release()
+  }
+
+  test("key skew report plans a bounded top-k, never a global window") {
+    import graft.operators.Relational
+    val plan = Relational.keySkewReport(
+        spark.read.parquet(s"$sf0001/events.parquet"), "user_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k concentration must be a bounded heap:\n${plan.take(600)}")
+    assert(!plan.contains("Window"), "no global window at any key cardinality")
+    graft.CacheRegistry.release()
+  }
 }

@@ -32,7 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "q28_funnel",  // three one-row stage-count aggregates cross-joined
     "pmi_bigrams", // one-row (N, M) totals cross-joined onto the pair table
     "ivf_balance", // one-row total cross-joined onto k cluster rows
-    "multimodal_knn") // exact side IS knn_batch (broadcast decoded-frame batch)
+    "multimodal_knn", // exact side IS knn_batch (broadcast decoded-frame batch)
+    "key_skew_report") // two one-row aggregates cross-joined
 
   test("no query plans a CartesianProduct or BroadcastNestedLoopJoin") {
     plans.foreach { case (name, plan) =>
