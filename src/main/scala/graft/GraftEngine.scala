@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{BqQuant, Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Retrieval, SqQuant, TextAnalysis, TrainingMix}
+import graft.operators.{BqQuant, Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Relational, Retrieval, SqQuant, TextAnalysis, TrainingMix}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -171,6 +171,19 @@ final class GraftEngine(val spark: SparkSession,
     * a side output), then dedup within the batch. */
   def deduplicateIncremental(newDocs: DataFrame, seen: DataFrame): DataFrame =
     Dedup.incrementalExact(newDocs, seen)
+  /** [[deduplicateIncremental]] with a bloom runtime filter of the batch's
+    * hashes pushed into the `seen` scan — result-identical at any sketch
+    * size; reach for it once the history hash table no longer broadcasts
+    * (below that scale the sketch build is measured pure overhead — see
+    * BASELINE.md's incdedup probe pair). */
+  def deduplicateIncrementalBloom(newDocs: DataFrame, seen: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame =
+    Dedup.incrementalExactBloom(newDocs, seen, expectedItems, numBits)
+  /** Join-key skew diagnostic (hot-key factor + top-k concentration) — run
+    * on a fact table's join key BEFORE salting ([[operators.SkewJoin]]) or
+    * trusting AQE's skew split; bounded plans past the count shuffle. */
+  def keySkew(df: DataFrame, key: String, topK: Int = 10): DataFrame =
+    Relational.keySkewReport(df, key, topK)
   def nearDuplicateCandidates(documents: DataFrame): DataFrame =
     Dedup.lshCandidatePairs(documents)
   /** MinHash-estimated Jaccard per LSH candidate pair (K-calibration: compare

@@ -234,4 +234,28 @@ class EngineFacadeSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-6)
     assert(e.embed("").forall(_ == 0f), "empty text -> zero vector, no NaN")
   }
+
+  test("r7 facade surface: bloom incremental dedup and key-skew diagnostic") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+    // bloom form == plain form on a real split (identity is the contract)
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val seen = engine.exactDuplicates(hist).select("text_md5")
+    val plain = engine.deduplicateIncremental(batch, seen)
+      .orderBy("text_md5").collect().toSeq
+    val bloom = engine.deduplicateIncrementalBloom(batch, seen)
+      .orderBy("text_md5").collect().toSeq
+    assert(bloom == plain, "bloom prefilter must not change results")
+
+    // skew diagnostic: shares bounded, hot factor >= 1 by definition
+    val skew = engine.keySkew(
+      spark.read.parquet(s"$sf0001/events.parquet"), "user_id").head()
+    assert(skew.getAs[Double]("hot_factor") >= 1.0)
+    val share = skew.getAs[Double]("topk_share")
+    assert(share > 0.0 && share <= 1.0)
+    engine.releaseCaches()
+  }
 }
