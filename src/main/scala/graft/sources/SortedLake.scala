@@ -69,6 +69,8 @@ object SortedLake {
     * oracle reproduces the bounds exactly from the raw table. */
   def quarterWindowSec(df: DataFrame): (Long, Long) = {
     val r = df.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head
+    require(!r.isNullAt(0),
+      "quarterWindowSec on an empty table: no ts span to window")
     val (lo, hi) = (r.getAs[Long]("lo") / 1000000000L, r.getAs[Long]("hi") / 1000000000L)
     (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
   }

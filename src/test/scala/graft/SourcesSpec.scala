@@ -118,6 +118,15 @@ class SourcesSpec extends SparkSpec {
     assert(fromSorted.nonEmpty, "window must be non-empty on testdata")
   }
 
+  test("sorted lake: empty table fails fast with the contract message") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("event_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SortedLake.quarterWindowSec(empty)
+    }
+    assert(e.getMessage.contains("empty table"))
+  }
+
   test("sorted lake: the ts range predicate reaches the parquet scan") {
     val plan = graft.sources.SortedLake.windowedTypeStats(spark, sf0001)
       .queryExecution.executedPlan.toString
