@@ -92,6 +92,48 @@ object EventStreams {
         pctLerp(col("l"), 0.9).as("p90"))
   }
 
+  /** Streaming hot-key monitor — the continuous twin of
+    * [[graft.operators.Relational.keySkewReport]], watching a fact stream's
+    * join-key skew per event-time window (the signal that decides salting /
+    * AQE-skew trust BEFORE the downstream join degrades). Two CHAINED
+    * stateful aggregations (Spark's multiple-stateful-operator support,
+    * SPARK-40925): the per-(window, key) count table feeds a second windowed
+    * aggregate re-keyed on the SAME window — `window(col("window"), win)`
+    * reuses the first stage's window struct, so watermark semantics
+    * propagate and a window's report emits exactly once, when the watermark
+    * closes it (append mode; no Complete-mode unbounded window retention).
+    *
+    * State: stage 1 holds one counter per open (window, key) — bounded by
+    * horizon × key arrival rate; stage 2 holds 3 numbers per open window.
+    * No per-key output leaves the aggregation: the emitted row is the
+    * 4-field report, so the monitor's sink stays O(windows) no matter the
+    * key cardinality. top-k concentration is deliberately absent here —
+    * it belongs to the batch report ([[graft.operators.Relational
+    * .keySkewReport]]); the drift signal a monitor pages on is hot_factor.
+    *
+    * Parity: the same function applied to a batch frame (window() and the
+    * aggregates are mode-agnostic; withWatermark is a batch no-op) computes
+    * the all-windows answer — StreamingSpec asserts the streamed rows equal
+    * the batch rows for every window the final watermark closed. */
+  def hotKeyStream(events: DataFrame, key: String, win: String = "1 hour",
+      horizon: String = "30 minutes"): DataFrame = {
+    val perKey = events
+      .withWatermark("ts", horizon)
+      .groupBy(window(col("ts"), win), col(key))
+      .agg(count(lit(1)).as("c"))
+    perKey
+      .groupBy(window(col("window"), win))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_rows"))
+      .select(
+        col("window.start").as("window_start"),
+        col("n_keys"), col("n_rows"), col("max_rows"),
+        round(col("max_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double"), 6).as("hot_factor"))
+  }
+
   /** Streaming training-shuffle assignment — the continuous-ingest twin of
     * [[graft.operators.TrainingMix.shuffleShards]] /
     * [[graft.operators.TrainingMix.packShards]]: each arriving doc gets its

@@ -245,6 +245,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming hot-key monitor: chained stateful aggs == batch, per closed window") {
+    // events spread over 4 hourly windows; user_id 7 is the synthetic hot key
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", expr(
+        "timestamp '2026-01-01 00:00:00' + (event_id % 4) * INTERVAL '1' HOUR"))
+      .withColumn("user_id", when(col("event_id") % 3 === 0, lit(7L))
+        .otherwise(col("user_id")))
+      .select("ts", "user_id")
+    val dir = Files.createTempDirectory(Paths.get("target"), "hotkeystream").toString
+    ev.coalesce(2).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema("ts TIMESTAMP, user_id LONG").parquet(dir)
+    val got = EventStreams.runToMemory(
+      spark, EventStreams.hotKeyStream(stream, "user_id"), "hotkey_out")
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // batch twin: the SAME function on the static frame answers all windows
+    val all = EventStreams.hotKeyStream(ev, "user_id").collect()
+      .map(r => r.getTimestamp(0).getTime ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // append mode emits exactly the windows the final watermark closed:
+    // watermark = max event time - 30 min, so the LAST hourly window stays
+    // open (its end > watermark) and earlier windows must all have emitted
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val wm = maxTs - 30 * 60 * 1000L
+    val closed = all.filter { case (start, _) => start + 3600L * 1000 <= wm }
+    assert(closed.nonEmpty && closed.size < all.size,
+      s"fixture must leave exactly the tail window open: ${all.keySet}")
+    assert(got == closed,
+      s"streamed reports must equal batch on closed windows: $got vs $closed")
+    // the planted hot key must show: every window's hot factor well above 1
+    got.values.foreach { case (_, _, _, hf) => assert(hf > 1.5, s"hot factor $hf") }
+  }
+
   test("streaming mix monitor == batch mixStats leaf rows (Complete mode)") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val dir = Files.createTempDirectory(Paths.get("target"), "mixstream").toString
