@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * Per-copy lang is preserved (lang-blocked joins keep their selectivity);
   * source is preserved (mix cardinality unchanged).
   *
-  * Usage: runMain graft.ScaleProbe <sfDir> [replication=10]
-  * Prints one JSON line: {"probe":"sf1-equiv","replication":K,
+  * Usage: runMain graft.ScaleProbe <sfDir> [replication=10] [probe1,probe2,...]
+  * (the optional third arg filters to named probes — single-family runs at
+  * big replications without paying the whole sweep; probes whose inputs the
+  * filter skips, e.g. near_dup_ivf without ivf_build_wide, are the caller's
+  * responsibility to co-select). Prints one JSON line:
+  * {"probe":"sf1-equiv","replication":K,
   * "n_docs":N,"queries":{name:sec,...},"total_sec":T,"errors":[...]}.
   */
 object ScaleProbe {
@@ -43,6 +47,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     spark.sparkContext.setCheckpointDir("target/scale-probe-ckpt")
+
+    // optional probe-name filter (args(2)): families whose probes are all
+    // filtered out skip their corpus materialization entirely
+    val probeFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    def wants(names: String*): Boolean =
+      probeFilter.forall(f => names.exists(f.contains))
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
     // per-copy id shift derived from the data, not assumed: a fixed constant
@@ -91,6 +101,25 @@ object ScaleProbe {
         noop(Dedup.incrementalExactBloom(docs.where(col("doc_id") % 5 === 4),
           seen, expectedItems = 1L << 20, numBits = 1L << 23))
       }),
+      // not a timing probe: measures the STRUCTURAL effect local wall-clock
+      // can't show (local shuffles are too cheap for the IO regime where the
+      // bloom wins) — how many history rows survive the pushed probe and
+      // therefore enter the anti-join exchange. The rate ≈ dups + fpp and is
+      // scale-invariant in |history|; at cluster scale it IS the shuffle-byte
+      // reduction.
+      "incdedup_bloom_prune_rate" -> (() => {
+        import graft.functions.GraftFunctions.{bloomSketch, bloomMightContain, contentHash}
+        val seen = Dedup.exact(docs.where(col("doc_id") % 5 =!= 4))
+          .select(col("text_md5")).persist()
+        val batch = docs.where(col("doc_id") % 5 === 4)
+          .select(contentHash(col("text")).as("text_md5"))
+        val sk = bloomSketch(batch, col("text_md5"), 1L << 20, 1L << 23)
+        val total = seen.count()
+        val pruned = seen.where(bloomMightContain(sk, col("text_md5"))).count()
+        seen.unpersist()
+        System.err.println(f"[scale-probe] bloom prune: seen=$total%d " +
+          f"pruned=$pruned%d rate=${pruned.toDouble / total}%.6f")
+      }),
       "dedup_minhash" -> (() => noop(Dedup.minhashSignatures(docs))),
       "lsh_candidates" -> (() => noop(Dedup.lshCandidatePairs(docs))),
       "simhash_pairs" -> (() => noop(Dedup.simhashPairs(docs))),
@@ -125,6 +154,10 @@ object ScaleProbe {
     // dup mass and confound the blocking comparison below — the same
     // adversarial-replication trap the text side avoids with token
     // prefixes).
+    val vectorNames = Seq("knn_exact", "knn_batch", "ivf_build",
+      "ann_ivf_probe", "near_dup_embeddings", "ivf_build_wide", "near_dup_ivf")
+    var nVecs = 0L
+    val vectorProbes: Seq[(String, () => Unit)] = if (!wants(vectorNames: _*)) Seq.empty else {
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val dim = embBase.select(size(col("embedding"))).head().getInt(0)
     val vecShift = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
@@ -150,14 +183,14 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nVecs = emb.count()
+    nVecs = emb.count()
     val q0 = KnnExact.queryVector(emb, 0L)
     val qBatch = emb.where(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding"))
     val ivfDir = "target/scale-probe-ivf"
     var ivf: IvfIndex = null
     var ivfWide: IvfIndex = null
-    val vectorProbes: Seq[(String, () => Unit)] = Seq(
+    Seq[(String, () => Unit)](
       "knn_exact" -> (() => noop(KnnExact.topK(emb, q0, 10))),
       "knn_batch" -> (() => noop(KnnBatch.topK(emb, qBatch, 10))),
       "ivf_build" -> (() => { ivf = IvfIndex.build(spark, emb, ivfDir, 16) }),
@@ -175,6 +208,7 @@ object ScaleProbe {
       }),
       "near_dup_ivf" -> (() =>
         noop(Dedup.embeddingNearDupPairsBy(ivfWide.vectors, "cluster", 0.95))))
+    }
 
     // ---- relational/events family (r6 verdict gap #2: q01-q29 had zero
     // scale evidence, and it was exactly the family whose driver-bench
@@ -196,7 +230,8 @@ object ScaleProbe {
     // (q28) state grows with user count, not just events-per-user.
     val relDir = "target/scale-probe-rel"
     val relBase = "target/scale-probe-rel-base"
-    locally {
+    val wantsRel = probeFilter.forall(_.exists(n => n.startsWith("rel")))
+    if (wantsRel) locally {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val o  = spark.read.parquet(s"$sfDir/orders.parquet")
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
@@ -235,7 +270,8 @@ object ScaleProbe {
     // events_sorted_range's probe time INCLUDES its one-off sorted-layout
     // build (forSfDir memoizes per dir, and each dir is probed once) — the
     // layout's one-range-shuffle amortized cost is itself a scale claim
-    val relQueries = Seq("q01_pricing_summary", "q03_region_revenue",
+    val relQueries = if (!wantsRel) Seq.empty[String]
+    else Seq("q01_pricing_summary", "q03_region_revenue",
       "q09_events_hourly", "q11_user_sessions", "q12_props_extract",
       "q13_rollup_returns", "q26_order_event_outer", "q28_funnel",
       "events_sorted_range")
@@ -246,7 +282,9 @@ object ScaleProbe {
         (() => noop(SparkEntry.queries(q)(spark, relDir))) }
 
     var errors = List.empty[String]
-    val timings = (probes ++ vectorProbes ++ relationalProbes).map { case (name, run) =>
+    val timings = (probes ++ vectorProbes ++ relationalProbes)
+      .filter { case (name, _) => probeFilter.forall(_.contains(name)) }
+      .map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch {
         case e: Throwable =>
