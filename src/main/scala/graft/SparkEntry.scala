@@ -395,6 +395,13 @@ object SparkEntry {
     // ---- LLM-data-pipeline: multimodal ----
     "multimodal_meta"        -> ((s, d) =>
       Multimodal.metadata(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "multimodal_frames"      -> ((s, d) =>
+      // deterministic frame sampling over the payload column: one frame per
+      // 160 payload bytes, frame_hash the portable stand-in for the decoded
+      // tensor — the row-explosion plumbing a video pipeline runs, oracled
+      // end-to-end (pure integer arithmetic + portable hash)
+      Multimodal.sampleFrames(Multimodal.withPayload(tbl(s, d, "documents")), 160)
+        .orderBy(col("doc_id"), col("frame_no"))),
     "multimodal_knn"         -> ((s, d) => {
       // the composed media pipeline, reference entry-point-1 semantics
       // (IVF.cpp:648-708) over a multimodal column: payload → decode
@@ -1422,6 +1429,19 @@ object SparkEntry {
     },
 
     "multimodal_meta" -> Multimodal.metadataOracleSql("documents"),
+
+    // frame sampling: frames per doc = max(ceil(n_bytes/160), 1) (payload =
+    // utf-8 text bytes), frame i's hash = h32("doc_id:i") — correlated
+    // range() replays the engine's sequence+posexplode exactly
+    "multimodal_frames" ->
+      s"""WITH nf AS (
+         |  SELECT doc_id,
+         |    GREATEST(CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 160.0) AS BIGINT), 1) AS n
+         |  FROM documents),
+         |f AS (SELECT doc_id, unnest(range(n)) AS i FROM nf)
+         |SELECT doc_id, CAST(i AS INT) AS frame_no,
+         |  ${h32Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} AS frame_hash
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     // composed decode→embed→kNN: the query frames' embeddings are re-derived
     // in SQL from the portable decode/embed contract (md5-based, see
