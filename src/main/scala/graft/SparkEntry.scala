@@ -75,6 +75,8 @@ object SparkEntry {
     "q07_suppliers_per_nation" -> ((s, d) => Relational.suppliersPerNation(s, d)),
     "q08_cust_no_open_orders" -> ((s, d) => Relational.customersNoOpenOrders(s, d)),
     "q09_events_hourly"      -> ((s, d) => Relational.eventsHourly(s, d)),
+    "vocab_size_by_lang"     -> ((s, d) =>
+      TextAnalysis.vocabSizeByLang(tbl(s, d, "documents"))),
     "key_skew_report"        -> ((s, d) =>
       // shuffle-key skew observable on the fact table's join key — the
       // diagnostic a production pipeline runs before salting (SkewJoin) or
@@ -699,6 +701,13 @@ object SparkEntry {
          |  event_type, COUNT(*) AS n_events,
          |  ${sumXSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "vocab_size_by_lang" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, COUNT(DISTINCT tok) AS n_types, COUNT(*) AS n_tokens,
+        |  round(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 6) AS type_token_ratio
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     "key_skew_report" ->
       """WITH counts AS (

@@ -536,6 +536,38 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Per-language vocabulary report — type count (distinct tokens), token
+    * count, type-token ratio: the vocabulary-growth signal a curation
+    * pipeline tracks per language slice (a collapsing ratio flags
+    * boilerplate floods; a ballooning one flags noise or encoding
+    * breakage). Exact COUNT(DISTINCT) form — Spark plans the distinct as an
+    * Expand + two-level aggregate, shuffling (lang, token) once; this is
+    * the oracle-parity report. At 100 TB reach for the one-pass sketch twin
+    * [[vocabSizeByLangApprox]] instead. */
+  def vocabSizeByLang(documents: DataFrame): DataFrame =
+    documents.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("tok")).as("n_types"),
+        count(lit(1)).as("n_tokens"),
+        round(countDistinct(col("tok")).cast("double") / count(lit(1)), 6)
+          .as("type_token_ratio"))
+      .orderBy(col("lang"))
+
+  /** One-pass HLL++ twin of [[vocabSizeByLang]] (`approx_count_distinct`,
+    * relative sd `rsd`): sketches merge map-side in the partial aggregate,
+    * so the distinct Expand and its (lang, token) shuffle disappear — the
+    * 100 TB form. Estimates are deliberately NOT hash-oracled; QualitySpec
+    * closeness-gates them against the exact report (the
+    * [[qualityPercentilesApprox]] precedent). */
+  def vocabSizeByLangApprox(documents: DataFrame, rsd: Double = 0.02): DataFrame =
+    documents.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("tok"), rsd).as("n_types"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("lang"))
+
   /** Top-k adjacent-token-pair counts — the merge-candidate statistic BPE
     * tokenizer training computes each iteration (this is iteration one over
     * a word-level corpus; [[vocabulary]] is the unigram base). Same plan

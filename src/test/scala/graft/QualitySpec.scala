@@ -39,4 +39,29 @@ class QualitySpec extends SparkSpec {
     assert(!plan.contains("collect_list"),
       "approx variant must not buffer the group's ratio list:\n" + plan.take(600))
   }
+
+  test("HLL vocab twin tracks the exact per-language type counts within bound") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val exact = TextAnalysis.vocabSizeByLang(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = TextAnalysis.vocabSizeByLangApprox(docs, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (lang, (eTypes, eTokens)) =>
+      val (aTypes, aTokens) = approx(lang)
+      assert(aTokens == eTokens, s"$lang token counts are exact in both forms")
+      // HLL++ at rsd=0.02 sits within a few sd of truth; 5x headroom
+      assert(math.abs(aTypes - eTypes) <= math.max(5, (0.1 * eTypes).toLong),
+        s"$lang: approx $aTypes vs exact $eTypes")
+    }
+  }
+
+  test("HLL vocab twin plans no distinct Expand — one pass, sketches merge") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = TextAnalysis.vocabSizeByLangApprox(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct"), plan.take(400))
+    assert(!plan.contains("Expand"),
+      "sketch twin must not plan the distinct Expand:\n" + plan.take(600))
+  }
 }
