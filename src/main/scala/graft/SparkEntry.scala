@@ -77,6 +77,21 @@ object SparkEntry {
     "q09_events_hourly"      -> ((s, d) => Relational.eventsHourly(s, d)),
     "vocab_size_by_lang"     -> ((s, d) =>
       TextAnalysis.vocabSizeByLang(tbl(s, d, "documents"))),
+    "bucket_join_agg"        -> ((s, d) => {
+      // the bucketed-layout serving path: orders ⋈ lineitem on the bucket
+      // key over catalog tables both bucketed+sorted by orderkey — the
+      // layout pays the shuffle once at write; the oracle (plain join over
+      // the raw parquet) checks layout invariance, BucketingSpec gates the
+      // zero-exchange plan property
+      val (ot, lt) = Bucketing.forSfDir(s, d)
+      Bucketing.colocatedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Relational.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "key_skew_report"        -> ((s, d) =>
       // shuffle-key skew observable on the fact table's join key — the
       // diagnostic a production pipeline runs before salting (SkewJoin) or
@@ -701,6 +716,15 @@ object SparkEntry {
          |  event_type, COUNT(*) AS n_events,
          |  ${sumXSql("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bucketed-layout join: engine reads its bucketed catalog tables, oracle
+    // the raw parquet — identical rows is the layout-invariance contract
+    // (same class as events_sorted_range / dedup_bloom)
+    "bucket_join_agg" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         |  ${sumXSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "vocab_size_by_lang" ->
       """WITH t AS (

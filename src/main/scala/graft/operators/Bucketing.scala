@@ -16,12 +16,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted catalog table (overwrite). */
+  /** Write `df` as a bucketed+sorted catalog table (overwrite). Drops any
+    * previous incarnation FIRST — including the orphan managed-table
+    * directory a prior session leaves behind: the in-memory catalog forgets
+    * the table on session exit but its warehouse location survives, and
+    * `saveAsTable` refuses a "new" table whose location already exists
+    * (LOCATION_ALREADY_EXISTS). A Hive-metastore deployment doesn't hit
+    * this (the catalog remembers and overwrite applies); the explicit
+    * delete makes the layout build idempotent under BOTH catalogs. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
+
+  private val cache = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** Build (once per JVM per sf dir) the bucketed orders/lineitem pair —
+    * both bucketed+sorted by their order key with EQUAL bucket counts, the
+    * precondition for the co-located plan — and return the catalog table
+    * names. Same memoized-artifact contract as IvfIndex.forSfDir /
+    * SortedLake.forSfDir: the write shuffle is paid once per layout, every
+    * subsequent orderkey join streams bucket-aligned files. */
+  def forSfDir(spark: SparkSession, sfDir: String,
+      buckets: Int = 8): (String, String) =
+    cache.getOrElseUpdate(sfDir, {
+      val safe = sfDir.toLowerCase.replaceAll("[^a-z0-9]", "_")
+      val ot = s"graft_bkt_orders$safe"
+      val lt = s"graft_bkt_lineitem$safe"
+      writeBucketed(spark.read.parquet(s"$sfDir/orders.parquet"),
+        ot, "o_orderkey", buckets)
+      writeBucketed(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        lt, "l_orderkey", buckets)
+      (ot, lt)
+    })
 
   /** Join two bucketed tables on their bucket key — plans shuffle-free when
     * both were written with [[writeBucketed]] and equal bucket counts. When

@@ -206,4 +206,27 @@ class PropertySpec extends SparkSpec {
         s"tf=$t2 must outscore tf=$t1: $scores")
     }
   }
+
+  test("property: exactSum == 6-dp-quantized reference sum, any order, any sign") {
+    // the oracle-parity contract behind every money/quantity aggregate:
+    // per-row floor(x*1e6 + 0.5) quantization, exact LONG accumulation
+    // (order-free), one int64->double conversion, one division — verified
+    // against a driver-side BigInt fold over the same quantization, on
+    // value sets mixing signs and magnitudes (codegen path vs Scala mirror)
+    val valGen = Gen.listOfN(40,
+      Gen.chooseNum(-1e8, 1e8).map(x => math.round(x * 1e4) / 1e4))
+    forAll(valGen, n = 15) { xs =>
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+      val got = df.agg(graft.operators.Relational.exactSum(col("x")).as("s"))
+        .head().getDouble(0)
+      val want = xs.map(x => BigInt(math.floor(x * 1e6 + 0.5).toLong))
+        .sum.toLong.toDouble / 1e6
+      assert(got == want, s"exactSum $got != reference $want for $xs")
+      // order independence: the reversed frame gives the identical double
+      val rev = xs.reverse.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("id", "x")
+        .agg(graft.operators.Relational.exactSum(col("x"))).head().getDouble(0)
+      assert(rev == got, "exactSum must be order-independent bit-for-bit")
+    }
+  }
 }
