@@ -264,6 +264,14 @@ object SparkEntry {
       idx.assignNew(tbl(s, d, "embeddings").where(col("vec_id") % 10 === 0))
         .orderBy(col("vec_id"))
     }),
+    "ivf_merge_counts"       -> ((s, d) =>
+      // the incremental loop CLOSED: base index over 9/10 of the corpus,
+      // one mergeSegment of the arriving tenth folded into the cluster
+      // partitions — post-merge counts read from the merged on-disk layout
+      // must equal base counts + the cosine-argmax assignment histogram
+      IvfIndex.mergedForSfDir(s, d, NumClusters).vectors
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cluster"))),
     // ---- LLM-data-pipeline: dedup ----
     "dedup_exact"            -> ((s, d) =>
       Dedup.exact(tbl(s, d, "documents")).orderBy(col("text_md5"))),
@@ -1703,6 +1711,32 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, cluster ASC) AS rn
          |  FROM sc)
-         |SELECT vec_id, cluster, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, cluster, sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // merged-layout counts replay: base counts from the exported base
+    // assignment, plus the arriving tenth assigned by the SAME cosine-argmax
+    // formula as ivf_assign_new against the exported base centroids — the
+    // on-disk merged layout Spark reads must reproduce their sum exactly
+    "ivf_merge_counts" ->
+      s"""WITH base AS (SELECT cluster, COUNT(*) AS n
+         |  FROM read_parquet('${IvfIndex.mergeOracleExportDir}/assign/*.parquet')
+         |  GROUP BY cluster),
+         |nv AS (SELECT vec_id, $EmbDouble AS v
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${IvfIndex.mergeOracleExportDir}/centroids/*.parquet')),
+         |sc AS (SELECT vec_id, cluster,
+         |    round(list_dot_product(v, c) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)) + 1e-8), 6) AS sim
+         |  FROM nv, cent),
+         |r AS (SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cluster ASC) AS rn
+         |  FROM sc),
+         |newc AS (SELECT cluster, COUNT(*) AS n FROM r WHERE rn = 1 GROUP BY cluster)
+         |SELECT COALESCE(b.cluster, w.cluster) AS cluster,
+         |  CAST(COALESCE(b.n, 0) + COALESCE(w.n, 0) AS BIGINT) AS n_vectors
+         |FROM base b FULL OUTER JOIN newc w ON b.cluster = w.cluster
+         |ORDER BY cluster""".stripMargin
   )
 }

@@ -226,6 +226,67 @@ final case class IvfIndex(
         col("best.sim").as("sim"))
   }
 
+  /** Segment merge — closes the incremental-maintenance loop that
+    * [[assignNew]] opens (the reference has no incremental path at all: it
+    * re-runs `clusters.py:20-35` offline from scratch). Assign each new
+    * vector to its nearest existing centroid, then fold the batch INTO the
+    * partitioned layout with one `append`-mode partitioned write: each row
+    * lands in its cluster's directory, so every subsequent probe-pruned
+    * search ([[search]]/[[searchBatch]]/the Catalyst rule) sees the merged
+    * rows with zero change — partition pruning doesn't care which write a
+    * file came from. Centroids are NOT retrained (that's [[maintain]]'s
+    * rebuild arm), so post-merge counts ≡ base counts + [[assignNew]]'s
+    * argmax histogram — the `ivf_merge_counts` oracle contract.
+    *
+    * Scale shape: the only data-scale work is the broadcast-assign of the
+    * new batch and its shuffle into ≤k partition writers; the existing index
+    * bytes are never read, let alone rewritten — at 100 TB a daily segment
+    * merge costs O(segment), not O(index).
+    *
+    * `newVectors`: (vec_id, label, embedding); its plan is evaluated twice
+    * (assignment aggregate + payload join), so it must be deterministic —
+    * parquet-backed frames qualify, `sample()` does not (same contract as
+    * [[searchBatch]]'s query side). */
+  def mergeSegment(newVectors: DataFrame): Unit = {
+    val assigned = assignNew(newVectors).select(col("vec_id"), col("cluster"))
+    newVectors.select(col("vec_id"), col("label"), col("embedding"))
+      .join(assigned, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
+      // co-locate per cluster before the write (same one-file-per-cluster
+      // posture as build(); a daily segment is ≪ index so file count is
+      // bounded by k per merge — production would compact on a schedule)
+      .repartition(numClusters, col("cluster"))
+      .write.mode("append")
+      .partitionBy("cluster")
+      .parquet(indexDir)
+  }
+
+  /** Merge-then-rebuild-when-skewed — the maintenance policy [[balanceReport]]
+    * observes but (until now) nothing acted on: merge the segment, then if the
+    * hottest cluster's load factor exceeds `maxLoadFactor` (1.0 = perfectly
+    * balanced), re-cluster the WHOLE merged index into `rebuildDir` via
+    * [[IvfIndex.build]] — the reference's offline rebuild, triggered by a
+    * measured condition instead of an operator's calendar. Rebuild writes to a
+    * sibling versioned dir (never in-place: the build scans the very layout it
+    * would be overwriting); production flips a pointer at publish time.
+    * Returns (servingIndex, rebuilt?). The load-factor read is a k-row
+    * aggregate; the rebuild arm costs a full K-means — which is the point of
+    * gating it. */
+  def maintain(
+      newVectors: DataFrame,
+      maxLoadFactor: Double = 2.0,
+      rebuildDir: Option[String] = None,
+      seed: Long = 42L): (IvfIndex, Boolean) = {
+    mergeSegment(newVectors)
+    val maxLf = balanceReport.agg(max(col("load_factor"))).head().getDouble(0)
+    if (maxLf > maxLoadFactor) {
+      val dir = rebuildDir.getOrElse(indexDir.stripSuffix("/") + "-rebuilt")
+      (IvfIndex.build(spark,
+        vectors.select(col("vec_id"), col("label"), col("embedding")),
+        dir, numClusters, seed), true)
+    } else (this, false)
+  }
+
   /** Fine search (`IVF.cpp:286-435`, both "sequential" and "combined" variants —
     * Spark's per-partition partial top-k + merge in TakeOrderedAndProject is the
     * same algorithm as the reference's per-cluster heaps + merge).
@@ -413,6 +474,48 @@ object IvfIndex {
   /** Explicit per-(sfDir, k) lookup for multi-config processes. */
   def oracleExportDirFor(sfDir: String, numClusters: Int): String =
     exportDirs(s"$sfDir#$numClusters")
+
+  private val mergeCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
+  private val mergeExportDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Oracle-replay export dir for the MERGED config (base-index assignment +
+    * centroids) — same single-config contract as [[oracleExportDir]]. */
+  def mergeOracleExportDir: String = mergeExportDirs.values.toSeq.distinct match {
+    case Seq() =>
+      java.nio.file.Paths.get("target", "ivf-export", "merge-default")
+        .toAbsolutePath.toString
+    case Seq(d) => d
+    case _ => throw new IllegalStateException(
+      "merged IVF artifacts exist for multiple (sfDir, k) configs " +
+        s"(${mergeExportDirs.keys.mkString(", ")}) in one JVM")
+  }
+
+  /** The daily-ingest scenario as a cached per-(sfDir, k) fixture: a BASE
+    * index built over 9/10 of the corpus (`vec_id % 10 != 0` — the complement
+    * of `ivf_assign_new`'s arrival stream), then ONE [[IvfIndex.mergeSegment]]
+    * of the arriving tenth. The base assignment and centroids are exported
+    * for oracle replay; `build()`'s overwrite mode clears any prior JVM's
+    * merged rows, and the cache guarantees the append happens exactly once
+    * per JVM (a double merge would double-count the segment). */
+  def mergedForSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
+    val key = s"$sfDir#$numClusters"
+    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val exportDir = java.nio.file.Paths
+      .get("target", "ivf-export", s"$safe-k$numClusters-merge")
+      .toAbsolutePath.toString
+    val idx = mergeCache.getOrElseUpdate(key, {
+      val dir = s"target/ivf-index/$safe-k$numClusters-merge"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val built = build(spark, emb.where(col("vec_id") % 10 =!= 0), dir, numClusters)
+      built.vectors.select(col("vec_id"), col("cluster"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$exportDir/assign")
+      writeCentroids(spark, s"$exportDir/centroids", built.centroids)
+      built.mergeSegment(emb.where(col("vec_id") % 10 === 0))
+      built
+    })
+    mergeExportDirs.put(key, exportDir)
+    idx
+  }
 
   /** Build-or-reuse an index for a testdata dir. Index lives under ./target. */
   def forSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {

@@ -192,4 +192,58 @@ class IvfSpec extends SparkSpec {
     assert(loaded.numClusters == 8 && loaded.dim == built.dim)
     assert(loaded.vectors.count() == emb.count())
   }
+
+  test("mergeSegment: merged counts = base counts + assignNew histogram; " +
+    "merged search at full probe ≡ exact over the union") {
+    val dir = "target/ivf-test/merge"
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val seg = emb.where(col("vec_id") % 10 === 0)
+    val idx = IvfIndex.build(spark, base, dir, numClusters = 8)
+    val baseCounts = idx.vectors.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val segHist = idx.assignNew(seg).groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    idx.mergeSegment(seg)
+    // counts contract: the on-disk merged layout reproduces base + argmax
+    val merged = idx.vectors.groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged.values.sum == emb.count(), "merge must not lose or dup rows")
+    merged.foreach { case (c, n) =>
+      assert(n == baseCounts.getOrElse(c, 0L) + segHist.getOrElse(c, 0L),
+        s"cluster $c: merged $n != base ${baseCounts.getOrElse(c, 0L)} + " +
+          s"new ${segHist.getOrElse(c, 0L)}")
+    }
+    // search contract: at nProbe = numClusters the merged layout is scanned
+    // in full, so results ≡ exact brute force over base ∪ segment — merged
+    // rows are first-class residents of their partitions, not a side table
+    val exact = KnnExact.topK(emb, qv, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("sim")))
+    val got = idx.search(qv, 10, 8).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("sim")))
+    assert(got.sameElements(exact),
+      s"merged full-probe search diverged:\n got ${got.mkString(",")}\n " +
+        s"want ${exact.mkString(",")}")
+  }
+
+  test("maintain: rebuild fires iff max load factor exceeds the threshold") {
+    val dir = "target/ivf-test/maintain"
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val seg = emb.where(col("vec_id") % 10 === 0)
+    val idx = IvfIndex.build(spark, base, dir, numClusters = 8)
+    // generous threshold: merge only, same serving index back
+    val (same, rebuilt) = idx.maintain(seg, maxLoadFactor = 1e9)
+    assert(!rebuilt && (same eq idx))
+    assert(same.vectors.count() == emb.count())
+    // impossible threshold: rebuild arm fires into the sibling dir, and the
+    // rebuilt index serves the same row set (full probe ≡ exact). The
+    // second call merges an EMPTY segment so the layout isn't double-appended.
+    val (fresh, rebuilt2) = idx.maintain(
+      seg.limit(0), maxLoadFactor = 0.0, rebuildDir = Some(dir + "-v2"))
+    assert(rebuilt2 && !(fresh eq idx))
+    assert(fresh.indexDir == dir + "-v2")
+    assert(fresh.vectors.count() == emb.count())
+    val exact = KnnExact.topK(emb, qv, 10).collect().map(_.getLong(0))
+    val got = fresh.search(qv, 10, 8).collect().map(_.getLong(0))
+    assert(got.sameElements(exact))
+  }
 }
