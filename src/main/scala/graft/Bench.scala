@@ -310,6 +310,10 @@ object Bench {
       }
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warmFinal))
+    // the repair pass min-merges a one-sided third sample into the slowest
+    // queries; publish the PRE-repair warm total too so the repair delta is
+    // a first-class number instead of a reconstruction exercise (ADVICE r7)
+    val warmTotalPreRepair = total(warm)
 
     // self-defense verdicts: sentinel-diagnosed passes that survived their
     // mitigation re-run, plus the calibration-free warm>2×cold check (>3
@@ -329,6 +333,7 @@ object Bench {
     // full-precision artifact for offline analysis (not part of the contract)
     val detail =
       s"""{"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,
+         |"warm_total_prerepair":$warmTotalPreRepair,
          |"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warmFinal.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_pass1":${warm1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},

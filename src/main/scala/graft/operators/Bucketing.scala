@@ -47,10 +47,15 @@ object Bucketing {
     * subsequent orderkey join streams bucket-aligned files. */
   def forSfDir(spark: SparkSession, sfDir: String,
       buckets: Int = 8): (String, String) =
-    cache.getOrElseUpdate(sfDir, {
+    // key on (sfDir, buckets) — memoizing on sfDir alone would hand a caller
+    // asking for a different bucket count the FIRST layout's tables,
+    // silently violating the equal-bucket-count precondition the co-located
+    // plan depends on (ADVICE r7); table names carry the count for the same
+    // reason (PqQuant/LshAnn forSfDir precedent)
+    cache.getOrElseUpdate(s"$sfDir#$buckets", {
       val safe = sfDir.toLowerCase.replaceAll("[^a-z0-9]", "_")
-      val ot = s"graft_bkt_orders$safe"
-      val lt = s"graft_bkt_lineitem$safe"
+      val ot = s"graft_bkt_orders${safe}_b$buckets"
+      val lt = s"graft_bkt_lineitem${safe}_b$buckets"
       writeBucketed(spark.read.parquet(s"$sfDir/orders.parquet"),
         ot, "o_orderkey", buckets)
       writeBucketed(spark.read.parquet(s"$sfDir/lineitem.parquet"),

@@ -47,6 +47,38 @@ object Relational {
   private[graft] def exactSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(floor(x * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)
 
+  /** Loud-failure overflow audit for [[exactSum]]'s LONG accumulator
+    * (verdict r7 #7 / ADVICE r7): upper-bounds the micro-unit accumulation
+    * as MAX(|addend·1e6|) × COUNT — conservative (assumes every row is the
+    * max), cheap (one extra partial+final aggregate over the audited
+    * frame), and scale-honest: a 100 TB money sum near the ~9.2e12
+    * source-unit cap fails HERE with a named call site instead of wrapping
+    * (ANSI off) or throwing an anonymous arithmetic error mid-query (ANSI
+    * on). Debug-mode only — enable with session conf
+    * `spark.graft.exactSumAudit=true`; default off costs nothing.
+    * Remedies when it fires: pre-aggregate per group, rescale the unit, or
+    * split the sum into disjoint ranges. */
+  private[graft] def auditExactSum(df: DataFrame,
+      xs: Seq[org.apache.spark.sql.Column], site: String): Unit =
+    if (df.sparkSession.conf.getOption("spark.graft.exactSumAudit")
+        .exists(_.toBoolean)) {
+      val aggs = xs.zipWithIndex.map { case (x, i) =>
+        max(abs(floor(x * lit(1e6) + lit(0.5)))).as(s"mx$i")
+      } :+ count(lit(1)).cast("long").as("n")
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long]("n")
+      xs.indices.foreach { i =>
+        // floor() on a double column yields LongType (the very reason
+        // exactSum's accumulator is LONG), so the max comes back as Long
+        val mx = Option(r.get(i)).map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+        require(mx == 0.0 || n.toDouble <= Long.MaxValue.toDouble / mx,
+          s"exactSum@$site: worst-case micro-unit accumulation " +
+            f"(max|x·1e6| ≈ $mx%.4g × n=$n) could exceed Long.MaxValue — " +
+            "the 6-dp LONG accumulator would overflow; pre-aggregate, " +
+            "rescale the unit, or split the sum")
+      }
+    }
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -61,12 +93,17 @@ object Relational {
 
   /** Q1-style pricing summary (A12-family aggregate): single scan, partial agg,
     * 6-group output. Filter pushed to parquet; only 6 columns read. */
-  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "lineitem")
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
       // session-tz-aware cast (NOT java.sql.Timestamp.valueOf, which parses in
       // the JVM default zone and shifts the boundary on non-UTC drivers)
       .where(col("l_shipdate") <= lit("2000-01-01 00:00:00").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
+    // the suite's biggest money sums (l_extendedprice at sf100+ is the
+    // documented overflow candidate, ADVICE r7) — audited in debug mode
+    auditExactSum(li, Seq(col("l_quantity"), col("l_extendedprice"),
+      col("l_extendedprice") * (lit(1) - col("l_discount"))),
+      "q01_pricing_summary")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         exactSum(col("l_quantity")).as("sum_qty"),
         exactSum(col("l_extendedprice")).as("sum_base_price"),
@@ -74,6 +111,7 @@ object Relational {
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
 
   /** Projection + filter + string fn (A19: substring(text,1,200)). Pure scan —
     * predicate and both columns push into the parquet reader. */

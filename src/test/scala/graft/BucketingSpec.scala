@@ -55,4 +55,16 @@ class BucketingSpec extends SparkSpec {
       s"groupBy on the bucket key must reuse bucketing:\n${plan.take(900)}")
     assert(agg.count() > 0)
   })
+
+  test("forSfDir keys its cache on (sfDir, buckets), not sfDir alone") {
+    // ADVICE r7: a second call with a different bucket count must build its
+    // own layout — handing back the first layout's tables would silently
+    // violate the equal-bucket-count precondition of the co-located join
+    val (o8, l8) = graft.operators.Bucketing.forSfDir(spark, sf0001, buckets = 8)
+    val (o4, l4) = graft.operators.Bucketing.forSfDir(spark, sf0001, buckets = 4)
+    assert(o8 != o4 && l8 != l4, s"distinct layouts expected: $o8 vs $o4")
+    // and the memoization still holds per config
+    assert(graft.operators.Bucketing.forSfDir(spark, sf0001, buckets = 8) == ((o8, l8)))
+    assert(spark.table(o4).count() == spark.table(o8).count())
+  }
 }

@@ -229,4 +229,29 @@ class PropertySpec extends SparkSpec {
       assert(rev == got, "exactSum must be order-independent bit-for-bit")
     }
   }
+
+  test("auditExactSum: fires on near-overflow data, passes sane data, off by default") {
+    import spark.implicits._
+    val site = "audit-test"
+    // 10 rows of 1e12 source units -> 1e18 micro-units each; 10×1e18 = 1e19
+    // exceeds Long.MaxValue (9.22e18), so the conservative MAX×COUNT bound
+    // must fail loudly with the site name in the message
+    val hot = (1 to 10).map(i => (i.toLong, 1e12)).toDF("id", "x")
+    val cool = (1 to 10).map(i => (i.toLong, 1e6)).toDF("id", "x")
+    // default off: no exception even on the hot frame
+    graft.operators.Relational.auditExactSum(hot, Seq(col("x")), site)
+    spark.conf.set("spark.graft.exactSumAudit", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.Relational.auditExactSum(hot, Seq(col("x")), site)
+      }
+      assert(e.getMessage.contains(site) && e.getMessage.contains("overflow"),
+        e.getMessage)
+      // well-bounded data passes with the audit on
+      graft.operators.Relational.auditExactSum(cool, Seq(col("x")), site)
+      // and the audited flagship query still builds + runs with the flag on
+      val r = graft.operators.Relational.pricingSummary(spark, sf0001)
+      assert(r.count() > 0)
+    } finally spark.conf.unset("spark.graft.exactSumAudit")
+  }
 }
