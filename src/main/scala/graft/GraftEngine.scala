@@ -168,9 +168,41 @@ final class GraftEngine(val spark: SparkSession,
   def exactDuplicates(documents: DataFrame): DataFrame = Dedup.exact(documents)
   /** Incremental (daily-ingest) exact dedup: drop `newDocs` whose content
     * hash exists in `seen` (the hash table [[exactDuplicates]] maintains as
-    * a side output), then dedup within the batch. */
-  def deduplicateIncremental(newDocs: DataFrame, seen: DataFrame): DataFrame =
-    Dedup.incrementalExact(newDocs, seen)
+    * a side output), then dedup within the batch.
+    *
+    * COST-BASED FORM SELECTION (verdict r7 #3 — the measured crossover from
+    * BASELINE.md's incdedup probe pair, encoded as behavior instead of
+    * scaladoc): when the optimizer's size estimate for `seen` fits the
+    * session broadcast threshold, the anti-join broadcasts and the bloom
+    * sketch build is pure overhead → plain form. Once history outgrows
+    * broadcast scale the anti-join shuffles BOTH sides, and pushing the
+    * batch's bloom probe into the `seen` scan cuts the shuffled history to
+    * ~(dups + fpp) of its rows (measured 364 of 363,636 at the r7 probe) →
+    * bloom form. The two are result-identical at any sketch size, so the
+    * choice is pure cost. Threshold -1 (broadcast disabled) always selects
+    * bloom. The choice is logged and returned by
+    * [[incrementalDedupChoice]] for callers that want to assert it. */
+  def deduplicateIncremental(newDocs: DataFrame, seen: DataFrame,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val useBloom = incrementalDedupChoice(seen)
+    if (useBloom) Dedup.incrementalExactBloom(newDocs, seen, expectedItems, numBits)
+    else Dedup.incrementalExact(newDocs, seen)
+  }
+
+  /** The [[deduplicateIncremental]] plan choice for a given history frame:
+    * true = bloom-filtered scan, false = plain broadcast anti-join. Exposed
+    * so pipelines (and the facade spec) can observe the decision the
+    * optimizer stats drive. */
+  def incrementalDedupChoice(seen: DataFrame): Boolean = {
+    val est = seen.queryExecution.optimizedPlan.stats.sizeInBytes
+    val thr = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
+    val useBloom = thr < 0 || est > thr
+    spark.sparkContext.setLocalProperty("graft.incdedup.choice",
+      if (useBloom) "bloom" else "plain")
+    System.err.println(s"[graft] incremental dedup: history est ${est}B vs " +
+      s"broadcast threshold ${thr}B -> ${if (useBloom) "bloom" else "plain"} form")
+    useBloom
+  }
   /** [[deduplicateIncremental]] with a bloom runtime filter of the batch's
     * hashes pushed into the `seen` scan — result-identical at any sketch
     * size; reach for it once the history hash table no longer broadcasts

@@ -258,4 +258,34 @@ class EngineFacadeSpec extends SparkSpec {
     assert(share > 0.0 && share <= 1.0)
     engine.releaseCaches()
   }
+
+  test("r8: deduplicateIncremental auto-selects plain vs bloom on history size") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val seen = engine.exactDuplicates(hist).select("text_md5")
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // history comfortably under a huge threshold -> plain broadcast form
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 40).toString)
+      assert(!engine.incrementalDedupChoice(seen), "small history must pick plain")
+      val plain = engine.deduplicateIncremental(batch, seen)
+        .orderBy("text_md5").collect().toSeq
+      assert(spark.sparkContext.getLocalProperty("graft.incdedup.choice") == "plain")
+      // 1-byte threshold: any real history exceeds it -> bloom form
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(engine.incrementalDedupChoice(seen), "big history must pick bloom")
+      val bloom = engine.deduplicateIncremental(batch, seen)
+        .orderBy("text_md5").collect().toSeq
+      assert(spark.sparkContext.getLocalProperty("graft.incdedup.choice") == "bloom")
+      // broadcast disabled entirely (-1): the anti-join must shuffle, bloom wins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(engine.incrementalDedupChoice(seen), "-1 threshold must pick bloom")
+      // the choice is pure cost: results identical either way
+      assert(bloom == plain, "auto-selection must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    engine.releaseCaches()
+  }
 }
