@@ -79,6 +79,17 @@ object Experiment {
       }
       println(f"$name%16s ${times.sum / runs}%10.1f ${(ids intersect exact).size.toDouble / k}%10.2f")
     }
+
+    // the automated form of the manual grid above: minimal nProbe meeting a
+    // recall floor, from the one-pass analytic curve (IvfIndex.recallCurve)
+    // over a small held-out query batch
+    val tuneQueries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    println(f"${"recall_floor"}%12s ${"tuned_n_probe"}%14s")
+    Seq(0.7, 0.8, 0.9, 0.95, 1.0).foreach { floor =>
+      println(f"$floor%12.2f ${idx.tuneNProbe(emb, tuneQueries, k, floor)}%14d")
+    }
     spark.stop()
   }
 }

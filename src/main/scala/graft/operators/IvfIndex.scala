@@ -198,6 +198,64 @@ final case class IvfIndex(
       .orderBy(col("query_id"))
   }
 
+  /** The full recall@k-vs-nProbe curve from ONE exact pass — the analytic
+    * form of running [[recallAtK]] at every nProbe (the reference's manual
+    * grid axis, `experiment{1..8}_config.txt` n_probe ∈ {5,20,40,80}).
+    *
+    * Identity: a vector in the EXACT top-k enters the probed top-k exactly
+    * when its cluster is probed (at most k−1 vectors outrank it globally, so
+    * it can never be displaced from a probed subset's top-k), and probe sets
+    * grow by inclusion in the centroid-similarity order. So per query,
+    * recall@k(p) = |{exact neighbors whose cluster's probe rank ≤ p}| / k —
+    * the curve falls out of the exact neighbors' cluster assignments with NO
+    * probed searches at all. One bounded-heap exact batch scan + one
+    * (|Q|·k)-row join to the layout's cluster column; everything after is
+    * driver arithmetic over |Q|·k pairs and the k-row centroid table.
+    * Returns curve(p−1) = MEAN recall@k at nProbe = p, length numClusters;
+    * monotone nondecreasing, last element 1.0 by construction.
+    * (A binary search over measured [[recallAtK]] runs O(log k) full exact
+    * scans for the same answer — this is the one-scan form; the identity is
+    * cross-validated against the measured operator in ExperimentSpec.) */
+  def recallCurve(embeddings: DataFrame, queries: DataFrame, k: Int): Array[Double] = {
+    import spark.implicits._
+    val qs = queries.select(col("query_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray))
+    require(qs.nonEmpty, "recallCurve needs a non-empty query batch")
+    val qDf = qs.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("query_id", "embedding")
+      .select(col("query_id"), col("embedding").cast("array<float>"))
+    val exact = KnnBatch.topK(embeddings, qDf, k)
+      .select(col("query_id"), col("vec_id"))
+      .join(vectors.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("cluster")))
+    // per-query probe rank of every cluster (1-based, full centroid order)
+    val rankOf: Map[Long, Map[Int, Int]] = qs.map { case (qid, qv) =>
+      qid -> IvfIndex.coarseProbes(centroids, qv, numClusters)
+        .zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    }.toMap
+    val firstReach = Array.fill(numClusters)(0)
+    exact.foreach { case (qid, c) => firstReach(rankOf(qid)(c) - 1) += 1 }
+    // divide by |Q|·k — the same fixed-k convention as recallAtK (a corpus
+    // shorter than k rows caps the curve below 1.0, same as the operator)
+    val denom = qs.length.toDouble * k
+    firstReach.scanLeft(0)(_ + _).drop(1).map(_ / denom)
+  }
+
+  /** Recall-targeted nProbe auto-tuner: the MINIMAL nProbe whose mean
+    * recall@k over the query batch meets `recallFloor` — what the reference
+    * tunes by hand across its experiment grids, automated. Monotonicity of
+    * [[recallCurve]] makes the first satisfying index the minimum; floor
+    * 1.0 is always satisfiable (full probe is exact, `README.md:24`). */
+  def tuneNProbe(embeddings: DataFrame, queries: DataFrame, k: Int,
+      recallFloor: Double): Int = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recall floor must be in (0,1]: $recallFloor")
+    val curve = recallCurve(embeddings, queries, k)
+    val i = curve.indexWhere(_ >= recallFloor - 1e-12)
+    if (i < 0) numClusters else i + 1 // unreachable floor (corpus < k): full probe
+  }
+
   /** Incremental index maintenance — the daily-ingest path: assign a batch of
     * NEW vectors to their nearest existing centroid (max cosine, ties to the
     * lower cluster id) without re-clustering. A production pipeline appends
