@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Embedder, GraftFunctions}
-import graft.operators.{BqQuant, Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Relational, Retrieval, SqQuant, TextAnalysis, TrainingMix}
+import graft.operators.{Bpe, BqQuant, Dedup, IvfIndex, KnnExact, LshAnn, PqQuant, Relational, Retrieval, SqQuant, TextAnalysis, TrainingMix}
 
 /** User-facing facade — the engine's API surface replacing the reference's CLI
   * (SURVEY §2 A20: `--n_probe`, fixed k=5, query `.bin` path, and the
@@ -248,6 +248,15 @@ final class GraftEngine(val spark: SparkSession,
     Dedup.benchmarkContamination(documents)
   def tokenizerMergeCandidates(documents: DataFrame, k: Int): DataFrame =
     TextAnalysis.bigramMerges(documents, k)
+  /** Train `rounds` BPE merge rules over the corpus' word types.
+    * `batchSize` 1 = classic sequential BPE (one corpus rewrite per rule —
+    * the oracled `bpe_merges_k` form); >1 amortizes each rewrite over up to
+    * that many mutually non-conflicting merges ([[operators.Bpe
+    * .trainMergesBatched]]) — the scale form for real rule budgets. */
+  def trainBpeMerges(documents: DataFrame, rounds: Int,
+      batchSize: Int = 1): DataFrame =
+    if (batchSize <= 1) Bpe.trainMerges(spark, documents, rounds)
+    else Bpe.trainMergesBatched(spark, documents, rounds, batchSize)
   /** Power-of-two doc-length histogram with cumulative character share —
     * consult before picking [[packSequences]]' budget or a truncation cut. */
   def lengthReport(documents: DataFrame): DataFrame =

@@ -79,4 +79,47 @@ class BpeSpec extends SparkSpec {
     assert(got.head.getString(1) == "a" && got.head.getString(2) == "b"
       && got.head.getLong(4) == 3L)
   }
+
+  test("batched with batchSize=1 reproduces the sequential trainer exactly") {
+    // per-round top-1 with a 4-candidate window degenerates to trainMerges:
+    // same argmax, same rewrite — the strongest possible parity, on the
+    // REAL corpus, for the shared counting/ordering/fold machinery
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val seqRules = Bpe.trainMerges(spark, docs, 6).collect().toSeq
+    val b1Rules = Bpe.trainMergesBatched(spark, docs, 6, batchSize = 1)
+      .collect().toSeq
+    assert(b1Rules == seqRules,
+      s"batchSize=1 diverged:\n $b1Rules\n vs $seqRules")
+  }
+
+  test("batched == sequential on mutually disjoint, count-independent pairs") {
+    // 4 two-letter words with strictly decreasing frequencies and disjoint
+    // alphabets: each word holds exactly one pair, merging any leaves the
+    // others' counts untouched — the declared regime where batched-BPE
+    // semantics coincide with classic sequential BPE
+    val words = Seq(("ab", 50), ("cd", 40), ("ef", 30), ("gh", 20))
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val seqRules = Bpe.trainMerges(spark, docs, 4).collect().toSeq
+    val batched = Bpe.trainMergesBatched(spark, docs, 4, batchSize = 4)
+      .collect().toSeq
+    assert(batched == seqRules, s"batched $batched != sequential $seqRules")
+    // and it took ONE round's rewrite: rules carry the round-start counts
+    assert(batched.map(r => (r.getString(1), r.getString(2), r.getLong(4))) ==
+      words.map { case (w, n) => (w(0).toString, w(1).toString, n.toLong) })
+  }
+
+  test("batched selection skips conflicting candidates within a round") {
+    // hot chain "abc": pairs (a,b) and (b,c) share symbol b, so one round
+    // may select only ONE of them; the other must wait for the next round
+    // with RECOUNTED frequencies (after (a,b) merges, (b,c) disappears and
+    // (ab,c) appears) — conflicting merges must never be co-batched
+    val docs = Seq((1L, Seq.fill(10)("abc").mkString(" "))).toDF("doc_id", "text")
+    val batched = Bpe.trainMergesBatched(spark, docs, 2, batchSize = 2)
+      .collect().toSeq
+    val seqRules = Bpe.trainMerges(spark, docs, 2).collect().toSeq
+    assert(batched == seqRules,
+      s"conflict handling diverged: $batched vs $seqRules")
+    assert(batched.map(_.getString(3)) == Seq("ab", "abc"))
+  }
 }
