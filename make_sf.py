@@ -12,9 +12,9 @@ Replication recipes (mirroring ScaleProbe.scala):
    preserved exactly); prices perturb by a tiny per-copy offset.
  - events: event_id/user_id shift per copy (sessionization and funnel state
    grow with user count); value perturbs. ts kept bit-identical and written
-   via pyarrow so the TIMESTAMP(NANOS) physical type survives (DuckDB COPY
-   would silently downgrade to micros and break the engine's nanosAsLong
-   read path).
+   via pyarrow so the source's physical timestamp type survives exactly
+   (ns-generation data must stay ns for the engine's nanosAsLong read path;
+   us-generation data must stay us).
  - documents: every token gets a per-copy prefix (c3_the) so replicas share
    NO shingles with their source (a text-identical copy would hand the dedup
    family a synthetic K-dup corpus); n_chars recomputed over the mutated
@@ -80,8 +80,13 @@ uid_shift = pc.max(events.column("user_id")).as_py() + 1
 write("events", replicate(events, lambda t, i: perturbed(
     shifted(shifted(t, "event_id", i * eid_shift), "user_id", i * uid_shift),
     "value", i * 0.011)))
-assert pq.read_schema(OUT / "events.parquet").field("ts").type == pa.timestamp("ns"), \
-    "events.ts must stay TIMESTAMP(NANOS)"
+# ts must pass through BIT-IDENTICAL at the source's own physical type (the
+# driver's generator switched ns -> us in round 9; the engine reads both via
+# the type-adaptive Relational.tsSecExpr, but a silent precision change HERE
+# would decouple replica from source)
+assert pq.read_schema(OUT / "events.parquet").field("ts").type == \
+    pq.read_schema(SRC / "events.parquet").field("ts").type, \
+    "events.ts must keep the source's physical timestamp type"
 
 doc_shift = pc.max(docs.column("doc_id")).as_py() + 1
 token_re = re.compile(r"(\S+)")

@@ -86,9 +86,12 @@ object Experiment {
     val tuneQueries = emb.where(org.apache.spark.sql.functions.col("vec_id") < 8)
       .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
         org.apache.spark.sql.functions.col("embedding"))
+    // ONE exact pass for the whole floor sweep: compute the curve once and
+    // index it per floor (the curve-accepting tuneNProbe overload, ADVICE r8)
+    val curve = idx.recallCurve(emb, tuneQueries, k)
     println(f"${"recall_floor"}%12s ${"tuned_n_probe"}%14s")
     Seq(0.7, 0.8, 0.9, 0.95, 1.0).foreach { floor =>
-      println(f"$floor%12.2f ${idx.tuneNProbe(emb, tuneQueries, k, floor)}%14d")
+      println(f"$floor%12.2f ${idx.tuneNProbe(curve, floor)}%14d")
     }
     spark.stop()
   }

@@ -194,7 +194,12 @@ final class GraftEngine(val spark: SparkSession,
     * so pipelines (and the facade spec) can observe the decision the
     * optimizer stats drive. */
   def incrementalDedupChoice(seen: DataFrame): Boolean = {
-    val est = seen.queryExecution.optimizedPlan.stats.sizeInBytes
+    // size the COLUMN-PRUNED plan the plain form actually joins — the full
+    // frame's estimate can exceed the threshold while the pruned
+    // select(text_md5) still broadcasts, mispredicting toward bloom
+    // (ADVICE r8; cost-only, results identical either way)
+    val est = seen.select(col("text_md5"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
     val thr = BigInt(spark.sessionState.conf.autoBroadcastJoinThreshold)
     val useBloom = thr < 0 || est > thr
     spark.sparkContext.setLocalProperty("graft.incdedup.choice",

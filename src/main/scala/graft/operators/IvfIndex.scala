@@ -248,10 +248,15 @@ final case class IvfIndex(
     * [[recallCurve]] makes the first satisfying index the minimum; floor
     * 1.0 is always satisfiable (full probe is exact, `README.md:24`). */
   def tuneNProbe(embeddings: DataFrame, queries: DataFrame, k: Int,
-      recallFloor: Double): Int = {
+      recallFloor: Double): Int =
+    tuneNProbe(recallCurve(embeddings, queries, k), recallFloor)
+
+  /** Curve-accepting overload (ADVICE r8): a floor SWEEP costs ONE exact scan
+    * — compute [[recallCurve]] once, index it per floor — instead of one full
+    * exact KNN pass per floor as the data-accepting form pays. */
+  def tuneNProbe(curve: Array[Double], recallFloor: Double): Int = {
     require(recallFloor > 0.0 && recallFloor <= 1.0,
       s"recall floor must be in (0,1]: $recallFloor")
-    val curve = recallCurve(embeddings, queries, k)
     val i = curve.indexWhere(_ >= recallFloor - 1e-12)
     if (i < 0) numClusters else i + 1 // unreachable floor (corpus < k): full probe
   }
@@ -334,9 +339,29 @@ final case class IvfIndex(
       newVectors: DataFrame,
       maxLoadFactor: Double = 2.0,
       rebuildDir: Option[String] = None,
-      seed: Long = 42L): (IvfIndex, Boolean) = {
+      seed: Long = 42L,
+      baseClusterCounts: Option[DataFrame] = None): (IvfIndex, Boolean) = {
     mergeSegment(newVectors)
-    val maxLf = balanceReport.agg(max(col("load_factor"))).head().getDouble(0)
+    // Rebuild gate. With `baseClusterCounts` — the (cluster, n_vectors) rows
+    // an `ivf_balance` run already produced for the PRE-merge index — the
+    // post-merge load factor composes from base counts + the segment's argmax
+    // histogram (the `ivf_merge_counts` contract: merge never moves existing
+    // rows), so the no-rebuild fast path costs O(segment) + k rows and never
+    // re-scans the index (verdict r8 #8). Without it, fall back to the
+    // post-merge [[balanceReport]] scan.
+    val maxLf = baseClusterCounts match {
+      case Some(base) =>
+        val seg = assignNew(newVectors)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("seg_n"))
+        base.select(col("cluster"), col("n_vectors"))
+          .join(seg, Seq("cluster"), "full_outer")
+          .select((coalesce(col("n_vectors"), lit(0L)) +
+            coalesce(col("seg_n"), lit(0L))).as("n"))
+          .agg((max(col("n")) * numClusters).cast("double") / sum(col("n")))
+          .head().getDouble(0)
+      case None =>
+        balanceReport.agg(max(col("load_factor"))).head().getDouble(0)
+    }
     if (maxLf > maxLoadFactor) {
       val dir = rebuildDir.getOrElse(indexDir.stripSuffix("/") + "-rebuilt")
       (IvfIndex.build(spark,
@@ -502,6 +527,56 @@ object IvfIndex {
     IvfIndex(spark, indexDir, cents.length, dim, cents)
   }
 
+  /** Name of the atomic version pointer inside an index ROOT dir. */
+  val LatestPointer = "LATEST"
+
+  /** Publish `versionDir` as the serving version under `rootDir` — the
+    * cutover step a [[IvfIndex.maintain]] rebuild needs to become visible
+    * (verdict r8 #3; the reference's load-then-serve lifecycle is
+    * `IVF.cpp:648`: a process points at ONE index dir at open time). The
+    * pointer is a single file `<rootDir>/LATEST` holding the version dir
+    * path, swapped via write-temp + atomic rename-with-overwrite
+    * (`FileContext.rename(OVERWRITE)` — atomic on HDFS and on the local FS),
+    * so a concurrent [[loadLatest]] sees either the old or the new version,
+    * never a torn pointer. The rebuilt data itself is already in place
+    * before publish (maintain writes a SIBLING dir, never in-place). */
+  def publishLatest(spark: SparkSession, rootDir: String, versionDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    fs.mkdirs(root)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$LatestPointer.tmp")
+    val dst = new org.apache.hadoop.fs.Path(root, LatestPointer)
+    val out = fs.create(tmp, true)
+    try out.write(versionDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The version dir `rootDir`'s pointer currently names, if published. */
+  def latestVersionDir(spark: SparkSession, rootDir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(rootDir, LatestPointer)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** [[load]] through the pointer: open whatever version `rootDir` currently
+    * serves. The indirection [[maintain]]'s rebuild arm was missing — after
+    * `publishLatest(root, rebuiltDir)`, every new reader gets the rebuilt
+    * index with zero changes at call sites. */
+  def loadLatest(spark: SparkSession, rootDir: String): IvfIndex = {
+    val v = latestVersionDir(spark, rootDir).getOrElse(throw new IllegalStateException(
+      s"no $LatestPointer pointer under $rootDir — publishLatest first"))
+    load(spark, v)
+  }
+
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
@@ -555,13 +630,24 @@ object IvfIndex {
     * for oracle replay; `build()`'s overwrite mode clears any prior JVM's
     * merged rows, and the cache guarantees the append happens exactly once
     * per JVM (a double merge would double-count the segment). */
+  /** Serializes [[mergedForSfDir]]'s first-call builder: TrieMap
+    * .getOrElseUpdate may evaluate the thunk in MORE than one thread on a
+    * concurrent first call, and this builder's side effect (`mergeSegment`,
+    * append-mode) is not idempotent — a double evaluation double-appends the
+    * segment, duplicating vec_ids (ADVICE r8). `forSfDir`'s builder is all
+    * overwrite-mode and needs no lock. */
+  private val mergeBuildLock = new Object
+
   def mergedForSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
     val key = s"$sfDir#$numClusters"
     val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
     val exportDir = java.nio.file.Paths
       .get("target", "ivf-export", s"$safe-k$numClusters-merge")
       .toAbsolutePath.toString
-    val idx = mergeCache.getOrElseUpdate(key, {
+    // lock-free fast path; the build itself runs under the lock so the
+    // append-mode thunk executes at most once per key per JVM
+    val idx = mergeCache.get(key).getOrElse(mergeBuildLock.synchronized {
+      mergeCache.getOrElseUpdate(key, {
       val dir = s"target/ivf-index/$safe-k$numClusters-merge"
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val built = build(spark, emb.where(col("vec_id") % 10 =!= 0), dir, numClusters)
@@ -570,6 +656,7 @@ object IvfIndex {
       writeCentroids(spark, s"$exportDir/centroids", built.centroids)
       built.mergeSegment(emb.where(col("vec_id") % 10 === 0))
       built
+      })
     })
     mergeExportDirs.put(key, exportDir)
     idx

@@ -62,15 +62,18 @@ object Relational {
       xs: Seq[org.apache.spark.sql.Column], site: String): Unit =
     if (df.sparkSession.conf.getOption("spark.graft.exactSumAudit")
         .exists(_.toBoolean)) {
+      // cast to double IN the aggregate, not in Scala: floor() yields LONG
+      // for double inputs but DECIMAL for decimal inputs (plausible money
+      // columns elsewhere), and a driver-side asInstanceOf[Long] would throw
+      // ClassCastException instead of the diagnostic this audit exists to
+      // raise (ADVICE r8)
       val aggs = xs.zipWithIndex.map { case (x, i) =>
-        max(abs(floor(x * lit(1e6) + lit(0.5)))).as(s"mx$i")
+        max(abs(floor(x * lit(1e6) + lit(0.5)))).cast("double").as(s"mx$i")
       } :+ count(lit(1)).cast("long").as("n")
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getAs[Long]("n")
       xs.indices.foreach { i =>
-        // floor() on a double column yields LongType (the very reason
-        // exactSum's accumulator is LONG), so the max comes back as Long
-        val mx = Option(r.get(i)).map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+        val mx = Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         require(mx == 0.0 || n.toDouble <= Long.MaxValue.toDouble / mx,
           s"exactSum@$site: worst-case micro-unit accumulation " +
             f"(max|x·1e6| ≈ $mx%.4g × n=$n) could exceed Long.MaxValue — " +
@@ -82,14 +85,28 @@ object Relational {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which Spark
-    * only reads as nanosecond BIGINTs (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in Verify/Bench/tests). `ts_sec` is the floor-to-second epoch — integer
-    * division, NOT double math: ns epochs (~1.7e18) exceed double's 2^53 exact
-    * range. DuckDB-side equivalent: CAST(floor(epoch(ts)) AS BIGINT). */
-  private def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts_sec", expr("CAST(ts DIV 1000000000 AS BIGINT)"))
+  /** Floor-to-second epoch expression for an events frame's `ts`, adaptive
+    * to the parquet generation the table was written with (the driver's
+    * testdata switched TIMESTAMP(NANOS) → TIMESTAMP(MICROS) in round 9; the
+    * engine's own sf1 replica keeps nanos):
+    *  - TIMESTAMP(NANOS) read under `spark.sql.legacy.parquet.nanosAsLong`
+    *    arrives as a nanosecond BIGINT → integer division, NOT double math
+    *    (ns epochs ~1.7e18 exceed double's 2^53 exact range);
+    *  - TIMESTAMP[_NTZ] (micros) arrives as a timestamp → `unix_seconds`
+    *    (floorDiv semantics) after a session-tz cast; the engine pins the
+    *    session tz to UTC, so NTZ wall time IS the epoch reading.
+    * Both branches equal the oracle's CAST(floor(epoch(ts)) AS BIGINT). */
+  private[graft] def tsSecExpr(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("CAST(ts DIV 1000000000 AS BIGINT)")
+      case _ => expr("unix_seconds(CAST(ts AS TIMESTAMP))")
+    }
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = t(spark, sfDir, "events")
+    raw.withColumn("ts_sec", tsSecExpr(raw))
+  }
 
   /** Q1-style pricing summary (A12-family aggregate): single scan, partial agg,
     * 6-group output. Filter pushed to parquet; only 6 columns read. */

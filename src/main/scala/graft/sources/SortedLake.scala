@@ -5,9 +5,10 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Time-sorted lake layout: `repartitionByRange(ts)` + `sortWithinPartitions(ts)`
-  * on write, so every parquet row group carries tight, mutually disjoint
-  * [min,max] ts statistics. A time-window predicate over the layout then
+/** Time-sorted lake layout: `repartitionByRange` + `sortWithinPartitions` on
+  * the floor-second epoch key (`ts_sec`, materialized BIGINT) on write, so
+  * every parquet row group carries tight, mutually disjoint [min,max] time
+  * statistics. A time-window predicate over the layout then
   * prunes at two physical levels with zero layout metadata of our own:
   * Catalyst pushes the range filter into the scan (`PushedFilters`), and the
   * parquet reader drops whole row groups (and therefore whole files — range
@@ -42,54 +43,69 @@ object SortedLake {
 
   /** Build (once per JVM per sf dir) the time-sorted events layout and return
     * its path. Idempotent overwrite, same memoized-artifact contract as
-    * [[graft.operators.IvfIndex.forSfDir]]. */
+    * [[graft.operators.IvfIndex.forSfDir]].
+    *
+    * The layout materializes the floor-second epoch as an explicit BIGINT
+    * `ts_sec` column and range-partitions/sorts on IT (ts and ts_sec are
+    * monotonically equivalent, so the physical order is identical): integer
+    * min/max stats prune row groups on every parquet reader, whereas
+    * timestamp-logical-type stats pushdown varies by generation (measured:
+    * Spark 4 pushes but does NOT row-group-skip on the micros/NTZ data the
+    * driver now generates — the filter decoded all rows). A zone-map key
+    * must be a type whose stats the engine actually consults. */
   def forSfDir(spark: SparkSession, sfDir: String): String = {
     val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
     cache.getOrElseUpdate(s"events#$sfDir", {
       val dir = java.nio.file.Paths.get("target", "sorted-lake", safe, "events")
         .toAbsolutePath.toString
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .repartitionByRange(RangeFiles, col("ts"))
-        .sortWithinPartitions(col("ts"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw
+        .withColumn("ts_sec", graft.operators.Relational.tsSecExpr(raw))
+        .repartitionByRange(RangeFiles, col("ts_sec"))
+        .sortWithinPartitions(col("ts_sec"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
   }
 
-  /** The sorted events layout as a DataFrame (ts is nanosecond BIGINT under
-    * `spark.sql.legacy.parquet.nanosAsLong`, like the raw table). */
+  /** The sorted events layout as a DataFrame (`ts` keeps the raw table's
+    * physical type — nanosecond BIGINT for legacy TIMESTAMP(NANOS) data read
+    * under `spark.sql.legacy.parquet.nanosAsLong`, a timestamp for
+    * micros-generation data; [[windowedTypeStats]] adapts). */
   def events(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(forSfDir(spark, sfDir))
 
   /** The [second-quarter, half) time window of the table's ts span, as
     * EPOCH-SECOND bounds — derived from a one-row min/max aggregate (bounded
     * collect by contract, the SQ8-stats class) so the window adapts to any
-    * SF while the FILTER itself stays two long literals the parquet reader
-    * can prune row groups with. Integer arithmetic only, so the DuckDB
-    * oracle reproduces the bounds exactly from the raw table. */
+    * SF while the FILTER itself stays two literals the parquet reader can
+    * prune row groups with. Integer arithmetic only (floor-second epochs via
+    * [[graft.operators.Relational.tsSecExpr]]), so the DuckDB oracle
+    * reproduces the bounds exactly from the raw table. */
   def quarterWindowSec(df: DataFrame): (Long, Long) = {
-    val r = df.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head
+    val sec = graft.operators.Relational.tsSecExpr(df)
+    val r = df.agg(min(sec).as("lo"), max(sec).as("hi")).head
     require(!r.isNullAt(0),
       "quarterWindowSec on an empty table: no ts span to window")
-    val (lo, hi) = (r.getAs[Long]("lo") / 1000000000L, r.getAs[Long]("hi") / 1000000000L)
+    val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
     (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
   }
 
   /** Windowed per-type aggregate over the sorted layout. The range predicate
-    * is planted on the raw nanosecond column as literals — `ts >= lo·10⁹`
-    * is exactly `floor-second(ts) >= lo` for integer nanos, so the pushed
-    * form and the oracle's epoch-second form select identical rows. */
+    * is two BIGINT literals on the layout's `ts_sec` SORT column — exactly
+    * the oracle's `floor-second(ts) ∈ [lo, hi)` window, pushed to the scan
+    * (`PushedFilters`) and pruned on integer row-group stats. */
   def windowedTypeStats(spark: SparkSession, sfDir: String): DataFrame = {
     val sorted = events(spark, sfDir)
     val (wlo, whi) = quarterWindowSec(sorted)
     sorted
-      .where(col("ts") >= wlo * 1000000000L && col("ts") < whi * 1000000000L)
+      .where(col("ts_sec") >= wlo && col("ts_sec") < whi)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.exactSum(col("value")).as("sum_value"),
-        min(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("first_sec"),
-        max(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("last_sec"))
+        min(col("ts_sec")).as("first_sec"),
+        max(col("ts_sec")).as("last_sec"))
       .orderBy(col("event_type"))
   }
 }

@@ -102,17 +102,19 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val fromSorted = graft.sources.SortedLake.windowedTypeStats(spark, sf0001)
       .collect().toSeq
-    // same computation straight off the raw table (no layout)
+    // same computation straight off the raw table (no layout) — windowed on
+    // the floor-second epoch, which is exactly the layout's literal bound
     val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    val sec = graft.operators.Relational.tsSecExpr(raw)
     val (wlo, whi) = graft.sources.SortedLake.quarterWindowSec(raw)
     val fromRaw = raw
-      .where(col("ts") >= wlo * 1000000000L && col("ts") < whi * 1000000000L)
+      .where(sec >= wlo && sec < whi)
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.exactSum(col("value")).as("sum_value"),
-        min(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("first_sec"),
-        max(expr("CAST(ts DIV 1000000000 AS BIGINT)")).as("last_sec"))
+        min(sec).as("first_sec"),
+        max(sec).as("last_sec"))
       .orderBy(col("event_type")).collect().toSeq
     assert(fromSorted == fromRaw, s"layout changed results:\n$fromSorted\n$fromRaw")
     assert(fromSorted.nonEmpty, "window must be non-empty on testdata")

@@ -12,10 +12,12 @@ import graft.streaming.EventStreams
 class StreamingSpec extends SparkSpec {
 
   private lazy val stagingDir: String = {
-    // stage sf0.001 events as microsecond timestamps (ns parquet -> ts_sec)
+    // stage sf0.001 events second-floored as TIMESTAMP (type-adaptive to the
+    // source's ns-BIGINT vs micros-timestamp generation)
     val dir = Files.createTempDirectory(Paths.get("target"), "stream-events").toString
-    spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", expr("timestamp_seconds(CAST(ts DIV 1000000000 AS BIGINT))"))
+    val raw = spark.read.parquet(s"$sf0001/events.parquet")
+    raw
+      .withColumn("ts", timestamp_seconds(graft.operators.Relational.tsSecExpr(raw)))
       .select("event_id", "ts", "user_id", "event_type", "value")
       .coalesce(2)
       .write.mode("overwrite").parquet(dir)
@@ -77,8 +79,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.EventStreams.{SessionEvent, UserSessionCount}
 
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("user_id"), expr("CAST(ts DIV 1000000000 AS BIGINT)").as("sec"),
+    val evRaw = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = evRaw
+      .select(col("user_id"), graft.operators.Relational.tsSecExpr(evRaw).as("sec"),
         col("event_id"))
     val cut = ev.selectExpr("percentile(sec, 0.5)").head.getDouble(0).toLong
     val srcDir = Files.createTempDirectory(Paths.get("target"), "sess-src").toString
@@ -129,8 +132,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.EventStreams.{FunnelEvent, UserFunnel}
 
-    val ev = spark.read.parquet(s"$sf0001/events.parquet")
-      .select(col("user_id"), expr("CAST(ts DIV 1000000000 AS BIGINT)").as("sec"),
+    val evRaw2 = spark.read.parquet(s"$sf0001/events.parquet")
+    val ev = evRaw2
+      .select(col("user_id"), graft.operators.Relational.tsSecExpr(evRaw2).as("sec"),
         col("event_type"))
     val cut = ev.selectExpr("percentile(sec, 0.5)").head.getDouble(0).toLong
     val srcDir = Files.createTempDirectory(Paths.get("target"), "funnel-src").toString
