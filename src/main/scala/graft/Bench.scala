@@ -117,6 +117,33 @@ object Bench {
       floorSec: Double = 0.3): Int =
     invertedQueries(cold, warm, factor, floorSec).size
 
+  /** Cumulative driver-JVM health counters, sampled at pass boundaries so
+    * the detail artifact carries per-pass DELTAS of every within-JVM-aging
+    * suspect (r8 verdict #1: bpe_merges_k/corpus_curate ran 3-4× slower warm
+    * than cold with clean sentinels — the diagnosis needs numbers, not
+    * theories): GC time/count, JIT compilation time, Janino codegen
+    * compilations (the 100-entry codegen cache thrashes under a 111-query
+    * suite), live heap after the boundary GC (listener/status-store growth),
+    * and JIT code-cache occupancy (a full code cache disables compilation).
+    * Cheap (MXBean reads), driver-only, outside every timed region. */
+  private def jvmStats(): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    val gcs = ManagementFactory.getGarbageCollectorMXBeans.asScala
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+    val rt = Runtime.getRuntime
+    val janino = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    Seq(
+      "heap_live_mb" -> (rt.totalMemory - rt.freeMemory).toDouble / 1e6,
+      "gc_ms" -> gcs.map(_.getCollectionTime.toDouble).sum,
+      "gc_count" -> gcs.map(_.getCollectionCount.toDouble).sum,
+      "jit_ms" -> ManagementFactory.getCompilationMXBean.getTotalCompilationTime.toDouble,
+      "codecache_used_mb" -> pools.filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed.toDouble).sum / 1e6,
+      "janino_compiles" -> janino.getCount.toDouble,
+      "janino_mean_ms" -> janino.getSnapshot.getMean)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,6 +161,19 @@ object Bench {
       // the heap with listener state the bench never reads (measured as a
       // uniform ~30% warm-pass slowdown on allocation-heavy text queries)
       .config("spark.sql.ui.retainedExecutions", "16")
+      // r10 diagnosis of the r8 warm-pass inflation, from the jvm snapshots
+      // this harness now publishes: (a) the default 100-entry generated-class
+      // cache recompiled ~1,333 Janino classes PER PASS on a 111-query suite
+      // (cold and warm identical — pure churn) and dragged ~50 s of JIT
+      // thread time through every warm pass; size the cache to hold the
+      // whole suite's generated classes so warm passes compile ~nothing
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      // (b) live heap grew 83→456 MB across passes with per-pass GC cost
+      // rising 1.5→3.9 s: the core status store still retained 1000 jobs /
+      // 1000 stages / 100k tasks of listener state the bench never reads
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
@@ -153,6 +193,9 @@ object Bench {
     prewarm("pq-ivf") { // separate block: a pq failure must not skip this build
       graft.operators.PqQuant.forSfDirIvf(
         spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
+    }
+    prewarm("ivf-tune") { // tuner = offline experiment phase, not query time
+      SparkEntry.prewarmTunedProbe(spark, sfDir); ()
     }
     prewarm("sq8") {
       graft.operators.SqQuant.statsForSfDir(spark, sfDir, SparkEntry.EmbDim); ()
@@ -259,14 +302,24 @@ object Bench {
       }
     }
 
+    // JVM-health snapshots at pass boundaries (see [[jvmStats]]) — the
+    // detail artifact publishes them so a warm≫cold record carries its own
+    // diagnosis instead of a suspicion
+    var jvmSnaps = List.empty[(String, Seq[(String, Double)])]
+    def snapJvm(label: String): Unit = jvmSnaps ::= label -> jvmStats()
+
     // compact the heap at each pass boundary: the cold pass otherwise starts
     // into the prewarm builds' garbage and each warm pass into its
     // predecessor's — measured as a uniform ~15% warm-pass slowdown
     // concentrated in allocation-heavy text queries (GC debt, not plan shape)
     System.gc()
+    snapJvm("start")
     val (cold, coldErrs, coldWorst) = timedPass("cold")
+    snapJvm("after_cold")
     val (warm1, warm1Errs, warm1Sus) = warmPass("warm1")
+    snapJvm("after_warm1")
     val (warm2, warm2Errs, warm2Sus) = warmPass("warm2")
+    snapJvm("after_warm2")
     // steady state = per-query MIN across the two warm passes — the
     // reference's mean-of-5 protocol exists for the same reason
     // (run_multiple_configs.sh:11,110): single passes carry GC/scheduling
@@ -308,6 +361,7 @@ object Bench {
         }
         (merged, inverted0)
       }
+    snapJvm("end")
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warmFinal))
     // the repair pass min-merges a one-sided third sample into the slowest
@@ -339,6 +393,8 @@ object Bench {
          |"warm_pass1":${warm1.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_pass2":${warm2.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"sentinel_sec":${sentinels.reverse.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"jvm":${jvmSnaps.reverse.map { case (l, kvs) =>
+             "\"" + l + "\":" + queryMapJson(kvs) }.mkString("{", ",", "}")},
          |"repaired":${repaired.map(jsonStr(_)).mkString("[", ",", "]")},
          |"flags":${flags.map(jsonStr(_)).mkString("[", ",", "]")},"inversions":$inversions}"""
         .stripMargin.replace("\n", "")

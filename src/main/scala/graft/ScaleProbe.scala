@@ -139,6 +139,15 @@ object ScaleProbe {
         require(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3),
           s"60-bit hash collision at probe scale: $r")
       }),
+      // sequential vs batched BPE trainer at the SAME rule budget (K=8): the
+      // batched form selects top-M pairwise-disjoint merges per round and
+      // pays ONE chained-fold symbol rewrite for all M, so its full-corpus
+      // rewrite count drops ~M× — this probe pair turns that claim into a
+      // measured number at scale (verdict r8 #6; batched is the production
+      // trainer, sequential the reference semantics it parity-tests against)
+      "bpe_seq_k8" -> (() => noop(Bpe.trainMerges(spark, docs, 8))),
+      "bpe_batched_m8" -> (() =>
+        noop(Bpe.trainMergesBatched(spark, docs, 8, batchSize = 8))),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),

@@ -400,9 +400,37 @@ object EventStreams {
       }
   }
 
+  /** Drain a streaming DataFrame into the PRODUCTION parquet file sink with a
+    * checkpoint directory — the deployable form of every pipeline here
+    * (vs [[runToMemory]]'s test sink). `AvailableNow` processes everything
+    * currently in the source, then stops; a 24/7 deployment drops the trigger
+    * (or uses a processing-time one) and everything else is identical.
+    *
+    * Re-invoking with the same (outDir, checkpointDir) IS the kill-and-resume
+    * story: source offsets, the event-time watermark, and state-store
+    * contents (dedup hashes, aggregation state) all recover from the
+    * checkpoint's WAL + state dir, so a restarted query continues where the
+    * dead one stopped — already-committed batches are not re-emitted, and
+    * stateful operators (e.g. [[curateDocStream]]'s
+    * `dropDuplicatesWithinWatermark`) keep suppressing against state written
+    * before the restart. The sink's `_spark_metadata` commit log gives
+    * readers exactly-once file visibility (a crash between file write and
+    * commit leaves an orphan file that readers never see). */
+  def runToParquet(spark: SparkSession, stream: DataFrame, outDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion against a bounded source via the
     * memory sink; returns the collected result. Test/smoke helper — production
-    * sinks are writeStream.format("parquet"/"kafka"). */
+    * sinks are writeStream.format("parquet"/"kafka") — see [[runToParquet]]. */
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String,
       mode: OutputMode = OutputMode.Append): Array[Row] = {
     val q = stream.writeStream

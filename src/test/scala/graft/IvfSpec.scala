@@ -69,6 +69,25 @@ class IvfSpec extends SparkSpec {
       s"recall must be n_hits/k: $probed")
   }
 
+  test("tuned serving point: tunedProbeForSfDir meets its recall floor and is minimal") {
+    // the load-bearing path ivf_tuned_probe serves at: the memoized tuner
+    // must (a) agree with a direct tuneNProbe call, (b) actually deliver
+    // mean recall@k >= the floor over the tuning batch, and (c) be minimal —
+    // one probe fewer must miss the floor (unless already 1)
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val tuned = IvfIndex.tunedProbeForSfDir(spark, sf0001, 16, 10, 0.9)
+    val curve = idx.recallCurve(emb, queries, 10)
+    assert(tuned == idx.tuneNProbe(curve, 0.9), "memo must equal direct tuner")
+    val meanAt = (p: Int) => idx.recallAtK(emb, queries, 10, p)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(meanAt(tuned) >= 0.9 - 1e-9,
+      s"tuned nProbe=$tuned must meet the 0.9 floor: ${meanAt(tuned)}")
+    if (tuned > 1)
+      assert(curve(tuned - 2) < 0.9,
+        s"tuned nProbe=$tuned is not minimal: curve=${curve.toSeq}")
+  }
+
   test("fine search is a partition-pruned scan (PartitionFilters on cluster)") {
     val plan = idx.search(qv, 5, 3).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), plan.take(500))

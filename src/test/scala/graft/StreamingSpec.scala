@@ -484,6 +484,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("production parquet sink: checkpointed curation stream resumes with recovered state") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("ts"))
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "curate-sink-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "curate-sink-out").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "curate-sink-ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(srcDir)
+      EventStreams.runToParquet(
+        spark, EventStreams.curateDocStream(stream, "10 minutes"), sinkDir, ckpt)
+    }
+
+    // run 1: the corpus lands in the parquet sink through the checkpoint
+    docs.coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    import graft.operators.TextAnalysis
+    val wantIds = TextAnalysis.corpusFilter(docs).where(col("keep"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val run1Ids = spark.read.parquet(sinkDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(run1Ids == wantIds,
+      s"sink after run 1 must equal the batch twin: ${run1Ids.size} vs ${wantIds.size}")
+
+    // the first query is gone; stage a second source batch: every run-1 text
+    // again under shifted ids (pure duplicates of PRE-restart state), plus
+    // one genuinely-new doc built by reversing a survivor's token order —
+    // the token MULTISET (hence every quality rule) is unchanged, but the
+    // text differs, so it must pass curation and survive dedup
+    val survivorText = docs.where(col("doc_id") === wantIds.head)
+      .select(col("text")).head.getString(0)
+    val freshText = survivorText.split("\\s+").reverse.mkString(" ")
+    assert(freshText != survivorText, "need a distinct fresh text")
+    docs.withColumn("doc_id", col("doc_id") + 10000L)
+      .unionByName(docs.limit(1).select(lit(99999L).as("doc_id"),
+        lit(freshText).as("text"), col("ts")))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    // run 2 = kill-and-resume: a NEW query instance on the SAME checkpoint
+    runOnce()
+    val out = spark.read.parquet(sinkDir).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    // (a) no re-emission of committed batches: every run-1 row appears once
+    assert(out.size == out.distinct.size, "restart must not re-emit committed rows")
+    // (b) state recovery: all shifted duplicates were suppressed against the
+    // dedup hashes written BEFORE the restart — a fresh (non-recovered) state
+    // store would have passed all of them
+    val gotIds = out.toSet
+    assert(gotIds == wantIds + 99999L,
+      s"run 2 must add ONLY the fresh doc: got ${gotIds.size}, want ${wantIds.size + 1}; " +
+        s"unexpected ${(gotIds -- wantIds - 99999L).take(5)}")
+  }
+
   test("stream-static enrichment join preserves stream rows") {
     import spark.implicits._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
