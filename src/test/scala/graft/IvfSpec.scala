@@ -265,4 +265,45 @@ class IvfSpec extends SparkSpec {
     val got = fresh.search(qv, 10, 8).collect().map(_.getLong(0))
     assert(got.sameElements(exact))
   }
+
+  test("version cutover: merge → maintain-rebuild → publish → loadLatest serves the rebuilt index") {
+    // the full lifecycle a 100 TB deployment runs (verdict r8 #3): build v1,
+    // publish it, ingest a segment with a rebuild-forcing threshold, publish
+    // the rebuilt version, and assert a reader that only knows the ROOT dir
+    // follows the pointer across the swap
+    val root = "target/ivf-test/cutover"
+    val v1 = s"$root/v1"
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val seg = emb.where(col("vec_id") % 10 === 0)
+    val idx1 = IvfIndex.build(spark, base, v1, numClusters = 8)
+    IvfIndex.publishLatest(spark, root, v1)
+    assert(IvfIndex.latestVersionDir(spark, root).contains(v1))
+    val served1 = IvfIndex.loadLatest(spark, root)
+    assert(served1.indexDir == v1 && served1.vectors.count() == base.count())
+
+    // ingest + forced rebuild into the versioned sibling, then cut over
+    val (rebuilt, fired) = idx1.maintain(
+      seg, maxLoadFactor = 0.0, rebuildDir = Some(s"$root/v2"))
+    assert(fired, "threshold 0 must force the rebuild arm")
+    IvfIndex.publishLatest(spark, root, rebuilt.indexDir)
+
+    // a NEW reader resolving the same root now serves the rebuilt version:
+    // full row set, and full-probe search ≡ exact over base ∪ segment —
+    // parity between the swapped handle and the rebuilt dir itself
+    val served2 = IvfIndex.loadLatest(spark, root)
+    assert(served2.indexDir == s"$root/v2",
+      s"pointer must follow the publish: ${served2.indexDir}")
+    assert(served2.vectors.count() == emb.count())
+    val exact = KnnExact.topK(emb, qv, 10).collect().map(_.getLong(0))
+    val viaPointer = served2.search(qv, 10, 8).collect().map(_.getLong(0))
+    val viaDir = IvfIndex.load(spark, s"$root/v2")
+      .search(qv, 10, 8).collect().map(_.getLong(0))
+    assert(viaPointer.sameElements(exact) && viaDir.sameElements(viaPointer),
+      "swapped handle and rebuilt dir must serve identical results")
+    // the pointer swap is atomic-rename based: the old version stays on disk
+    // as the rollback target until reaped — and because maintain merges the
+    // segment into the serving dir BEFORE rebuilding, that rollback copy
+    // already contains the ingested rows (no data newer than the pointer)
+    assert(IvfIndex.load(spark, v1).vectors.count() == emb.count())
+  }
 }
