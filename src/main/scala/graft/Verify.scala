@@ -21,6 +21,10 @@ object Verify {
       // same status-store cap as Bench: a 90-query dump run accumulates
       // listener plan graphs the harness never reads
       .config("spark.sql.ui.retainedExecutions", "16")
+      // same generated-class cache sizing as Bench (r10): a 112-query run
+      // generates ~1,300+ distinct codegen classes; the 100-entry default
+      // recompiles them continuously
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)

@@ -14,6 +14,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 29 suites share this JVM; the 100-entry default generated-class
+      // cache would recompile Janino classes continuously across them (the
+      // r10 bench diagnosis — same lesson, test-time edition)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftFunctions.register(s)
