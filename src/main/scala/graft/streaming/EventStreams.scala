@@ -186,6 +186,30 @@ object EventStreams {
       }
       .start()
 
+  /** Micro-batch ANN serving THROUGH the version pointer — the 24/7 form of
+    * the index-cutover lifecycle ([[graft.operators.IvfIndex.publishLatest]]
+    * / [[graft.operators.IvfIndex.loadLatest]]): each micro-batch resolves
+    * the ROOT dir's current `LATEST` version before scoring, so a
+    * `maintain`-rebuild published mid-stream starts serving at the NEXT
+    * micro-batch with zero query restarts — readers follow the atomic
+    * pointer, the stream never references a version dir directly. Pointer
+    * read + centroid load are k-row-bounded per batch (the per-batch analog
+    * of the reference's open-at-startup, IVF.cpp:648); the fine scan stays
+    * the partition-pruned search. No state store, restart-safe. */
+  def serveAnnStream(
+      queryStream: DataFrame, // (query_id LONG, embedding ARRAY<FLOAT>)
+      indexRootDir: String, k: Int, nProbe: Int)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = graft.operators.IvfIndex.loadLatest(
+          batch.sparkSession, indexRootDir)
+        sink(idx.searchBatch(batch, k, nProbe))
+      }
+      .start()
+
   /** Gap-based session aggregation via the BUILT-IN `session_window` (the
     * declarative twin of [[sessionizeStateful]]: state managed by the
     * engine's session-window store instead of custom `GroupState`). Output:

@@ -75,6 +75,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ANN serving follows the index version pointer across a mid-stream cutover") {
+    import graft.operators.{IvfIndex, KnnExact}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val seg = emb.where(col("vec_id") % 10 === 0)
+    val root = Files.createTempDirectory(Paths.get("target"), "ann-serve-root").toString
+    val idx1 = IvfIndex.build(spark, base, s"$root/v1", numClusters = 8)
+    IvfIndex.publishLatest(spark, root, s"$root/v1")
+
+    val qdir = Files.createTempDirectory(Paths.get("target"), "ann-serve-q").toString
+    val queries = emb.where(col("vec_id").isin(1L, 5L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def serveOnce(): Map[Long, Seq[Long]] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      val stream = spark.readStream
+        .schema("query_id LONG, embedding ARRAY<FLOAT>").parquet(qdir)
+      // full probe: results are EXACT over whichever corpus the pointer's
+      // version holds, so the served rows identify the version uniquely
+      val q = EventStreams.serveAnnStream(stream, root, k = 3, nProbe = 8) { out =>
+        val rows = out.collect()
+        buf.synchronized {
+          buf ++= rows.map(r => (r.getAs[Long]("query_id"),
+            r.getAs[Long]("vec_id"), r.getAs[Long]("rn")))
+        }
+      }
+      q.awaitTermination()
+      buf.groupBy(_._1).map { case (qid, rs) =>
+        qid -> rs.sortBy(_._3).map(_._2).toSeq
+      }
+    }
+
+    // serve against v1: exact over the BASE corpus only
+    queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+    val got1 = serveOnce()
+    Seq(1L, 5L).foreach { qid =>
+      val want = KnnExact.topK(base, KnnExact.queryVector(emb, qid), 3)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got1(qid) == want, s"v1 serve, query $qid: ${got1(qid)} vs $want")
+    }
+
+    // ingest + rebuild + publish — the stream code never changes
+    val (rebuilt, fired) = idx1.maintain(
+      seg, maxLoadFactor = 0.0, rebuildDir = Some(s"$root/v2"))
+    assert(fired)
+    IvfIndex.publishLatest(spark, root, rebuilt.indexDir)
+
+    // the next serving batch resolves the pointer: exact over the FULL corpus
+    val got2 = serveOnce()
+    Seq(1L, 5L).foreach { qid =>
+      val want = KnnExact.topK(emb, KnnExact.queryVector(emb, qid), 3)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got2(qid) == want, s"v2 serve, query $qid: ${got2(qid)} vs $want")
+    }
+    // the swap changed at least one answer (vec_id 0 mod 10 rows exist in
+    // the top-3 of some query) or at minimum both versions served exactly —
+    // require an observable difference so the test can't pass vacuously
+    assert(got1 != got2,
+      "cutover must be observable in served results (segment rows enter top-k)")
+  }
+
   test("stateful sessionization across a checkpointed restart == batch q11") {
     import spark.implicits._
     import graft.streaming.EventStreams.{SessionEvent, UserSessionCount}
