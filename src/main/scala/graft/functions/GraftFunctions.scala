@@ -26,6 +26,11 @@ object GraftFunctions {
     ExpressionUtils.column(
       CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Sequential PII scrub in one codegen expression (3 regex passes total):
+    * STRUCT<n_emails, n_ips, n_phones, scrubbed> — see [[PiiScrubSeq]]. */
+  def piiScrubSeq(text: Column): Column =
+    ExpressionUtils.column(PiiScrubSeq(ExpressionUtils.expression(text)))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))

@@ -106,41 +106,43 @@ object TextAnalysis {
 
   /** PII patterns, restricted to constructs with identical semantics in Java
     * regex (Spark) and RE2 (DuckDB oracle): no lookaround, no backrefs. A
-    * production scrubber adds locale-specific patterns at the same boundary. */
-  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Regex = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  val PhoneRegex = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    * production scrubber adds locale-specific patterns at the same boundary.
+    * Canonical definitions live with the expression
+    * ([[graft.functions.PiiScrubSeq]]) — one source of truth for engine and
+    * oracle. */
+  val EmailRegex: String = graft.functions.PiiScrubSeq.EmailRegex
+  val Ipv4Regex: String = graft.functions.PiiScrubSeq.Ipv4Regex
+  val PhoneRegex: String = graft.functions.PiiScrubSeq.PhoneRegex
 
   /** PII scrubbing — the redaction pass every training corpus needs before
     * the tokenizer: emails → `<EMAIL>`, IPv4s → `<IP>`, simple phone numbers
-    * → `<PHONE>`, with per-kind match counts for audit. Pure per-row regex
-    * projections (scan speed, zero shuffle); the scrubbed text is exported as
-    * 60-bit hash + length + preview so the output stays narrow at 100 TB
-    * (same posture as [[normalize]]). All regex scans and the 3-stage rewrite
-    * are staged once behind a Generate barrier (see [[quality]]). */
-  def piiScrub(documents: DataFrame): DataFrame = {
-    // counts follow the SEQUENTIAL scrub: each pattern is counted on the
-    // text as it stands after the preceding replacements, so every count is
-    // an actual substitution (counting all three on the raw text over-
-    // reports when patterns overlap — a phone number inside an email
-    // address is consumed by <EMAIL> and must not also count as a phone)
-    val afterEmail = regexp_replace(col("text"), EmailRegex, "<EMAIL>")
-    val afterIp = regexp_replace(afterEmail, Ipv4Regex, "<IP>")
+    * → `<PHONE>`, with per-kind match counts for audit. Counts follow the
+    * SEQUENTIAL scrub: each pattern is counted on the text as it stands
+    * after the preceding replacements, so every count is an actual
+    * substitution (counting all three on the raw text over-reports when
+    * patterns overlap — a phone number inside an email address is consumed
+    * by `<EMAIL>` and must not also count as a phone).
+    *
+    * The whole count+rewrite chain is ONE codegen expression
+    * ([[graft.functions.PiiScrubSeq]]): three Matcher passes per row total,
+    * no-match rows allocate nothing — vs up to nine regex passes for the
+    * composed `regexp_extract_all`/`regexp_replace` formulation this
+    * replaced (r10; identical results by construction, PiiSpec asserts
+    * parity against the composed form). Pure per-row projection (scan
+    * speed, zero shuffle); the scrubbed text is exported as 60-bit hash +
+    * length so the output stays narrow at 100 TB (same posture as
+    * [[normalize]]). */
+  def piiScrub(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
-      explode(array(struct(
-        size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0))).as("ne"),
-        size(regexp_extract_all(afterEmail, lit(Ipv4Regex), lit(0))).as("ni"),
-        size(regexp_extract_all(afterIp, lit(PhoneRegex), lit(0))).as("np"),
-        regexp_replace(afterIp, PhoneRegex, "<PHONE>").as("t")))).as("c"))
+      graft.functions.GraftFunctions.piiScrubSeq(col("text")).as("c"))
       .select(
         col("doc_id"),
-        col("c.ne").as("n_emails"),
-        col("c.ni").as("n_ips"),
-        col("c.np").as("n_phones"),
-        h60(col("c.t")).as("scrub_h60"),
-        length(col("c.t")).as("n_scrub_chars"))
-  }
+        col("c.n_emails").cast("int").as("n_emails"),
+        col("c.n_ips").cast("int").as("n_ips"),
+        col("c.n_phones").cast("int").as("n_phones"),
+        h60(col("c.scrubbed")).as("scrub_h60"),
+        length(col("c.scrubbed")).as("n_scrub_chars"))
 
   /** Repetition metrics (the Gopher/C4-family quality-filter signals):
     *  - top_tok_ratio: frequency of the most common token / n_tokens — high

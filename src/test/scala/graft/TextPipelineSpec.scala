@@ -28,6 +28,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(got(3).getAs[Int]("n_scrub_chars") == "clean text, nothing to scrub".length)
   }
 
+  test("PiiScrubSeq expression == composed regexp formulation (sequential semantics)") {
+    // the single-pass-per-pattern expression replaced the composed
+    // regexp_extract_all/regexp_replace chain (r10); this pins bit-identical
+    // results over the real corpus + adversarial overlap docs (phone inside
+    // email, ip inside email, phone-then-email adjacency, $-chars in text —
+    // appendReplacement must treat the placeholder literally)
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val adversarial = Seq(
+      (100001L, "reach me: 555-123-4567@corp.example.com or (555) 123-4567"),
+      (100002L, "node 10.0.0.1@mail.io logs to 10.0.0.2 at 555-123-4567"),
+      (100003L, "price $100 for a@b.co then $5 more 1.2.3.4"),
+      (100004L, "x@y.zz 9.9.9.9 111-222-3333 x@y.zz 9.9.9.9 111-222-3333"))
+      .toDF("doc_id", "text")
+    val docs = corpus.unionByName(adversarial)
+    import graft.operators.TextAnalysis.{EmailRegex, Ipv4Regex, PhoneRegex}
+    val afterEmail = regexp_replace(col("text"), EmailRegex, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Regex, "<IP>")
+    val composed = docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(Ipv4Regex), lit(0))).as("n_ips"),
+      size(regexp_extract_all(afterIp, lit(PhoneRegex), lit(0))).as("n_phones"),
+      regexp_replace(afterIp, PhoneRegex, "<PHONE>").as("scrubbed"))
+    val expr = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.piiScrubSeq(col("text")).as("c"))
+      .select(col("doc_id"), col("c.n_emails"), col("c.n_ips"),
+        col("c.n_phones"), col("c.scrubbed"))
+    val a = composed.orderBy("doc_id").collect().toSeq
+    val b = expr.orderBy("doc_id").collect().toSeq
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged:\n $x\n $y") }
+    // and the adversarial rows actually exercised matches
+    val hot = expr.where(col("doc_id") >= 100001L)
+      .agg(sum(col("n_emails") + col("n_ips") + col("n_phones"))).head.getLong(0)
+    assert(hot >= 8, s"adversarial docs must carry PII matches: $hot")
+  }
+
   test("corpusFilter drops each rule's violators with the right reason") {
     val long = (1 to 30).map(i => s"w$i").mkString(" ")          // 30 distinct tokens
     val stuffed = (long + " spam" * 8)                           // top ratio 8/38 > 0.16
