@@ -302,6 +302,17 @@ object SparkEntry {
     "minhash_est_pairs"      -> ((s, d) =>
       Dedup.minhashEstPairs(tbl(s, d, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "lsh_candidates_inc"     -> ((s, d) => {
+      // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
+      // dedup_incremental; history's band table is the persisted artifact
+      // (never re-shingled — here rebuilt because the suite is stateless,
+      // in production a lake read), the batch bands against history ∪ batch
+      val docs = tbl(s, d, "documents")
+      val histBands = Dedup.lshBuckets(docs.where(col("doc_id") % 5 =!= 4))
+      Dedup.lshCandidatePairsIncremental(
+        docs.where(col("doc_id") % 5 === 4), histBands)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "ngram_jaccard"          -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -478,6 +489,9 @@ object SparkEntry {
     "dedup_minhash"       -> "minhash",
     "lsh_candidates"      -> "minhash",
     "minhash_est_pairs"   -> "minhash",
+    // new-batch band table ([[Dedup.lshCandidatePairsIncremental]]; the
+    // history/batch split frames differ from the full-corpus minhash family)
+    "lsh_candidates_inc"  -> "inclsh",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -1248,6 +1262,20 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // incremental banding: identical band math, but the a-side is restricted
+    // to the NEW batch (doc_id % 5 = 4) — history×history pairs never appear,
+    // new×new pairs canonicalize via least/greatest + DISTINCT
+    "lsh_candidates_inc" ->
+      s"""$MinhashCte,
+         |bands AS (
+         |  $LshBandsSql)
+         |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |  greatest(a.doc_id, b.doc_id) AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+         |WHERE a.doc_id % 5 = 4
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // MinHash-estimated Jaccard for the banded candidate pairs: fraction of

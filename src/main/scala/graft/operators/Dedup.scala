@@ -113,6 +113,36 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** Incremental LSH candidate generation — the daily-ingest near-dup path,
+    * and the text-side twin of [[IvfIndex.mergeSegment]]'s posture: the band
+    * table is an append-only ARTIFACT (in production a lake parquet table;
+    * `historyBands` here is whatever [[lshBuckets]] previously produced),
+    * today's batch shingles/MinHashes ONLY its own docs (O(batch), history
+    * is never re-tokenized), and candidates are the equi-join of the new
+    * bands against history ∪ new — emitting exactly the pairs with at least
+    * one NEW side (new×history and new×new; history×history was yesterday's
+    * output and is never recomputed). Canonical (doc_a < doc_b) orientation,
+    * distinct across bands, same as [[lshCandidatePairs]]. Appending the
+    * returned batch's bands to the artifact (`newBands` = [[lshBuckets]] of
+    * the batch) completes the ingest cycle. */
+  def lshCandidatePairsIncremental(newDocs: DataFrame,
+      historyBands: DataFrame): DataFrame = {
+    // persist: the new-batch band table feeds both join sides (a-side, and
+    // the union's second leg) — without it the batch re-shingles twice
+    val nb = graft.CacheRegistry.persist(lshBuckets(newDocs))
+    val all = historyBands.select(col("doc_id"), col("band"), col("bucket"))
+      .unionByName(nb)
+    nb.as("a")
+      .join(all.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
   /** MinHash-estimated Jaccard for the LSH candidate pairs: the fraction of
     * the K signature components on which the two docs agree — the unbiased
     * MinHash estimator E[matches/K] = J(a,b). This is the calibration check a

@@ -235,6 +235,29 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental LSH candidates = full-corpus banding restricted to new-side pairs") {
+    // the append-only ingest contract: the batch's candidates against
+    // history ∪ batch must be EXACTLY the full recompute's pairs that touch
+    // the batch — no pair lost by skipping history re-shingling, none
+    // invented, and no history×history pair recomputed
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val got = Dedup.lshCandidatePairsIncremental(batch, Dedup.lshBuckets(hist))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantTouchingBatch = full.filter { case (a, b) => a % 5 == 4 || b % 5 == 4 }
+    assert(got == wantTouchingBatch,
+      s"incremental diverged: ${got.size} vs ${wantTouchingBatch.size} " +
+        s"(missing ${(wantTouchingBatch -- got).take(3)}, " +
+        s"extra ${(got -- wantTouchingBatch).take(3)})")
+    assert(got.forall { case (a, b) => a % 5 == 4 || b % 5 == 4 },
+      "every emitted pair must touch the new batch")
+    graft.CacheRegistry.release()
+  }
+
   test("bloom parity is structural: a saturated 64-bit sketch stays exact") {
     // numBits=64 with 4 items -> sketch is near-all-ones, so nearly every
     // probe is a false positive; the exact anti-join must absorb them all
