@@ -201,18 +201,25 @@ object GraftFunctions {
   // as argmax over languages of marker-hit counts, ties broken by language code
   // order — the whole thing is a pure Column expression so the DuckDB oracle can
   // mirror it exactly.
-  val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "fast", "slow"),
-    "de" -> Seq("der", "die", "das", "und"),
-    "es" -> Seq("el", "la", "los", "que"),
-    "fr" -> Seq("le", "la", "les", "et"),
-    "zh" -> Seq("de", "shi", "zai", "he"))
+  /** Canonical table lives with the expression ([[LangIdExpr.Markers]]) —
+    * one source of truth for engine and oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = LangIdExpr.Markers
 
   private def markerCount(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => markers.map(m => w === lit(m)).reduce(_ || _)))
 
-  /** Best-scoring language code, 'und' when no marker hits at all. */
-  def langId(words: Column): Column = {
+  /** Best-scoring language code, 'und' when no marker hits at all — one
+    * array pass with a marker→languages hash lookup ([[LangIdExpr]]; the
+    * composed per-language `filter` HOF argmax it replaced walks the token
+    * array once PER language, which a production-size marker table can't
+    * afford). [[langIdComposed]] keeps the composed form for the parity
+    * spec. */
+  def langId(words: Column): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(words)))
+
+  /** The composed Column formulation (pre-r10 implementation) — retained as
+    * the executable spec [[langId]] is parity-tested against. */
+  private[graft] def langIdComposed(words: Column): Column = {
     val scored = langMarkers.map { case (code, ms) => (code, markerCount(words, ms)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     // argmax with ties to first (alphabetical-ish declared order)

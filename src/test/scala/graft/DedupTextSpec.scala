@@ -175,6 +175,36 @@ class DedupTextSpec extends SparkSpec {
     assert(math.abs(q.getAs[Double]("stop_ratio") - 3.0 / 12) < 1e-9) // the, the, and
   }
 
+  test("LangIdExpr == composed per-language filter argmax over the corpus") {
+    // the one-pass hash-lookup expression replaced the per-language HOF
+    // argmax (r10); parity over the real corpus plus tie/ambiguity docs
+    // ("la" counts for es AND fr — declared order must win ties; "de" for
+    // de AND zh)
+    import graft.functions.GraftFunctions.{langId, langIdComposed, tokens}
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tricky = Seq(
+      (200001L, "la la le les et"),   // fr beats es? la->both, le/les/et fr-only
+      (200002L, "la los"),            // tie es=2? la->es,fr; los->es: es=2 fr=1
+      (200003L, "de und der"),        // de=2(und,der) zh=1(de)
+      (200004L, "la"),                // es=1 fr=1 tie -> es (declared first)
+      (200005L, ""),                  // no tokens -> und
+      (200006L, "xyzzy plugh")).toDF("doc_id", "text")
+    val docs = corpus.unionByName(tricky)
+    val both = docs.select(col("doc_id"),
+        langId(tokens(col("text"))).as("fast"),
+        langIdComposed(tokens(col("text"))).as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: expr=${r.getString(1)} composed=${r.getString(2)}")
+    }
+    // and the tie semantics are what the scaladoc promises
+    val byId = both.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(200004L) == "es", "declared order must break the es/fr tie")
+    assert(byId(200005L) == "und" && byId(200006L) == "und")
+  }
+
   test("langId picks en on stopword-heavy text, und on markerless text") {
     val r = TextAnalysis.languageId(docsFixture).collect()
       .map(x => x.getLong(0) -> x.getString(2)).toMap
