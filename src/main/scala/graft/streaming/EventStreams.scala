@@ -186,6 +186,19 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming LSH band assignment — the ingest half of
+    * [[graft.operators.Dedup.lshCandidatePairsIncremental]]'s cycle: each
+    * arriving doc's MinHash band buckets land STATELESSLY (append mode, no
+    * state store, restart-safe) in the band-table sink, so the accumulated
+    * sink IS the append-only history band artifact the incremental banding
+    * joins against — documents are shingled exactly once, at ingest time.
+    * Delegates to the batch operator: every stage of
+    * [[graft.operators.Dedup.lshBuckets]] is a stateless per-row projection,
+    * so the same code runs in both modes and the contract cannot drift.
+    * `docs` needs (doc_id, text). */
+  def bandAssignStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.lshBuckets(docs)
+
   /** Micro-batch ANN serving THROUGH the version pointer — the 24/7 form of
     * the index-cutover lifecycle ([[graft.operators.IvfIndex.publishLatest]]
     * / [[graft.operators.IvfIndex.loadLatest]]): each micro-batch resolves

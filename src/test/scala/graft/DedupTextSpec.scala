@@ -288,6 +288,23 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental LSH edges: empty batch -> no pairs; empty history -> new×new only") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    assert(Dedup.lshCandidatePairsIncremental(none, Dedup.lshBuckets(docs)).count() == 0,
+      "an empty ingest batch must produce no candidates")
+    // day zero: no history yet — the incremental path degenerates to the
+    // full banding over the batch alone
+    val dayZero = Dedup.lshCandidatePairsIncremental(docs, Dedup.lshBuckets(none))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.lshCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dayZero == full, s"day-zero ingest must equal the full banding: " +
+      s"${dayZero.size} vs ${full.size}")
+    graft.CacheRegistry.release()
+  }
+
   test("bloom parity is structural: a saturated 64-bit sketch stays exact") {
     // numBits=64 with 4 items -> sketch is near-all-ones, so nearly every
     // probe is a false positive; the exact anti-join must absorb them all

@@ -75,6 +75,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming band assignment feeds the incremental LSH cycle across a restart") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "band-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "band-sink").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "band-ckpt").toString
+    def ingestOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      EventStreams.runToParquet(
+        spark, EventStreams.bandAssignStream(stream), sinkDir, ckpt)
+    }
+    // day 1 ingest, then a restart ingesting day 2 through the SAME checkpoint
+    hist.coalesce(2).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    val day1 = spark.read.parquet(sinkDir)
+    assert(day1.count() == Dedup.lshBuckets(hist).count(),
+      "sink after day 1 must hold exactly history's bands")
+    batch.coalesce(1).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    // accumulated sink == batch operator over the full corpus (shingled
+    // once per doc, at ingest — never re-tokenized)
+    val sunk = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("bucket"))).toSet
+    val want = Dedup.lshBuckets(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("bucket"))).toSet
+    assert(sunk == want, s"accumulated band sink diverged: ${sunk.size} vs ${want.size}")
+    // and the sink IS the history artifact: incremental candidates off the
+    // day-1 slice of the sink == recomputed-history incremental candidates
+    val histBandsFromSink = spark.read.parquet(sinkDir)
+      .where(col("doc_id") % 5 =!= 4)
+    val viaSink = Dedup.lshCandidatePairsIncremental(batch, histBandsFromSink)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBatch = Dedup.lshCandidatePairsIncremental(batch, Dedup.lshBuckets(hist))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSink == viaBatch)
+    graft.CacheRegistry.release()
+  }
+
   test("ANN serving follows the index version pointer across a mid-stream cutover") {
     import graft.operators.{IvfIndex, KnnExact}
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
