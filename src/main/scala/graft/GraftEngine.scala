@@ -373,5 +373,11 @@ object GraftEngine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // a long-lived engine session runs many distinct plans; the 100-entry
+      // default generated-class cache recompiles Janino classes continuously
+      // once the workload's distinct-plan count passes it (measured r10:
+      // ~1,300 recompiles/pass on the 113-query suite, 2-4× warm-query
+      // inflation) — size it to the workload
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
 }
