@@ -302,6 +302,8 @@ object SparkEntry {
     "minhash_est_pairs"      -> ((s, d) =>
       Dedup.minhashEstPairs(tbl(s, d, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dup_span_share"         -> ((s, d) =>
+      Dedup.dupSpanShare(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "lsh_candidates_inc"     -> ((s, d) => {
       // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
       // dedup_incremental; history's band table is the persisted artifact
@@ -492,6 +494,8 @@ object SparkEntry {
     // new-batch band table ([[Dedup.lshCandidatePairsIncremental]]; the
     // history/batch split frames differ from the full-corpus minhash family)
     "lsh_candidates_inc"  -> "inclsh",
+    // rolling-window hash table ([[Dedup.dupSpanShare]])
+    "dup_span_share"      -> "dupspan",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -1263,6 +1267,27 @@ object SparkEntry {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // span-level dedup signal: rolling 20-token window hashes; a window is
+    // duplicated iff its hash occurs in >= 2 distinct docs
+    "dup_span_share" -> {
+      val win = Dedup.SpanWindow
+      val winHash = h60Sql(s"array_to_string(list_slice(w, i, i + ${win - 1}), ' ')")
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, w FROM d WHERE len(w) >= $win),
+         |win AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(w) - ${win - 1}), i -> $winHash)) AS wh FROM t),
+         |dh AS (SELECT wh FROM (
+         |    SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
+         |  WHERE nd > 1)
+         |SELECT win.doc_id,
+         |  COUNT(*) AS n_windows,
+         |  CAST(COUNT(dh.wh) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(COUNT(dh.wh) AS DOUBLE) / COUNT(*), 6) AS dup_share
+         |FROM win LEFT JOIN dh ON win.wh = dh.wh
+         |GROUP BY win.doc_id
+         |ORDER BY win.doc_id""".stripMargin
+    },
 
     // incremental banding: identical band math, but the a-side is restricted
     // to the NEW batch (doc_id % 5 = 4) — history×history pairs never appear,

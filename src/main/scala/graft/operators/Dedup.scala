@@ -113,6 +113,50 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
+  /** Default window width (tokens) for [[dupSpanShare]]. */
+  val SpanWindow = 20
+
+  /** Duplicated-span share — the exact SUBSTRING-level dedup signal (the
+    * "dedup training data" family's span statistic, complementing the
+    * doc-level families): for every `window`-token rolling window, a 60-bit
+    * hash; a window is DUPLICATED if its hash occurs in ≥2 DISTINCT docs;
+    * per doc, the count and share of duplicated windows. High shares flag
+    * boilerplate/templated docs whose doc-level Jaccard may still look
+    * unique — the signal span-level dedup pipelines cut on.
+    *
+    * Scale shape: the window table carries one row per token position
+    * (∝ corpus tokens — the unigram-family shuffle class, never pairs), the
+    * duplicated-hash set is (wh, doc) distinct → groupBy(wh) with map-side
+    * combine, and the per-doc rollup joins windows to that (much smaller)
+    * set. No all-pairs anything; in-doc repeats only count as duplicated if
+    * some OTHER doc shares the window. */
+  def dupSpanShare(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens: $window")
+    // stage the token array behind a Generate barrier so the window lambda
+    // references the materialized array, not a re-tokenize per window
+    val toks = documents
+      .select(col("doc_id"), explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      .select(col("doc_id"), col("c.w").as("w"))
+      .where(size(col("w")) >= window)
+    val wins = graft.CacheRegistry.persist(
+      toks.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - lit(window - 1)),
+          i => h60(concat_ws(" ", slice(col("w"), i, lit(window)))))).as("wh")))
+    val dupHashes = wins.select(col("wh"), col("doc_id")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1)
+      .select(col("wh"), lit(1).as("dup"))
+    wins.join(dupHashes, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows")) // count(col) skips null misses
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_share"))
+  }
+
   /** Incremental LSH candidate generation — the daily-ingest near-dup path,
     * and the text-side twin of [[IvfIndex.mergeSegment]]'s posture: the band
     * table is an append-only ARTIFACT (in production a lake parquet table;

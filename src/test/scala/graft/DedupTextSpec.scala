@@ -265,6 +265,22 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("dupSpanShare: duplicated windows need >=2 distinct docs; counts by hand") {
+    import spark.implicits._
+    // window = 4 tokens for hand-checkable spans
+    val a = "p q r s t u"        // windows: pqrs qrst rstu (3)
+    val b = "x y p q r s z"      // windows: xypq ypqr pqrs qrst(no: q r s z) ...
+    val c = "k k k k k"          // in-doc repeated window, unique to c
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.dupSpanShare(docs, window = 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1 windows: [p q r s][q r s t][r s t u] — shared with doc2: "p q r s"
+    // doc2 windows: [x y p q][y p q r][p q r s][q r s z] — shared: "p q r s"
+    // doc3 windows: [k k k k]×2 — repeated IN-doc only → not duplicated
+    assert(got == Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 2L, 0L)), s"got $got")
+    graft.CacheRegistry.release()
+  }
+
   test("incremental LSH candidates = full-corpus banding restricted to new-side pairs") {
     // the append-only ingest contract: the batch's candidates against
     // history ∪ batch must be EXACTLY the full recompute's pairs that touch
