@@ -304,6 +304,8 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dup_span_share"         -> ((s, d) =>
       Dedup.dupSpanShare(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "scrub_dup_spans"        -> ((s, d) =>
+      Dedup.scrubDupSpans(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "lsh_candidates_inc"     -> ((s, d) => {
       // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
       // dedup_incremental; history's band table is the persisted artifact
@@ -494,8 +496,11 @@ object SparkEntry {
     // new-batch band table ([[Dedup.lshCandidatePairsIncremental]]; the
     // history/batch split frames differ from the full-corpus minhash family)
     "lsh_candidates_inc"  -> "inclsh",
-    // rolling-window hash table ([[Dedup.dupSpanShare]])
+    // rolling-window hash tables ([[Dedup.dupSpanShare]] /
+    // [[Dedup.scrubDupSpans]] — different persisted frames, one family so
+    // they run adjacent and release together)
     "dup_span_share"      -> "dupspan",
+    "scrub_dup_spans"     -> "dupspan",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -1287,6 +1292,40 @@ object SparkEntry {
          |FROM win LEFT JOIN dh ON win.wh = dh.wh
          |GROUP BY win.doc_id
          |ORDER BY win.doc_id""".stripMargin
+    },
+
+    // the span scrub: duplicated windows' covered positions drop from every
+    // carrier; untouched docs hash their ORIGINAL text (no reconstruction)
+    "scrub_dup_spans" -> {
+      val win = Dedup.SpanWindow
+      val winHash = h60Sql(s"array_to_string(list_slice(w, i, i + ${win - 1}), ' ')")
+      s"""WITH d AS (SELECT doc_id, text, $W AS w FROM documents),
+         |t AS (SELECT doc_id, w FROM d WHERE len(w) >= $win),
+         |win AS (SELECT doc_id, i, $winHash AS wh
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${win - 1})) AS i FROM t)),
+         |dh AS (SELECT wh FROM (
+         |    SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
+         |  WHERE nd > 1),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${win - 1})) AS pos
+         |  FROM win WHERE wh IN (SELECT wh FROM dh)),
+         |aff AS (SELECT DISTINCT doc_id FROM cov),
+         |tok AS (SELECT x.doc_id, x.i AS pos, x.w[x.i] AS tk, len(x.w) AS n_tokens
+         |  FROM (SELECT d.doc_id, d.w, unnest(generate_series(1, len(d.w))) AS i
+         |        FROM d JOIN aff ON d.doc_id = aff.doc_id) x),
+         |rw AS (SELECT tok.doc_id,
+         |    CAST(MAX(tok.n_tokens) AS INT) AS n_tokens,
+         |    CAST(COUNT(cov.pos) AS BIGINT) AS n_removed,
+         |    COALESCE(array_to_string(
+         |      list(tok.tk ORDER BY tok.pos) FILTER (WHERE cov.pos IS NULL), ' '), '') AS t
+         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  GROUP BY tok.doc_id)
+         |SELECT doc_id, n_tokens, n_removed, ${h60Sql("t")} AS scrub_h60,
+         |  CAST(len(t) AS INT) AS n_scrub_chars FROM rw
+         |UNION ALL
+         |SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens, CAST(0 AS BIGINT) AS n_removed,
+         |  ${h60Sql("d.text")} AS scrub_h60, CAST(len(d.text) AS INT) AS n_scrub_chars
+         |FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM aff)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // incremental banding: identical band math, but the a-side is restricted

@@ -157,6 +157,70 @@ object Dedup {
           .as("dup_share"))
   }
 
+  /** Span-level dedup made ACTIONABLE — [[dupSpanShare]]'s scalpel: remove
+    * every token covered by a duplicated window (a `window`-token span whose
+    * hash occurs in ≥2 distinct docs) from every doc carrying one, and pass
+    * untouched docs through without a rewrite. Run AFTER doc-level dedup
+    * (which keeps one copy of whole-doc dups); what remains duplicated at
+    * span level is cross-doc boilerplate — headers, licenses, templates —
+    * which this removes from every carrier.
+    *
+    * Output (narrow-at-100 TB convention): doc_id, n_tokens, n_removed,
+    * scrub_h60 + n_scrub_chars of the post-scrub text (untouched docs hash
+    * their ORIGINAL text — no reconstruction round-trip).
+    *
+    * Scale shape: the window/mask tables are ∝ AFFECTED docs' tokens only —
+    * the reassembly shuffle (collect per doc, sort by position) is confined
+    * to docs that actually carry duplicated spans; everything else takes the
+    * anti-join pass-through. No pairs anywhere. */
+  def scrubDupSpans(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens: $window")
+    val toks = documents
+      .select(col("doc_id"), explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      .select(col("doc_id"), col("c.w").as("w"))
+    val winnable = toks.where(size(col("w")) >= window)
+    // (doc, window-start, hash) — position must survive to build the mask
+    val wins = graft.CacheRegistry.persist(
+      winnable.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), size(col("w")) - lit(window - 1)),
+          i => h60(concat_ws(" ", slice(col("w"), i, lit(window))))))
+          .as(Seq("i0", "wh")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("wh")))
+    val dupHashes = wins.select(col("wh"), col("doc_id")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("wh"))
+    // covered token positions, per affected doc
+    val covered = graft.CacheRegistry.persist(
+      wins.join(dupHashes, Seq("wh"), "left_semi")
+        .select(col("doc_id"),
+          explode(sequence(col("i"), col("i") + lit(window - 1))).as("pos"))
+        .distinct())
+    val affected = covered.select(col("doc_id")).distinct()
+    // rewrite ONLY affected docs: tokens by position, drop covered, reassemble
+    val rewritten = toks.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n_tokens"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(covered.withColumn("cov", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        count(col("cov")).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("cov").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok"))).as("t"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        h60(col("t")).as("scrub_h60"), length(col("t")).as("n_scrub_chars"))
+    // untouched docs: original text, zero removals, no rewrite
+    val untouched = toks.join(affected, Seq("doc_id"), "left_anti")
+      .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        lit(0L).as("n_removed"),
+        h60(col("text")).as("scrub_h60"), length(col("text")).as("n_scrub_chars"))
+    rewritten.unionByName(untouched)
+  }
+
   /** Incremental LSH candidate generation — the daily-ingest near-dup path,
     * and the text-side twin of [[IvfIndex.mergeSegment]]'s posture: the band
     * table is an append-only ARTIFACT (in production a lake parquet table;

@@ -281,6 +281,43 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("scrubDupSpans removes covered tokens from carriers, passes clean docs through") {
+    import spark.implicits._
+    val a = "H1 H2 H3 H4 a1 a2 a3"   // shares window [H1..H4] with b
+    val b = "b0 H1 H2 H3 H4 b1"      // same boilerplate mid-doc
+    val c = "c1 c2 c3 c4 c5"         // clean — must NOT be rewritten
+    val short = "s1 s2"              // < window tokens — pass-through
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, short)).toDF("doc_id", "text")
+    val got = Dedup.scrubDupSpans(docs, window = 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // doc1: covered = positions 1-4 → kept "a1 a2 a3"
+    // doc2: dup windows = [H1 H2 H3 H4] at i=2 → covered 2-5 → "b0 b1"
+    //   (windows [b0 H1 H2 H3] and [H3 H4 b1]... wait: window=4 over 6 toks
+    //    gives i=1..3: [b0 H1 H2 H3], [H1 H2 H3 H4], [H2 H3 H4 b1];
+    //    only the middle one is shared with doc1)
+    // doc3/doc4: untouched — original text hash
+    def h(s: String) = graft.functions.PortableHash.h60(s.getBytes("UTF-8"))
+    assert(got(0) == (1L, 7, 4L, h("a1 a2 a3"), "a1 a2 a3".length), s"doc1: ${got(0)}")
+    assert(got(1) == (2L, 6, 4L, h("b0 b1"), "b0 b1".length), s"doc2: ${got(1)}")
+    assert(got(2) == (3L, 5, 0L, h(c), c.length), s"doc3: ${got(2)}")
+    assert(got(3) == (4L, 2, 0L, h(short), short.length), s"doc4: ${got(3)}")
+    graft.CacheRegistry.release()
+  }
+
+  test("scrubDupSpans: a fully-covered doc scrubs to the empty string") {
+    import spark.implicits._
+    val t = "x1 x2 x3 x4"
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")  // exact 4-token dups
+    val got = Dedup.scrubDupSpans(docs, window = 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(4)))
+    def h(s: String) = graft.functions.PortableHash.h60(s.getBytes("UTF-8"))
+    assert(got.toSeq == Seq((1L, 4L, 0), (2L, 4L, 0)), s"got ${got.toSeq}")
+    val hashes = Dedup.scrubDupSpans(docs, window = 4)
+      .select(col("scrub_h60")).collect().map(_.getLong(0)).toSet
+    assert(hashes == Set(h("")), "both docs must scrub to the empty string")
+    graft.CacheRegistry.release()
+  }
+
   test("incremental LSH candidates = full-corpus banding restricted to new-side pairs") {
     // the append-only ingest contract: the batch's candidates against
     // history ∪ batch must be EXACTLY the full recompute's pairs that touch
