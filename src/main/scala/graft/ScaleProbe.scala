@@ -148,6 +148,11 @@ object ScaleProbe {
       "bpe_seq_k8" -> (() => noop(Bpe.trainMerges(spark, docs, 8))),
       "bpe_batched_m8" -> (() =>
         noop(Bpe.trainMergesBatched(spark, docs, 8, batchSize = 8))),
+      // span-level dedup family: the window table is one row per token
+      // position, so both probes must scale ∝ corpus tokens (linear), and
+      // the scrub's rewrite cost stays confined to affected docs
+      "dup_span_share" -> (() => noop(Dedup.dupSpanShare(docs))),
+      "scrub_dup_spans" -> (() => noop(Dedup.scrubDupSpans(docs))),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),

@@ -175,9 +175,14 @@ object Dedup {
     * anti-join pass-through. No pairs anywhere. */
   def scrubDupSpans(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
-    val toks = documents
+    // persisted: three consumers (window build, affected-doc rewrite,
+    // pass-through) and the Generate barrier stops the doc_id semi-joins
+    // from pushing below the tokenize — without the persist each branch
+    // re-tokenizes the WHOLE corpus (3 scans instead of 1; production =
+    // the written token table every span pipeline stages anyway)
+    val toks = graft.CacheRegistry.persist(documents
       .select(col("doc_id"), explode(array(struct(tokens(col("text")).as("w")))).as("c"))
-      .select(col("doc_id"), col("c.w").as("w"))
+      .select(col("doc_id"), col("c.w").as("w")))
     val winnable = toks.where(size(col("w")) >= window)
     // (doc, window-start, hash) — position must survive to build the mask
     val wins = graft.CacheRegistry.persist(
