@@ -117,6 +117,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: PiiScrubSeq == composed regexp chain on PII-dense random texts") {
+    // generated texts mix PII-shaped fragments with noise (including regex
+    // metacharacters and $ — appendReplacement must stay literal); the
+    // single-expression scrub must be bit-identical to the composed
+    // sequential formulation on every draw
+    import graft.operators.TextAnalysis.{EmailRegex, Ipv4Regex, PhoneRegex}
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("a@b.co", "x.y@mail.example.org", "1@2.aa"),
+      Gen.oneOf("1.2.3.4", "10.0.0.255", "999.999.999.999"),
+      Gen.oneOf("555-123-4567", "111.222.3333", "(555) 123-4567"),
+      Gen.oneOf("plain", "words", "$5.00", "a+b=c", "3.14", "x@", "@y", "1.2.3"),
+      Gen.alphaNumStr.map(_.take(8)))
+    val textGen: Gen[String] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, frag)).map(_.mkString(" "))
+    forAll(textGen, 40) { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val afterEmail = regexp_replace(col("text"), EmailRegex, "<EMAIL>")
+      val afterIp = regexp_replace(afterEmail, Ipv4Regex, "<IP>")
+      val want = df.select(
+        size(regexp_extract_all(col("text"), lit(EmailRegex), lit(0))),
+        size(regexp_extract_all(afterEmail, lit(Ipv4Regex), lit(0))),
+        size(regexp_extract_all(afterIp, lit(PhoneRegex), lit(0))),
+        regexp_replace(afterIp, PhoneRegex, "<PHONE>")).head
+      val got = df.select(GraftFunctions.piiScrubSeq(col("text")).as("c"))
+        .select(col("c.n_emails"), col("c.n_ips"), col("c.n_phones"),
+          col("c.scrubbed")).head
+      assert(got == want, s"text <$t>: got $got want $want")
+    }
+  }
+
+  test("property: LangIdExpr == composed per-language argmax on random marker mixes") {
+    val marker: Gen[String] = Gen.oneOf(
+      GraftFunctions.langMarkers.flatMap(_._2) ++ Seq("noise", "qqq", "zzz", ""))
+    val wordsGen: Gen[List[String]] =
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, marker))
+    forAll(wordsGen, 40) { ws =>
+      val df = Seq(Tuple1(ws)).toDF("w")
+      val got = df.select(GraftFunctions.langId(col("w"))).head.getString(0)
+      val want = df.select(GraftFunctions.langIdComposed(col("w"))).head.getString(0)
+      assert(got == want, s"words $ws: expr=$got composed=$want")
+    }
+  }
+
   test("property: tokenModeCount equals brute-force max token frequency") {
     // small alphabet forces repeats; empty arrays excluded (mode undefined)
     val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>
