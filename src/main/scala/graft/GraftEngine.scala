@@ -230,8 +230,12 @@ final class GraftEngine(val spark: SparkSession,
     Dedup.minhashEstPairs(documents)
   def survivors(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.ngramSurvivors(documents, minJaccard)
-  def similarityPairs(embeddings: DataFrame, minSim: Double): DataFrame =
-    Dedup.embeddingNearDupPairs(embeddings, minSim)
+  /** CONTRAST CASE — fixed-attribute (`label`) blocking, pairs ∝ N² per
+    * block as the corpus grows. Kept for the measured contrast against
+    * [[similarityPairsIndexed]], which is the production form (IVF-cluster
+    * blocking, block size bounded by nlist ∝ √N). */
+  def similarityPairsFixedBlock(embeddings: DataFrame, minSim: Double): DataFrame =
+    Dedup.embeddingNearDupPairsFixedBlock(embeddings, minSim)
   def textQuality(documents: DataFrame): DataFrame = TextAnalysis.quality(documents)
   def scrubPii(documents: DataFrame): DataFrame = TextAnalysis.piiScrub(documents)
   def qualityFilter(documents: DataFrame): DataFrame =
@@ -309,7 +313,7 @@ final class GraftEngine(val spark: SparkSession,
     TrainingMix.topQualityPerLang(documents, frac)
   /** Embedding near-dup pairs blocked by an [[IvfIndex]]'s cluster id —
     * candidate generation inside the inverted-file layout (the 100 TB form
-    * of [[similarityPairs]]'s attribute blocking). */
+    * of [[similarityPairsFixedBlock]]'s attribute blocking). */
   def similarityPairsIndexed(index: IvfIndex, minSim: Double): DataFrame =
     Dedup.embeddingNearDupPairsBy(index.vectors, "cluster", minSim)
 

@@ -169,7 +169,7 @@ object ScaleProbe {
     // adversarial-replication trap the text side avoids with token
     // prefixes).
     val vectorNames = Seq("knn_exact", "knn_batch", "ivf_build",
-      "ann_ivf_probe", "near_dup_embeddings", "ivf_build_wide", "near_dup_ivf")
+      "ann_ivf_probe", "contrast_near_dup_fixed_block", "ivf_build_wide", "near_dup_ivf")
     var nVecs = 0L
     val vectorProbes: Seq[(String, () => Unit)] = if (!wants(vectorNames: _*)) Seq.empty else {
     val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -209,8 +209,8 @@ object ScaleProbe {
       "knn_batch" -> (() => noop(KnnBatch.topK(emb, qBatch, 10))),
       "ivf_build" -> (() => { ivf = IvfIndex.build(spark, emb, ivfDir, 16) }),
       "ann_ivf_probe" -> (() => noop(ivf.search(q0, 10, 4))),
-      "near_dup_embeddings" -> (() =>
-        noop(Dedup.embeddingNearDupPairs(emb, 0.95))),
+      "contrast_near_dup_fixed_block" -> (() =>
+        noop(Dedup.embeddingNearDupPairsFixedBlock(emb, 0.95))),
       // the scale-correct near-dup form: block on IVF cluster with nlist
       // GROWN with the corpus (16·K here, nlist ∝ √N in production) so
       // block size — and with it the per-block pair count — stays bounded

@@ -365,13 +365,16 @@ object SparkEntry {
           round(min(col("x")).cast("double"), 6).as("mn"),
           round(max(col("x")).cast("double"), 6).as("mx"))
         .orderBy(col("i"))),
-    "near_dup_embeddings"    -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(tbl(s, d, "embeddings"), 0.35)
+    // contrast_ prefix = pedagogy, not serving: fixed-cardinality `label`
+    // blocking → per-block pairs ∝ N² (the documented scale contrast for
+    // near_dup_ivf below; PlanAuditSpec bans this shape from serving names)
+    "contrast_near_dup_fixed_block" -> ((s, d) =>
+      Dedup.embeddingNearDupPairsFixedBlock(tbl(s, d, "embeddings"), 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
     "near_dup_ivf"           -> ((s, d) =>
       // the 100 TB blocking key: the IVF cluster id — a co-partitioned
       // self-join inside the inverted file (the production variant of
-      // near_dup_embeddings' label blocking; oracle replays the exported
+      // contrast_near_dup_fixed_block's label blocking; oracle replays the exported
       // cluster assignment)
       Dedup.embeddingNearDupPairsBy(
           IvfIndex.forSfDir(s, d, NumClusters).vectors, "cluster", 0.35)
@@ -523,7 +526,7 @@ object SparkEntry {
     "mix_sample"          -> "mix",
     // blocked embedding self-join inputs ([[Dedup.embeddingNearDupPairsBy]];
     // different source frames → separate single-member families)
-    "near_dup_embeddings" -> "nd-emb",
+    "contrast_near_dup_fixed_block" -> "nd-emb",
     "near_dup_ivf"        -> "nd-ivf",
     // slim hashed-batch projection ([[Dedup.incrementalExactBloom]])
     "dedup_bloom"         -> "incbloom",
@@ -1208,7 +1211,7 @@ object SparkEntry {
          |  CAST(len(embedding) AS INT) AS dim
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    "near_dup_embeddings" ->
+    "contrast_near_dup_fixed_block" ->
       s"""WITH e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  round(list_dot_product(a.v, b.v) /

@@ -567,15 +567,20 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked on `label` (the cluster/LSH
-    * blocking key analog — never all-pairs; reference-formula cosine per pair).
-    * At 100 TB the block key would be the IVF cluster id from [[IvfIndex]], which
-    * makes this a co-partitioned self-join instead of a cross product.
-    */
-  def embeddingNearDupPairs(embeddings: DataFrame, minSim: Double): DataFrame =
+  /** CONTRAST CASE — NOT a serving form. Embedding-cosine near-duplicate
+    * pairs blocked on `label`, a FIXED-cardinality attribute: per-block pair
+    * count grows ∝ N² as the corpus grows (measured 45.9 s at sf1 vs 0.5 s
+    * for the IVF-blocked twin at 10× replication). It exists to document,
+    * with a number, why blocking keys must scale with the data; production
+    * callers use [[embeddingNearDupPairsBy]] with an [[IvfIndex]]'s cluster
+    * id (nlist ∝ √N keeps block size — and per-block pairs — bounded). Only
+    * `contrast_`-prefixed queries and ScaleProbe may call this; PlanAuditSpec
+    * asserts no serving query plans a label-blocked embedding self-join. */
+  def embeddingNearDupPairsFixedBlock(embeddings: DataFrame, minSim: Double): DataFrame =
     embeddingNearDupPairsBy(embeddings, "label", minSim)
 
-  /** [[embeddingNearDupPairs]] with an explicit blocking column. The 100 TB
+  /** Embedding-cosine near-duplicate pairs with an explicit blocking column
+    * (never all-pairs; reference-formula cosine per pair). The 100 TB
     * instantiation passes an [[IvfIndex]]'s inverted file with
     * `blockKey = "cluster"`: candidate generation becomes a co-partitioned
     * self-join INSIDE the index layout (each cluster's pairs generate where

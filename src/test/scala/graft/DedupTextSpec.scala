@@ -214,7 +214,7 @@ class DedupTextSpec extends SparkSpec {
 
   test("embedding near-dup pairs are label-blocked and threshold-filtered") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
-    val pairs = Dedup.embeddingNearDupPairs(emb, 0.35)
+    val pairs = Dedup.embeddingNearDupPairsFixedBlock(emb, 0.35)
     val labels = emb.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val rows = pairs.collect()

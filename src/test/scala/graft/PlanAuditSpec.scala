@@ -63,6 +63,29 @@ class PlanAuditSpec extends SparkSpec {
       s"ann_lsh_indexed lost partition pruning:\n${p("ann_lsh_indexed").take(800)}")
   }
 
+  test("no serving query plans a fixed-attribute-blocked embedding self-join") {
+    // The quadratic contrast case ([[Dedup.embeddingNearDupPairsFixedBlock]])
+    // blocks an embedding self-join on `label`, a FIXED-cardinality attribute
+    // (pairs ∝ N² per block). Its structural signature is the `label AS blk`
+    // blocking projection; only `contrast_`-prefixed queries may carry it.
+    val sig = "label#\\d+L? AS blk#".r
+    val analyzed = SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf0001).queryExecution.analyzed.toString
+    }
+    analyzed.foreach { case (name, plan) =>
+      if (!name.startsWith("contrast_")) {
+        assert(sig.findFirstIn(plan).isEmpty,
+          s"$name plans a fixed-block (label-keyed) embedding self-join — " +
+            s"quadratic pair growth; route through the IVF cluster layout " +
+            s"or rename the query contrast_*:\n${plan.take(600)}")
+      }
+    }
+    // keep the signature regex honest: the contrast query must trip it
+    assert(sig.findFirstIn(analyzed("contrast_near_dup_fixed_block")).isDefined,
+      "contrast query no longer matches the fixed-block signature — " +
+        "the guard regex has rotted")
+  }
+
   test("single-query top-k stays TakeOrderedAndProject (bounded heap)") {
     val topk = Seq("knn_exact", "knn_ivf_full", "ann_ivf_probe", "knn_rule_probe",
       "ann_lsh", "ann_lsh_indexed", "ann_sq8", "ivf_sq8_probe", "q05_top_lineitems")
