@@ -604,35 +604,35 @@ object SparkEntry {
 
   /** IVF probe replay oracle, shared by `ann_ivf_probe` (API composition) and
     * `knn_rule_probe` (Catalyst-rule composition): coarse over the exported
-    * centroid table, fine over the exported assignment join. A `def`, not a
-    * `lazy val`: it interpolates the mutable [[IvfIndex.oracleExportDir]], so
-    * every oracleSql render must read the CURRENT export path — a lazy val
-    * would freeze the first render and replay a stale export if oracleSql is
-    * rendered before queries run or for a second scale factor. */
-  private def IvfProbeOracle: String = ivfProbeOracleWhere("TRUE")
+    * centroid table, fine over the exported assignment join. Export paths
+    * come in through the explicit [[OracleCtx]], so the render is a pure
+    * function of the requested config — no ran-first singleton state. */
+  private def IvfProbeOracle(ctx: OracleCtx): String =
+    ivfProbeOracleWhere(ctx, "TRUE")
 
   /** [[IvfProbeOracle]] at the TUNED operating point: replays the identical
-    * coarse/fine phases, but the probe-count literal is the value
-    * [[IvfIndex.tunedProbeForSfDir]] memoized when `ivf_tuned_probe` ran —
-    * a `def` for the same render-order reason as [[IvfProbeOracle]]. The
-    * probe set is deterministic given the exported centroids, so DuckDB
-    * replays the tuned search exactly. */
-  private def IvfTunedProbeOracle: String =
-    ivfProbeOracleWhere("TRUE", IvfIndex.lastTunedNProbe)
+    * coarse/fine phases, but the probe-count literal is the
+    * [[IvfIndex.tunedProbeForSfDir]] value carried in the ctx — resolved by
+    * the render itself under [[oracleSqlFor]], so query execution order
+    * cannot skew it. The probe set is deterministic given the exported
+    * centroids, so DuckDB replays the tuned search exactly. */
+  private def IvfTunedProbeOracle(ctx: OracleCtx): String =
+    ivfProbeOracleWhere(ctx, "TRUE", ctx.tunedNProbe)
 
   /** [[IvfProbeOracle]] with a fine-phase predicate — `ann_filtered` replays
     * the same probes with the metadata filter applied before scoring (the
     * pre-filter semantics the Spark plan pushes into the pruned scan). */
-  private def ivfProbeOracleWhere(pred: String, nProbe: Int = AnnProbe): String =
+  private def ivfProbeOracleWhere(ctx: OracleCtx, pred: String,
+      nProbe: Int = AnnProbe): String =
     s"""WITH q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
        |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+       |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
        |probes AS (SELECT cluster FROM cent, q
        |  ORDER BY list_dot_product(c, q.v) /
        |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
        |    cluster ASC
        |  LIMIT $nProbe),
-       |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+       |a AS (SELECT vec_id FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')
        |  WHERE cluster IN (SELECT cluster FROM probes)),
        |e AS (SELECT e.vec_id, e.label, $EmbDouble AS v
        |  FROM embeddings e JOIN a ON e.vec_id = a.vec_id
@@ -710,7 +710,33 @@ object SparkEntry {
       s"SELECT doc_id, $b AS band, ${h60Sql(s"($pair)")} AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
 
-  def oracleSql: Map[String, String] = Map(
+  /** Data-dependent oracle-render parameters, resolved per (sfDir, config)
+    * — verdict r10 #2: the render no longer depends on which queries happened
+    * to run first in this JVM. */
+  private final case class OracleCtx(ivfExport: String, ivfMergeExport: String,
+      pqExport: String, tunedNProbe: Int)
+
+  /** Driver-contract render: resolves the data-dependent literals from the
+    * LEGACY ran-first singletons (single-config JVMs only — a multi-config
+    * JVM fails loudly inside the singletons). Prefer [[oracleSqlFor]]. */
+  def oracleSql: Map[String, String] =
+    oracleSqlCtx(OracleCtx(IvfIndex.oracleExportDir,
+      IvfIndex.mergeOracleExportDir, PqQuant.oracleExportDir,
+      IvfIndex.lastTunedNProbe))
+
+  /** KEYED render for an explicit (sfDir, engine-config) pair: export paths
+    * are pure functions of the config and the tuned probe is resolved (and
+    * memoized) by [[IvfIndex.tunedProbeForSfDir]] itself, so neither query
+    * execution order nor a second config in the same JVM can skew the
+    * literals (verdict r10 #2 / ADVICE r10). Verify renders through this. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    oracleSqlCtx(OracleCtx(
+      IvfIndex.exportPathFor(sfDir, NumClusters),
+      IvfIndex.mergeExportPathFor(sfDir, NumClusters),
+      PqQuant.exportPathFor(sfDir),
+      prewarmTunedProbe(spark, sfDir)))
+
+  private def oracleSqlCtx(ctx: OracleCtx): Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sumXSql("l_quantity")} AS sum_qty,
@@ -1032,20 +1058,20 @@ object SparkEntry {
     // the model artifacts instead of re-training): coarse = top-nProbe
     // centroids by cosine (sim DESC, cluster ASC — IVF.cpp:271-282 order),
     // fine = cosine top-k over the probed clusters' rows (IVF.cpp:286-435).
-    "ann_ivf_probe" -> IvfProbeOracle,
-    "ivf_tuned_probe" -> IvfTunedProbeOracle,
-    "ann_filtered" -> ivfProbeOracleWhere(s"e.label = $FilterLabel"),
+    "ann_ivf_probe" -> IvfProbeOracle(ctx),
+    "ivf_tuned_probe" -> IvfTunedProbeOracle(ctx),
+    "ann_filtered" -> ivfProbeOracleWhere(ctx, s"e.label = $FilterLabel"),
     // the rule-composed plan must produce the identical result
-    "knn_rule_probe" -> IvfProbeOracle,
+    "knn_rule_probe" -> IvfProbeOracle(ctx),
 
     "ivf_cluster_counts" ->
       s"""SELECT cluster, COUNT(*) AS n_vectors
-         |FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')
          |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "ivf_balance" ->
       s"""WITH c AS (SELECT cluster, COUNT(*) AS n_vectors
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |  FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')
          |  GROUP BY cluster),
          |t AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS total FROM c)
          |SELECT cluster, n_vectors,
@@ -1059,7 +1085,7 @@ object SparkEntry {
     // in from the embeddings table by vec_id
     "ivf_purity" ->
       s"""WITH cl AS (SELECT a.cluster, e.label, COUNT(*) AS n
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet') a
+         |  FROM read_parquet('${ctx.ivfExport}/assign/*.parquet') a
          |  JOIN embeddings e ON a.vec_id = e.vec_id
          |  GROUP BY 1, 2),
          |r AS (SELECT cluster, label, n,
@@ -1087,10 +1113,13 @@ object SparkEntry {
 
     // PQ replays over the exported codebook/codes artifacts (MLlib k-means
     // per subspace — like the IVF export, the oracle replays, never re-trains)
-    "pq_codes" -> PqQuant.codesOracleSql("embeddings", EmbDim / PqQuant.M),
-    "ann_pq" -> PqQuant.searchOracleSql("embeddings", EmbDim / PqQuant.M, TopK, 0L),
+    "pq_codes" -> PqQuant.codesOracleSql("embeddings", EmbDim / PqQuant.M,
+      ctx.pqExport),
+    "ann_pq" -> PqQuant.searchOracleSql("embeddings", EmbDim / PqQuant.M, TopK, 0L,
+      ctx.pqExport),
     "ivf_pq_probe" -> PqQuant.searchIvfPqOracleSql(
-      "embeddings", EmbDim / PqQuant.M, TopK, 0L, AnnProbe, IvfIndex.oracleExportDir),
+      "embeddings", EmbDim / PqQuant.M, TopK, 0L, AnnProbe, ctx.ivfExport,
+      ctx.pqExport),
 
     // quantized IVF replay: probes from the exported centroids, candidates
     // from the exported assignment, SQ8 quantize/dequantize, double cosine
@@ -1101,13 +1130,13 @@ object SparkEntry {
          |  list(CAST(mx AS DOUBLE) ORDER BY i) AS mxs FROM st),
          |q AS (SELECT $EmbDouble AS v FROM embeddings WHERE vec_id = 0),
          |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
          |probes AS (SELECT cluster FROM cent, q
          |  ORDER BY list_dot_product(c, q.v) /
          |    (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) DESC,
          |    cluster ASC
          |  LIMIT $AnnProbe),
-         |a AS (SELECT vec_id FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')
+         |a AS (SELECT vec_id FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')
          |  WHERE cluster IN (SELECT cluster FROM probes)),
          |dq AS (SELECT e.vec_id, e.label,
          |    list_transform(generate_series(1, $EmbDim), i ->
@@ -1129,7 +1158,7 @@ object SparkEntry {
       s"""WITH q AS (SELECT vec_id AS query_id, $EmbDouble AS v
          |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
          |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
          |sc AS (SELECT q.query_id, cent.cluster,
          |    list_dot_product(c, q.v) /
          |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) AS csim
@@ -1138,7 +1167,7 @@ object SparkEntry {
          |    SELECT query_id, cluster,
          |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster ASC) AS crn
          |    FROM sc) WHERE crn <= $AnnProbe),
-         |a AS (SELECT vec_id, cluster FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |a AS (SELECT vec_id, cluster FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')),
          |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a ON a.cluster = p.cluster),
          |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings),
          |scored AS (SELECT c.query_id, e.vec_id, e.label,
@@ -1166,7 +1195,7 @@ object SparkEntry {
          |        e.vec_id ASC) AS rn
          |    FROM e, q) WHERE rn <= $TopK),
          |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
          |sc AS (SELECT q.query_id, cent.cluster,
          |    list_dot_product(c, q.v) /
          |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) AS csim
@@ -1175,7 +1204,7 @@ object SparkEntry {
          |    SELECT query_id, cluster,
          |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster ASC) AS crn
          |    FROM sc) WHERE crn <= $AnnProbe),
-         |a AS (SELECT vec_id, cluster FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |a AS (SELECT vec_id, cluster FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')),
          |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a ON a.cluster = p.cluster),
          |pr AS (SELECT query_id, vec_id FROM (
          |    SELECT c.query_id, e.vec_id,
@@ -1225,7 +1254,7 @@ object SparkEntry {
     // assignment (like every IVF oracle — replay, never re-train)
     "near_dup_ivf" ->
       s"""WITH a AS (SELECT vec_id, cluster
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/assign/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')),
          |e AS (SELECT e.vec_id, a.cluster, $EmbDouble AS v
          |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id)
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
@@ -1822,7 +1851,7 @@ object SparkEntry {
       s"""WITH nv AS (SELECT vec_id, $EmbDouble AS v
          |  FROM embeddings WHERE vec_id % 10 = 0),
          |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.oracleExportDir}/centroids/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
          |sc AS (SELECT vec_id, cluster,
          |    round(list_dot_product(v, c) /
          |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)) + 1e-8), 6) AS sim
@@ -1839,12 +1868,12 @@ object SparkEntry {
     // on-disk merged layout Spark reads must reproduce their sum exactly
     "ivf_merge_counts" ->
       s"""WITH base AS (SELECT cluster, COUNT(*) AS n
-         |  FROM read_parquet('${IvfIndex.mergeOracleExportDir}/assign/*.parquet')
+         |  FROM read_parquet('${ctx.ivfMergeExport}/assign/*.parquet')
          |  GROUP BY cluster),
          |nv AS (SELECT vec_id, $EmbDouble AS v
          |  FROM embeddings WHERE vec_id % 10 = 0),
          |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
-         |  FROM read_parquet('${IvfIndex.mergeOracleExportDir}/centroids/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfMergeExport}/centroids/*.parquet')),
          |sc AS (SELECT vec_id, cluster,
          |    round(list_dot_product(v, c) /
          |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c)) + 1e-8), 6) AS sim

@@ -63,7 +63,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // keyed render (verdict r10 #2): export paths are pure functions of
+    // (sfDir, config) and the tuned probe resolves itself, so the dump is
+    // correct regardless of which queries ran (or were filtered out) above
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

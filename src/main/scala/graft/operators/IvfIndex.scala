@@ -552,17 +552,19 @@ object IvfIndex {
       idx.tuneNProbe(emb, queries, k, recallFloor)
     })
 
-  /** The one tuned nProbe this JVM computed — oracle-render indirection with
-    * the same single-config contract as [[oracleExportDir]]: the Verify flow
-    * runs the tuned query (which memoizes the value) before `oracleSql` is
-    * serialized, so the render is unambiguous; with none, a placeholder that
-    * keeps unexecuted renders parseable; with several, fail loudly. */
+  /** The one tuned nProbe this JVM computed — LEGACY oracle-render
+    * indirection with the same single-config contract as [[oracleExportDir]]
+    * (the keyed path, [[SparkEntry.oracleSqlFor]] → [[tunedProbeForSfDir]],
+    * never reads this). With none computed, -1: an EXPLICITLY INVALID probe
+    * count (no probe rank matches, so an accidentally-executed render fails
+    * the compare loudly as a row-count mismatch instead of vacuously
+    * replaying nProbe=1 — ADVICE r10); with several, fail loudly. */
   def lastTunedNProbe: Int = tunedCache.values.toSeq.distinct match {
-    case Seq() => 1
+    case Seq() => -1
     case Seq(n) => n
     case ns => throw new IllegalStateException(
       s"tuned nProbe computed for multiple configs ($ns) in one JVM — " +
-        "render the oracle per config")
+        "render the oracle per config via tunedProbeForSfDir")
   }
 
   /** Name of the atomic version pointer inside an index ROOT dir. */
@@ -646,6 +648,27 @@ object IvfIndex {
   def oracleExportDirFor(sfDir: String, numClusters: Int): String =
     exportDirs(s"$sfDir#$numClusters")
 
+  /** Hidden-dir-safe sanitization shared by every artifact path: strip the
+    * leading separator (a `_`-prefixed dir is invisible to Spark's file
+    * index — "All paths were ignored"), then flatten the rest. */
+  private def safeName(sfDir: String): String =
+    sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Deterministic export path for (sfDir, numClusters) — a PURE function of
+    * the config, usable by an oracle render whether or not the build has run
+    * in this JVM yet (verdict r10 #2: the keyed replacement for the
+    * [[oracleExportDir]] ran-first singleton). [[forSfDir]] writes here. */
+  def exportPathFor(sfDir: String, numClusters: Int): String =
+    java.nio.file.Paths
+      .get("target", "ivf-export", s"${safeName(sfDir)}-k$numClusters")
+      .toAbsolutePath.toString
+
+  /** [[exportPathFor]] for the merged-segment fixture ([[mergedForSfDir]]). */
+  def mergeExportPathFor(sfDir: String, numClusters: Int): String =
+    java.nio.file.Paths
+      .get("target", "ivf-export", s"${safeName(sfDir)}-k$numClusters-merge")
+      .toAbsolutePath.toString
+
   private val mergeCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
   private val mergeExportDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -678,10 +701,8 @@ object IvfIndex {
 
   def mergedForSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
     val key = s"$sfDir#$numClusters"
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val exportDir = java.nio.file.Paths
-      .get("target", "ivf-export", s"$safe-k$numClusters-merge")
-      .toAbsolutePath.toString
+    val safe = safeName(sfDir)
+    val exportDir = mergeExportPathFor(sfDir, numClusters)
     // lock-free fast path; the build itself runs under the lock so the
     // append-mode thunk executes at most once per key per JVM
     val idx = mergeCache.get(key).getOrElse(mergeBuildLock.synchronized {
@@ -703,11 +724,8 @@ object IvfIndex {
   /** Build-or-reuse an index for a testdata dir. Index lives under ./target. */
   def forSfDir(spark: SparkSession, sfDir: String, numClusters: Int): IvfIndex = {
     val key = s"$sfDir#$numClusters"
-    // strip the leading separator before sanitizing: `_`-prefixed dirs are
-    // treated as hidden by Spark's file index ("All paths were ignored")
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val exportDir = java.nio.file.Paths.get("target", "ivf-export", s"$safe-k$numClusters")
-      .toAbsolutePath.toString
+    val safe = safeName(sfDir)
+    val exportDir = exportPathFor(sfDir, numClusters)
     val idx = cache.getOrElseUpdate(key, {
       val dir = s"target/ivf-index/$safe-k$numClusters"
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -166,6 +166,14 @@ object PqQuant {
   /** Explicit per-sfDir lookup for multi-sf processes. */
   def oracleExportDirFor(sfDir: String): String = exportDirs(sfDir)
 
+  /** Deterministic export path for an sfDir — a PURE function of the config,
+    * usable by a keyed oracle render before the training has run in this JVM
+    * (verdict r10 #2). [[forSfDir]] writes here. */
+  def exportPathFor(sfDir: String): String = {
+    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    java.nio.file.Paths.get("target", "pq-export", safe).toAbsolutePath.toString
+  }
+
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (Model, DataFrame)]
 
@@ -229,11 +237,12 @@ object PqQuant {
 
   /** Oracle for the encoded table (`pq_codes` as c0..c{M-1} columns): replay
     * the argmax encoding over the exported codebook. */
-  def codesOracleSql(embTable: String, sub: Int): String = {
+  def codesOracleSql(embTable: String, sub: Int,
+      pqExportDir: String = oracleExportDir): String = {
     val codeCols = (0 until M).map(m =>
       s"CAST(SUM(CASE WHEN m = $m THEN code END) AS INT) AS c$m").mkString(",\n    ")
     s"""WITH cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM read_parquet('$oracleExportDir/codebook/*.parquet')),
+       |  FROM read_parquet('$pqExportDir/codebook/*.parquet')),
        |e AS (SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $embTable),
        |sc AS (SELECT vec_id, label, m, code,
@@ -254,7 +263,8 @@ object PqQuant {
     * the (flat) PQ code export — the same rows and codes the pruned
     * partitioned scan reads. */
   def searchIvfPqOracleSql(embTable: String, sub: Int, k: Int,
-      queryVecId: Long, nProbe: Int, ivfExportDir: String): String =
+      queryVecId: Long, nProbe: Int, ivfExportDir: String,
+      pqExportDir: String = oracleExportDir): String =
     s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM $embTable WHERE vec_id = $queryVecId),
        |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
@@ -267,13 +277,13 @@ object PqQuant {
        |cand AS (SELECT vec_id FROM read_parquet('$ivfExportDir/assign/*.parquet')
        |  WHERE cluster IN (SELECT cluster FROM probes)),
        |cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM read_parquet('$oracleExportDir/codebook/*.parquet')),
+       |  FROM read_parquet('$pqExportDir/codebook/*.parquet')),
        |tn AS (SELECT m, code,
        |    list_dot_product(${sliceSql("q.v", sub)}, c) AS t,
        |    list_dot_product(c, c) AS nn
        |  FROM cb, q),
        |ex AS (SELECT e.vec_id, e.label, e.codes
-       |  FROM read_parquet('$oracleExportDir/codes/*.parquet') e
+       |  FROM read_parquet('$pqExportDir/codes/*.parquet') e
        |  JOIN cand ON cand.vec_id = e.vec_id),
        |pm AS (SELECT vec_id, label, m, codes[m + 1] AS code
        |  FROM ex, generate_series(0, ${M - 1}) g(m)),
@@ -292,17 +302,18 @@ object PqQuant {
 
   /** Oracle for [[search]]: T/N lookup tables from the exported codebook,
     * codes from the exported code table, subspace-order folds. */
-  def searchOracleSql(embTable: String, sub: Int, k: Int, queryVecId: Long): String =
+  def searchOracleSql(embTable: String, sub: Int, k: Int, queryVecId: Long,
+      pqExportDir: String = oracleExportDir): String =
     s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM $embTable WHERE vec_id = $queryVecId),
        |cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM read_parquet('$oracleExportDir/codebook/*.parquet')),
+       |  FROM read_parquet('$pqExportDir/codebook/*.parquet')),
        |tn AS (SELECT m, code,
        |    list_dot_product(${sliceSql("q.v", sub)}, c) AS t,
        |    list_dot_product(c, c) AS nn
        |  FROM cb, q),
        |ex AS (SELECT vec_id, label, codes
-       |  FROM read_parquet('$oracleExportDir/codes/*.parquet')),
+       |  FROM read_parquet('$pqExportDir/codes/*.parquet')),
        |pm AS (SELECT vec_id, label, m, codes[m + 1] AS code
        |  FROM ex, generate_series(0, ${M - 1}) g(m)),
        |j AS (SELECT pm.vec_id, pm.label, pm.m, tn.t, tn.nn

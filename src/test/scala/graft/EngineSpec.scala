@@ -15,7 +15,11 @@ class EngineSpec extends SparkSpec {
   }
 
   test("every declared oracle has a matching query") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    // keyed render: the legacy singleton form would (rightly) throw once any
+    // OTHER suite in this shared JVM has built IVF artifacts for a second
+    // scale dir (OracleRenderSpec does, by design)
+    val missing = SparkEntry.oracleSqlFor(spark, sf0001).keySet --
+      SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 

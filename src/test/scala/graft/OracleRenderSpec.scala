@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{IvfIndex, PqQuant}
+
+/** Verdict r10 #2: the oracle render is keyed by (sfDir, config). Two scale
+  * dirs exercised in ONE JVM must each render their own export paths and
+  * tuned-probe literal — the exact scenario the legacy ran-first singletons
+  * ([[IvfIndex.oracleExportDir]], [[IvfIndex.lastTunedNProbe]]) could only
+  * refuse with an IllegalStateException. */
+class OracleRenderSpec extends SparkSpec {
+
+  test("oracleSqlFor renders per-config literals for two sfDirs in one JVM") {
+    val tiny = SparkEntry.oracleSqlFor(spark, sf0001)
+    val small = SparkEntry.oracleSqlFor(spark, sf001)
+
+    // every artifact-replaying oracle reads ITS config's export path
+    val k = SparkEntry.NumClusters
+    assert(tiny("ann_ivf_probe").contains(IvfIndex.exportPathFor(sf0001, k)))
+    assert(small("ann_ivf_probe").contains(IvfIndex.exportPathFor(sf001, k)))
+    assert(!small("ann_ivf_probe").contains(IvfIndex.exportPathFor(sf0001, k)))
+    assert(tiny("ivf_merge_counts").contains(IvfIndex.mergeExportPathFor(sf0001, k)))
+    assert(small("ivf_merge_counts").contains(IvfIndex.mergeExportPathFor(sf001, k)))
+    assert(tiny("ann_pq").contains(PqQuant.exportPathFor(sf0001)))
+    assert(small("ann_pq").contains(PqQuant.exportPathFor(sf001)))
+
+    // the tuned-probe literal is resolved BY the render (ordering-immune)
+    // and matches the operating point the serving query runs at
+    def probeLimit(sql: String): Int = {
+      val m = "LIMIT (\\d+)".r.findAllMatchIn(sql).map(_.group(1).toInt).toSeq
+      m.head // first LIMIT is the coarse-probe limit in ivfProbeOracleWhere
+    }
+    assert(probeLimit(tiny("ivf_tuned_probe")) ==
+      SparkEntry.prewarmTunedProbe(spark, sf0001))
+    assert(probeLimit(small("ivf_tuned_probe")) ==
+      SparkEntry.prewarmTunedProbe(spark, sf001))
+
+    // non-data-dependent oracles render identically across configs
+    assert(tiny("q01_pricing_summary") == small("q01_pricing_summary"))
+  }
+
+  test("legacy singleton render fails loudly once two configs exist") {
+    // the keyed renders above built artifacts for both sfDirs, so the
+    // ran-first singleton can no longer name ONE unambiguous export
+    SparkEntry.queries("ivf_cluster_counts")(spark, sf0001).count()
+    SparkEntry.queries("ivf_cluster_counts")(spark, sf001).count()
+    intercept[IllegalStateException](IvfIndex.oracleExportDir)
+  }
+}
