@@ -208,19 +208,24 @@ object GraftFunctions {
   private def markerCount(words: Column, markers: Seq[String]): Column =
     size(filter(words, w => markers.map(m => w === lit(m)).reduce(_ || _)))
 
-  /** Best-scoring language code, 'und' when no marker hits at all — one
-    * array pass with a marker→languages hash lookup ([[LangIdExpr]]; the
-    * composed per-language `filter` HOF argmax it replaced walks the token
-    * array once PER language, which a production-size marker table can't
-    * afford). [[langIdComposed]] keeps the composed form for the parity
-    * spec. */
-  def langId(words: Column): Column =
-    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(words)))
+  /** Best-scoring language code, 'und' when no marker hits at all (incl.
+    * on a NULL token array — matching the composed form's fall-through) —
+    * one array pass with a marker→languages hash lookup ([[LangIdExpr]];
+    * the composed per-language `filter` HOF argmax it replaced walks the
+    * token array once PER language, which a production-size marker table
+    * can't afford). The marker table is injectable (compile-time constant
+    * per plan) so the 100-language cost model is exercisable;
+    * [[langIdComposed]] keeps the composed form for the parity spec. */
+  def langId(words: Column,
+      markers: Seq[(String, Seq[String])] = langMarkers): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(words), markers))
 
   /** The composed Column formulation (pre-r10 implementation) — retained as
-    * the executable spec [[langId]] is parity-tested against. */
-  private[graft] def langIdComposed(words: Column): Column = {
-    val scored = langMarkers.map { case (code, ms) => (code, markerCount(words, ms)) }
+    * the executable spec [[langId]] is parity-tested against, at any
+    * injected marker table. */
+  private[graft] def langIdComposed(words: Column,
+      markers: Seq[(String, Seq[String])] = langMarkers): Column = {
+    val scored = markers.map { case (code, ms) => (code, markerCount(words, ms)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     // argmax with ties to first (alphabetical-ish declared order)
     val pick = scored.foldRight(lit("und")) { case ((code, score), acc) =>

@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,10 +21,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * hash lookup per token — the cost model a 100-language production table
   * needs (composed: tokens × languages × markers; here: tokens × 1 lookup).
   * A marker shared by two languages (`de`, `la`) counts for both, exactly
-  * like the composed OR-chains. */
-case class LangIdExpr(child: Expression) extends UnaryExpression {
+  * like the composed OR-chains.
+  *
+  * The marker table is CONSTRUCTOR-INJECTED (compile-time constant per
+  * plan: the lookup structure ships to generated code via
+  * `addReferenceObj`, one instance per plan, zero per-row allocation), so
+  * the 100-language cost model above is exercisable, not just claimed —
+  * `PropertySpec` parity-tests a generated ~100-language table and
+  * `ScaleProbe` measures the one-pass-vs-composed gap there. Defaults to
+  * the canonical [[LangIdExpr.Markers]] the oracle mirrors.
+  *
+  * Null contract: a null token array yields `und` (never NULL), matching
+  * the composed form's `when(...)` fall-through — this expression is
+  * non-nullable. (Pre-r11 it null-propagated; divergence flagged by
+  * ADVICE r10 and fixed here.) */
+case class LangIdExpr(
+    child: Expression,
+    markers: Seq[(String, Seq[String])] = LangIdExpr.Markers)
+  extends UnaryExpression {
 
   override def dataType: DataType = StringType
+  override def nullable: Boolean = false
   override def prettyName: String = "lang_id"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -31,11 +50,27 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
       s"lang_id expects ARRAY<STRING>, got ${other.sql}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    LangIdExpr.pick(input.asInstanceOf[ArrayData])
+  // Serializable-by-markers: the derived lookup structure rebuilds lazily on
+  // each executor instead of riding the task closure.
+  @transient private lazy val table = new LangIdExpr.Table(markers)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdExpr.pick($c)")
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) LangIdExpr.Und else table.pick(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val tableRef = ctx.addReferenceObj(
+      "langIdTable", table, classOf[LangIdExpr.Table].getName)
+    val resultCode =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? $tableRef.und() : $tableRef.pick(${childGen.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
     copy(child = newChild)
@@ -53,46 +88,59 @@ object LangIdExpr {
     "fr" -> Seq("le", "la", "les", "et"),
     "zh" -> Seq("de", "shi", "zai", "he"))
 
-  private val codes: Array[UTF8String] =
-    Markers.map(m => UTF8String.fromString(m._1)).toArray
-  private val Und = UTF8String.fromString("und")
+  private[functions] val Und = UTF8String.fromString("und")
 
-  /** marker token → indices of every language claiming it. */
-  private val markerMap: java.util.HashMap[UTF8String, Array[Int]] = {
-    val m = new java.util.HashMap[UTF8String, Array[Int]]()
-    Markers.zipWithIndex.foreach { case ((_, ms), i) =>
-      ms.foreach { t =>
-        val k = UTF8String.fromString(t)
-        val prev = m.get(k)
-        m.put(k, if (prev == null) Array(i) else prev :+ i)
-      }
-    }
-    m
-  }
+  /** Per-table lookup structure: language codes + marker→claiming-language
+    * indices. One instance per plan (shipped by `addReferenceObj`); the
+    * UTF8String views are rebuilt transiently per JVM from the plain-string
+    * table. */
+  final class Table(markersIn: Seq[(String, Seq[String])]) extends Serializable {
+    // keep the serializable source-of-truth as plain strings
+    private val tableSpec: Array[(String, Array[String])] =
+      markersIn.map { case (c, ms) => (c, ms.toArray) }.toArray
 
-  /** One pass: count marker hits per language, argmax (first wins ties),
-    * `und` when nothing hit. Called from generated code. */
-  def pick(words: ArrayData): UTF8String = {
-    val counts = new Array[Int](codes.length)
-    val n = words.numElements()
-    var i = 0
-    while (i < n) {
-      if (!words.isNullAt(i)) {
-        val hits = markerMap.get(words.getUTF8String(i))
-        if (hits != null) {
-          var j = 0
-          while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+    @transient private lazy val codes: Array[UTF8String] =
+      tableSpec.map(m => UTF8String.fromString(m._1))
+
+    /** marker token → indices of every language claiming it. */
+    @transient private lazy val markerMap: java.util.HashMap[UTF8String, Array[Int]] = {
+      val m = new java.util.HashMap[UTF8String, Array[Int]]()
+      tableSpec.zipWithIndex.foreach { case ((_, ms), i) =>
+        ms.foreach { t =>
+          val k = UTF8String.fromString(t)
+          val prev = m.get(k)
+          m.put(k, if (prev == null) Array(i) else prev :+ i)
         }
       }
-      i += 1
+      m
     }
-    var best = 0
-    var bestIdx = -1
-    var k = 0
-    while (k < counts.length) {
-      if (counts(k) > best) { best = counts(k); bestIdx = k }
-      k += 1
+
+    def und(): UTF8String = Und
+
+    /** One pass: count marker hits per language, argmax (first wins ties),
+      * `und` when nothing hit. Called from generated code. */
+    def pick(words: ArrayData): UTF8String = {
+      val counts = new Array[Int](codes.length)
+      val n = words.numElements()
+      var i = 0
+      while (i < n) {
+        if (!words.isNullAt(i)) {
+          val hits = markerMap.get(words.getUTF8String(i))
+          if (hits != null) {
+            var j = 0
+            while (j < hits.length) { counts(hits(j)) += 1; j += 1 }
+          }
+        }
+        i += 1
+      }
+      var best = 0
+      var bestIdx = -1
+      var k = 0
+      while (k < counts.length) {
+        if (counts(k) > best) { best = counts(k); bestIdx = k }
+        k += 1
+      }
+      if (bestIdx < 0) Und else codes(bestIdx)
     }
-    if (bestIdx < 0) Und else codes(bestIdx)
   }
 }

@@ -129,7 +129,13 @@ object Dedup {
     * duplicated-hash set is (wh, doc) distinct → groupBy(wh) with map-side
     * combine, and the per-doc rollup joins windows to that (much smaller)
     * set. No all-pairs anything; in-doc repeats only count as duplicated if
-    * some OTHER doc shares the window. */
+    * some OTHER doc shares the window.
+    *
+    * Coverage contract: docs with FEWER than `window` tokens have no
+    * windows and emit NO row (the DuckDB oracle matches this). A consumer
+    * needing full-corpus coverage should left-join this signal back to the
+    * corpus and coalesce the counts to 0 — short docs can't carry a
+    * duplicated span, so absence IS their signal. */
   def dupSpanShare(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
     // stage the token array behind a Generate barrier so the window lambda

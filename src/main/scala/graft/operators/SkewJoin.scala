@@ -52,14 +52,15 @@ object SkewJoin {
     * report (any frame with `window_start` + `hot_factor` — the streaming
     * sink's accumulated table or its batch twin) and convert it into the
     * salt decision for the NEXT [[saltedInner]] run. One-row bounded
-    * collect; an empty report (no windows closed yet) means no skew
-    * evidence → 1 salt. This is the monitor made actionable: the previous
-    * window measures, the next join spreads. */
+    * collect; an empty report (no windows closed yet) or a null
+    * `hot_factor` (hand-built / partially-written report row) means no
+    * skew evidence → 1 salt. This is the monitor made actionable: the
+    * previous window measures, the next join spreads. */
   def saltsFromReport(report: DataFrame, maxSalts: Int = 32): Int = {
     val last = report
       .orderBy(col("window_start").desc).limit(1)
       .select(col("hot_factor")).collect()
-    if (last.isEmpty) 1
+    if (last.isEmpty || last.head.isNullAt(0)) 1
     else saltsForHotFactor(last.head.getDouble(0), maxSalts)
   }
 

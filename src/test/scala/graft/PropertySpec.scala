@@ -160,6 +160,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("LangIdExpr returns 'und' on a NULL token array, like the composed form") {
+    // ADVICE r10: the expression used to null-propagate where the composed
+    // when-chain fell through to 'und'; both must now agree on null input
+    val df = Seq(Tuple1(Option.empty[Seq[String]]), Tuple1(Some(Seq("the", "a"))))
+      .toDF("w")
+    val rows = df.select(
+        GraftFunctions.langId(col("w")).as("fast"),
+        GraftFunctions.langIdComposed(col("w")).as("slow"))
+      .collect()
+    assert(rows(0).getString(0) == "und", "expr must map null array to und")
+    assert(rows(0).getString(1) == "und", "composed must map null array to und")
+    assert(rows(1).getString(0) == "en" && rows(1).getString(1) == "en")
+    assert(!df.select(GraftFunctions.langId(col("w"))).schema.head.nullable,
+      "langId is declared non-nullable")
+  }
+
+  test("property: LangIdExpr == composed argmax at a generated 100-language table") {
+    // the cost-model claim (tokens × 1 lookup vs tokens × langs × markers)
+    // is only honest if the injected-table path is exercised at production
+    // table size: 100 languages × 4 markers, with deliberate cross-language
+    // marker sharing (every 7th language re-claims a neighbor's marker,
+    // mirroring the real de/zh 'de' and es/fr 'la' collisions)
+    val big: Seq[(String, Seq[String])] = (0 until 100).map { i =>
+      val own = (0 until 4).map(j => s"m${i}_$j")
+      val shared = if (i % 7 == 0 && i > 0) Seq(s"m${i - 1}_0") else Seq.empty
+      f"l$i%03d" -> (own ++ shared)
+    }
+    val marker: Gen[String] = Gen.oneOf(
+      big.flatMap(_._2) ++ Seq("noise", "qqq", ""))
+    val wordsGen: Gen[List[String]] =
+      Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, marker))
+    forAll(wordsGen, 30) { ws =>
+      val df = Seq(Tuple1(ws)).toDF("w")
+      val got = df.select(GraftFunctions.langId(col("w"), big)).head.getString(0)
+      val want = df.select(GraftFunctions.langIdComposed(col("w"), big)).head.getString(0)
+      assert(got == want, s"words $ws: expr=$got composed=$want")
+    }
+  }
+
   test("property: tokenModeCount equals brute-force max token frequency") {
     // small alphabet forces repeats; empty arrays excluded (mode undefined)
     val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>

@@ -86,4 +86,13 @@ class SkewJoinSpec extends SparkSpec {
       lit(null).cast("double").as("hot_factor"))
     assert(SkewJoin.saltsFromReport(empty) == 1)
   }
+
+  test("null hot_factor in the latest row means no skew evidence: 1 salt") {
+    // ADVICE r10: a hand-built / partially-written report row must fall back
+    // like the empty-report case, not NPE from the driver collect
+    val partial = spark.range(1).select(
+      lit("2026-01-01 00:00:00").cast("timestamp").as("window_start"),
+      lit(null).cast("double").as("hot_factor"))
+    assert(SkewJoin.saltsFromReport(partial) == 1)
+  }
 }
