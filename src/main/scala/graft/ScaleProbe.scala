@@ -30,6 +30,17 @@ import org.apache.spark.sql.functions._
   * "n_docs":N,"queries":{name:sec,...},"total_sec":T,"errors":[...]}.
   */
 object ScaleProbe {
+
+  /** 100-language marker table for the lang-id cost-model probe pair — the
+    * SAME deterministic generator as PropertySpec's parity property (4 own
+    * markers per language, every 7th language re-claims a neighbor's first
+    * marker, mirroring the real de/zh and es/fr marker collisions). */
+  val BigMarkers: Seq[(String, Seq[String])] = (0 until 100).map { i =>
+    val own = (0 until 4).map(j => s"m${i}_$j")
+    val shared = if (i % 7 == 0 && i > 0) Seq(s"m${i - 1}_0") else Seq.empty
+    f"l$i%03d" -> (own ++ shared)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replication = args.lift(1).map(_.toInt).getOrElse(10)
@@ -157,7 +168,23 @@ object ScaleProbe {
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),
       "shard_pack" -> (() => noop(TrainingMix.packShards(docs, 64, 512L))),
-      "shuffle_shards" -> (() => noop(TrainingMix.shuffleShards(docs, 64))))
+      "shuffle_shards" -> (() => noop(TrainingMix.shuffleShards(docs, 64))),
+      // LangIdExpr's cost model at a PRODUCTION-size marker table (100
+      // languages × 4-5 markers, same deterministic generator as the parity
+      // property in PropertySpec): the one-pass expression does tokens × 1
+      // hash lookups regardless of table width, the composed per-language
+      // argmax walks the token array once PER language — this pair turns
+      // the scaladoc's claimed gap into a measured number over the scaled
+      // corpus (both forms return 'und' on corpus tokens; a miss still
+      // pays each form's full walk, which is exactly the cost under test)
+      "lang_id_expr_100" -> (() => noop(docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.langId(
+          graft.functions.GraftFunctions.tokens(col("text")), BigMarkers)
+          .as("lang_pred")))),
+      "lang_id_composed_100" -> (() => noop(docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.langIdComposed(
+          graft.functions.GraftFunctions.tokens(col("text")), BigMarkers)
+          .as("lang_pred")))))
 
     // vector family at the same replication. Each copy gets a per-copy
     // PERMUTATION of the embedding dimensions: norm-preserving and
@@ -222,6 +249,58 @@ object ScaleProbe {
       }),
       "near_dup_ivf" -> (() =>
         noop(Dedup.embeddingNearDupPairsBy(ivfWide.vectors, "cluster", 0.95))))
+    }
+
+    // ---- salted-join closed loop, measured (r10 verdict #5): a replicated
+    // events fact with 90% of its rows funneled onto ONE user, joined to the
+    // user dimension — plain shuffle join vs [[SkewJoin.saltedInner]] at the
+    // salt count the hot-key report prescribes (hotKeyStream's batch twin →
+    // saltsFromReport, the full closed loop). Both run with AQE and
+    // broadcast DISABLED: this is the non-adaptive deployment SkewJoin
+    // exists for — AQE's own skew split would hide the effect, and a
+    // broadcast would remove the shuffle entirely. The pairwise delta is the
+    // hot task's serialization: plain sends ~90% of the fact through one
+    // sort-merge task; salted spreads it across `salts` tasks.
+    val skewNames = Seq("skewjoin_plain", "skewjoin_salted")
+    val skewProbes: Seq[(String, () => Unit)] = if (!wants(skewNames: _*)) Seq.empty else {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val evShift = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+      val fact = (0 until replication).map { i =>
+        if (i == 0) ev
+        else ev.withColumn("event_id", col("event_id") + lit(i * evShift))
+          .withColumn("value", col("value") + lit(i * 0.019))
+      }.reduce(_ unionByName _)
+        .withColumn("user_id",
+          when(col("event_id") % 10 < 9, lit(7L)).otherwise(col("user_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fact.count()
+      val dim = fact.select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("seg_"), pmod(col("user_id"), lit(17))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dim.count()
+      // the monitor's prescription: batch twin of hotKeyStream over one
+      // synthetic window → ceil(hot_factor) capped at slot count
+      val report = graft.streaming.EventStreams.hotKeyStream(
+        fact.withColumn("ts", lit("2026-01-01 00:30:00").cast("timestamp")),
+        "user_id")
+      val salts = SkewJoin.saltsFromReport(report)
+      System.err.println(s"[scale-probe] skew report prescribes $salts salts")
+      def nonAdaptive(body: => Unit): Unit = {
+        val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        val bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try body finally {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+        }
+      }
+      Seq(
+        "skewjoin_plain" -> (() => nonAdaptive(
+          noop(fact.join(dim, Seq("user_id"))))),
+        "skewjoin_salted" -> (() => nonAdaptive(
+          noop(SkewJoin.saltedInner(fact, dim, "user_id", salts)))))
     }
 
     // ---- relational/events family (r6 verdict gap #2: q01-q29 had zero
@@ -296,7 +375,7 @@ object ScaleProbe {
         (() => noop(SparkEntry.queries(q)(spark, relDir))) }
 
     var errors = List.empty[String]
-    val timings = (probes ++ vectorProbes ++ relationalProbes)
+    val timings = (probes ++ vectorProbes ++ skewProbes ++ relationalProbes)
       .filter { case (name, _) => probeFilter.forall(_.contains(name)) }
       .map { case (name, run) =>
       val t0 = System.nanoTime()

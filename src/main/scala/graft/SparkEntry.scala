@@ -306,6 +306,17 @@ object SparkEntry {
       Dedup.dupSpanShare(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "scrub_dup_spans"        -> ((s, d) =>
       Dedup.scrubDupSpans(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "scrub_export_stats"     -> ((s, d) =>
+      // the span pipeline's OUTPUT side: read the exported scrubbed-corpus
+      // lake (lang-partitioned, doc_id-sorted — ScrubbedLake) and hash the
+      // text FROM THE EXPORTED BYTES; the oracle replays the scrub from the
+      // raw documents table, so a lake that mangled any doc hashes red
+      // (layout invariance, the events_sorted_range / bucket_join_agg class)
+      graft.sources.ScrubbedLake.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_removed"),
+          h60(col("text")).as("scrub_h60"),
+          length(col("text")).as("n_scrub_chars"))
+        .orderBy(col("doc_id"))),
     "lsh_candidates_inc"     -> ((s, d) => {
       // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
       // dedup_incremental; history's band table is the persisted artifact
@@ -504,6 +515,7 @@ object SparkEntry {
     // they run adjacent and release together)
     "dup_span_share"      -> "dupspan",
     "scrub_dup_spans"     -> "dupspan",
+    "scrub_export_stats"  -> "dupspan",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -693,6 +705,43 @@ object SparkEntry {
     s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
        |s AS (SELECT doc_id, unnest($ShinglesFrag) AS sh FROM d),
        |sig AS (SELECT doc_id, $MinhashSelect FROM s GROUP BY doc_id)""".stripMargin
+
+  /** The span-scrub replay, ending in
+    * `scrub(doc_id, n_tokens, n_removed, scrub_h60, n_scrub_chars)` — shared
+    * by the narrow serving signal (`scrub_dup_spans`) and the exported-lake
+    * invariance check (`scrub_export_stats`). */
+  private val ScrubCte: String = {
+    val win = Dedup.SpanWindow
+    val winHash = h60Sql(s"array_to_string(list_slice(w, i, i + ${win - 1}), ' ')")
+    s"""WITH d AS (SELECT doc_id, text, $W AS w FROM documents),
+       |t AS (SELECT doc_id, w FROM d WHERE len(w) >= $win),
+       |win AS (SELECT doc_id, i, $winHash AS wh
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${win - 1})) AS i FROM t)),
+       |dh AS (SELECT wh FROM (
+       |    SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
+       |  WHERE nd > 1),
+       |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${win - 1})) AS pos
+       |  FROM win WHERE wh IN (SELECT wh FROM dh)),
+       |aff AS (SELECT DISTINCT doc_id FROM cov),
+       |tok AS (SELECT x.doc_id, x.i AS pos, x.w[x.i] AS tk, len(x.w) AS n_tokens
+       |  FROM (SELECT d.doc_id, d.w, unnest(generate_series(1, len(d.w))) AS i
+       |        FROM d JOIN aff ON d.doc_id = aff.doc_id) x),
+       |rw AS (SELECT tok.doc_id,
+       |    CAST(MAX(tok.n_tokens) AS INT) AS n_tokens,
+       |    CAST(COUNT(cov.pos) AS BIGINT) AS n_removed,
+       |    COALESCE(array_to_string(
+       |      list(tok.tk ORDER BY tok.pos) FILTER (WHERE cov.pos IS NULL), ' '), '') AS t
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  GROUP BY tok.doc_id),
+       |scrub AS (
+       |  SELECT doc_id, n_tokens, n_removed, ${h60Sql("t")} AS scrub_h60,
+       |    CAST(len(t) AS INT) AS n_scrub_chars FROM rw
+       |  UNION ALL
+       |  SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens,
+       |    CAST(0 AS BIGINT) AS n_removed, ${h60Sql("d.text")} AS scrub_h60,
+       |    CAST(len(d.text) AS INT) AS n_scrub_chars
+       |  FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM aff))""".stripMargin
+  }
 
   /** Shared CTE chain for the n-gram Jaccard oracle family. */
   private val NgramCte: String =
@@ -1328,37 +1377,20 @@ object SparkEntry {
 
     // the span scrub: duplicated windows' covered positions drop from every
     // carrier; untouched docs hash their ORIGINAL text (no reconstruction)
-    "scrub_dup_spans" -> {
-      val win = Dedup.SpanWindow
-      val winHash = h60Sql(s"array_to_string(list_slice(w, i, i + ${win - 1}), ' ')")
-      s"""WITH d AS (SELECT doc_id, text, $W AS w FROM documents),
-         |t AS (SELECT doc_id, w FROM d WHERE len(w) >= $win),
-         |win AS (SELECT doc_id, i, $winHash AS wh
-         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - ${win - 1})) AS i FROM t)),
-         |dh AS (SELECT wh FROM (
-         |    SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
-         |  WHERE nd > 1),
-         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${win - 1})) AS pos
-         |  FROM win WHERE wh IN (SELECT wh FROM dh)),
-         |aff AS (SELECT DISTINCT doc_id FROM cov),
-         |tok AS (SELECT x.doc_id, x.i AS pos, x.w[x.i] AS tk, len(x.w) AS n_tokens
-         |  FROM (SELECT d.doc_id, d.w, unnest(generate_series(1, len(d.w))) AS i
-         |        FROM d JOIN aff ON d.doc_id = aff.doc_id) x),
-         |rw AS (SELECT tok.doc_id,
-         |    CAST(MAX(tok.n_tokens) AS INT) AS n_tokens,
-         |    CAST(COUNT(cov.pos) AS BIGINT) AS n_removed,
-         |    COALESCE(array_to_string(
-         |      list(tok.tk ORDER BY tok.pos) FILTER (WHERE cov.pos IS NULL), ' '), '') AS t
-         |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-         |  GROUP BY tok.doc_id)
-         |SELECT doc_id, n_tokens, n_removed, ${h60Sql("t")} AS scrub_h60,
-         |  CAST(len(t) AS INT) AS n_scrub_chars FROM rw
-         |UNION ALL
-         |SELECT d.doc_id, CAST(len(d.w) AS INT) AS n_tokens, CAST(0 AS BIGINT) AS n_removed,
-         |  ${h60Sql("d.text")} AS scrub_h60, CAST(len(d.text) AS INT) AS n_scrub_chars
-         |FROM d WHERE d.doc_id NOT IN (SELECT doc_id FROM aff)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "scrub_dup_spans" ->
+      s"""$ScrubCte
+         |SELECT doc_id, n_tokens, n_removed, scrub_h60, n_scrub_chars
+         |FROM scrub ORDER BY doc_id""".stripMargin,
+
+    // the scrub's exported lake: engine reads its lang-partitioned layout
+    // and hashes the EXPORTED text; oracle replays the scrub from the raw
+    // table + a lang join — identical rows is the layout-invariance contract
+    "scrub_export_stats" ->
+      s"""$ScrubCte
+         |SELECT s.doc_id, docs.lang, s.n_tokens, s.n_removed, s.scrub_h60,
+         |  s.n_scrub_chars
+         |FROM scrub s JOIN documents docs USING (doc_id)
+         |ORDER BY s.doc_id""".stripMargin,
 
     // incremental banding: identical band math, but the a-side is restricted
     // to the NEW batch (doc_id % 5 = 4) — history×history pairs never appear,

@@ -179,7 +179,20 @@ object Dedup {
     * the reassembly shuffle (collect per doc, sort by position) is confined
     * to docs that actually carry duplicated spans; everything else takes the
     * anti-join pass-through. No pairs anywhere. */
-  def scrubDupSpans(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
+  def scrubDupSpans(documents: DataFrame, window: Int = SpanWindow): DataFrame =
+    scrubDupSpansText(documents, window).select(
+      col("doc_id"), col("n_tokens"), col("n_removed"),
+      h60(col("text")).as("scrub_h60"), length(col("text")).as("n_scrub_chars"))
+
+  /** [[scrubDupSpans]] with the scrubbed TEXT itself — the production-sink
+    * form the narrow hash signal projects from: rewritten docs carry their
+    * reassembled post-scrub tokens (space-joined), untouched docs their
+    * ORIGINAL text byte-for-byte (the anti-join pass-through never
+    * reconstructs). Feed this to [[graft.sources.ScrubbedLake]] /
+    * [[graft.GraftEngine.exportCorpus]] to land the scrubbed corpus;
+    * the serving query [[scrubDupSpans]] is exactly this plus
+    * `(h60(text), length(text))` — one projection, same plan. */
+  def scrubDupSpansText(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
     // persisted: three consumers (window build, affected-doc rewrite,
     // pass-through) and the Generate barrier stops the doc_id semi-joins
@@ -222,13 +235,12 @@ object Dedup {
             struct(col("pos"), col("tok"))))),
           s => s.getField("tok"))).as("t"))
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        h60(col("t")).as("scrub_h60"), length(col("t")).as("n_scrub_chars"))
+        col("t").as("text"))
     // untouched docs: original text, zero removals, no rewrite
     val untouched = toks.join(affected, Seq("doc_id"), "left_anti")
       .join(documents.select(col("doc_id"), col("text")), Seq("doc_id"))
       .select(col("doc_id"), size(col("w")).as("n_tokens"),
-        lit(0L).as("n_removed"),
-        h60(col("text")).as("scrub_h60"), length(col("text")).as("n_scrub_chars"))
+        lit(0L).as("n_removed"), col("text"))
     rewritten.unionByName(untouched)
   }
 

@@ -318,6 +318,53 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("ScrubbedLake export reproduces the scrub operator, lang-partitioned") {
+    import spark.implicits._
+    // real corpus + two planted boilerplate carriers, so BOTH output paths
+    // (rewrite and pass-through) are deterministically exercised at the lake
+    val raw = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    val bp = (1 to 25).map(i => s"bp$i").mkString(" ") // > SpanWindow tokens
+    val docs = raw.unionByName(Seq(
+      (maxId + 1, s"$bp tailA1 tailA2 tailA3", "en"),
+      (maxId + 2, s"headB1 headB2 $bp", "en")).toDF("doc_id", "text", "lang"))
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "scrub-lake").toString
+    graft.sources.ScrubbedLake.export(docs, dir)
+
+    // partition layout: exactly one lang= directory per language present
+    val langDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).toSet
+    val wantLangs = docs.select("lang").distinct()
+      .collect().map("lang=" + _.getString(0)).toSet
+    assert(langDirs == wantLangs, s"partition dirs $langDirs vs $wantLangs")
+
+    // layout invariance: the lake's rows ARE the operator's rows + lang
+    val lake = spark.read.parquet(dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang").cast("string"), col("n_tokens"),
+          col("n_removed"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+          r.getString(4))).toSet
+    val want = key(Dedup.scrubDupSpansText(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")))
+    assert(key(lake) == want, "lake rows must equal scrub operator rows")
+
+    // both paths present: the planted pair was rewritten (boilerplate
+    // dropped), untouched docs carry their ORIGINAL text byte-for-byte
+    val planted = lake.where(col("doc_id") > maxId)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(planted(maxId + 1) == "tailA1 tailA2 tailA3" &&
+      planted(maxId + 2) == "headB1 headB2", s"planted scrub: $planted")
+    val untouched = lake.where(col("n_removed") === 0)
+      .join(docs.select(col("doc_id"), col("text").as("orig")), Seq("doc_id"))
+    assert(untouched.where(col("text") =!= col("orig")).count() == 0,
+      "untouched docs must round-trip byte-for-byte")
+    assert(untouched.count() > 0)
+    graft.CacheRegistry.release()
+  }
+
   test("incremental LSH candidates = full-corpus banding restricted to new-side pairs") {
     // the append-only ingest contract: the batch's candidates against
     // history ∪ batch must be EXACTLY the full recompute's pairs that touch

@@ -182,21 +182,30 @@ class PropertySpec extends SparkSpec {
     // table size: 100 languages × 4 markers, with deliberate cross-language
     // marker sharing (every 7th language re-claims a neighbor's marker,
     // mirroring the real de/zh 'de' and es/fr 'la' collisions)
-    val big: Seq[(String, Seq[String])] = (0 until 100).map { i =>
-      val own = (0 until 4).map(j => s"m${i}_$j")
-      val shared = if (i % 7 == 0 && i > 0) Seq(s"m${i - 1}_0") else Seq.empty
-      f"l$i%03d" -> (own ++ shared)
-    }
+    val big: Seq[(String, Seq[String])] = graft.ScaleProbe.BigMarkers
     val marker: Gen[String] = Gen.oneOf(
       big.flatMap(_._2) ++ Seq("noise", "qqq", ""))
     val wordsGen: Gen[List[String]] =
       Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, marker))
-    forAll(wordsGen, 30) { ws =>
-      val df = Seq(Tuple1(ws)).toDF("w")
-      val got = df.select(GraftFunctions.langId(col("w"), big)).head.getString(0)
-      val want = df.select(GraftFunctions.langIdComposed(col("w"), big)).head.getString(0)
-      assert(got == want, s"words $ws: expr=$got composed=$want")
+    // all samples through ONE plan: the composed form at 100 languages is a
+    // ~500-node expression tree, and planning it per-sample (one DataFrame
+    // per forAll iteration) costs minutes of analyzer/codegen time for zero
+    // extra coverage — the property is about VALUES, so batch the samples
+    val samples: Seq[List[String]] =
+      Seq.tabulate(60)(i => wordsGen(Gen.Parameters.default,
+        org.scalacheck.rng.Seed(0x1A6100L + i)).get)
+    val rows = samples.map(Tuple1(_)).toDF("w")
+      .select(col("w"),
+        GraftFunctions.langId(col("w"), big).as("fast"),
+        GraftFunctions.langIdComposed(col("w"), big).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"words ${r.getSeq[String](0)}: expr=${r.getString(1)} composed=${r.getString(2)}")
     }
+    // the batch must exercise real marker hits, not 60 'und' rows
+    assert(rows.count(_.getString(1) != "und") > 10,
+      "sample batch degenerated to misses only")
   }
 
   test("property: tokenModeCount equals brute-force max token frequency") {
