@@ -304,6 +304,18 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "dup_span_share"         -> ((s, d) =>
       Dedup.dupSpanShare(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+    "dup_span_share_inc"     -> ((s, d) => {
+      // daily-ingest span signal: same 4/5 history / 1/5 batch split as the
+      // other incremental rows; the batch tokenizes only itself and probes
+      // the append-only window artifact (rebuilt here because the suite is
+      // stateless — in production it's the spanWindowStream sink), giving
+      // the full-corpus dupSpanShare answer restricted to batch docs
+      val docs = tbl(s, d, "documents")
+      Dedup.dupSpanShareIncremental(
+        docs.where(col("doc_id") % 5 === 4),
+        Dedup.spanWindowSet(docs.where(col("doc_id") % 5 =!= 4)))
+        .orderBy(col("doc_id"))
+    }),
     "scrub_dup_spans"        -> ((s, d) =>
       Dedup.scrubDupSpans(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "scrub_export_stats"     -> ((s, d) =>
@@ -317,6 +329,19 @@ object SparkEntry {
           h60(col("text")).as("scrub_h60"),
           length(col("text")).as("n_scrub_chars"))
         .orderBy(col("doc_id"))),
+    "scrub_export_lang"      -> ((s, d) =>
+      // the lake's READ-path win: the lang predicate prunes whole partition
+      // directories (PartitionFilters — PlanAuditSpec gates it), the
+      // 100 TB reason the export partitions by lang at all; the rollup's
+      // xor-of-hashes stays content-sensitive over the exported bytes
+      graft.sources.ScrubbedLake.documents(s, d)
+        .where(col("lang").isin("en", "de"))
+        .select(col("lang"), col("n_removed"), h60(col("text")).as("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_removed")).as("n_removed_tokens"),
+          expr("bit_xor(h)").as("xor_h60"))
+        .orderBy(col("lang"))),
     "lsh_candidates_inc"     -> ((s, d) => {
       // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
       // dedup_incremental; history's band table is the persisted artifact
@@ -514,8 +539,10 @@ object SparkEntry {
     // [[Dedup.scrubDupSpans]] — different persisted frames, one family so
     // they run adjacent and release together)
     "dup_span_share"      -> "dupspan",
+    "dup_span_share_inc"  -> "dupspan",
     "scrub_dup_spans"     -> "dupspan",
     "scrub_export_stats"  -> "dupspan",
+    "scrub_export_lang"   -> "dupspan",
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
@@ -1375,6 +1402,29 @@ object SparkEntry {
          |ORDER BY win.doc_id""".stripMargin
     },
 
+    // incremental span signal: identical window/dup math over the FULL
+    // corpus (history ∪ batch = all docs), rollup restricted to the batch —
+    // exactly what the artifact-probing engine form computes
+    "dup_span_share_inc" -> {
+      val win = Dedup.SpanWindow
+      val winHash = h60Sql(s"array_to_string(list_slice(w, i, i + ${win - 1}), ' ')")
+      s"""WITH d AS (SELECT doc_id, $W AS w FROM documents),
+         |t AS (SELECT doc_id, w FROM d WHERE len(w) >= $win),
+         |win AS (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(w) - ${win - 1}), i -> $winHash)) AS wh FROM t),
+         |dh AS (SELECT wh FROM (
+         |    SELECT wh, COUNT(DISTINCT doc_id) AS nd FROM win GROUP BY wh)
+         |  WHERE nd > 1)
+         |SELECT win.doc_id,
+         |  COUNT(*) AS n_windows,
+         |  CAST(COUNT(dh.wh) AS BIGINT) AS n_dup_windows,
+         |  round(CAST(COUNT(dh.wh) AS DOUBLE) / COUNT(*), 6) AS dup_share
+         |FROM win LEFT JOIN dh ON win.wh = dh.wh
+         |WHERE win.doc_id % 5 = 4
+         |GROUP BY win.doc_id
+         |ORDER BY win.doc_id""".stripMargin
+    },
+
     // the span scrub: duplicated windows' covered positions drop from every
     // carrier; untouched docs hash their ORIGINAL text (no reconstruction)
     "scrub_dup_spans" ->
@@ -1391,6 +1441,17 @@ object SparkEntry {
          |  s.n_scrub_chars
          |FROM scrub s JOIN documents docs USING (doc_id)
          |ORDER BY s.doc_id""".stripMargin,
+
+    // the pruned-read rollup: engine scans only the en/de partition dirs of
+    // the lake; oracle replays the scrub + lang filter over the raw table
+    "scrub_export_lang" ->
+      s"""$ScrubCte
+         |SELECT docs.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(s.n_removed) AS BIGINT) AS n_removed_tokens,
+         |  CAST(bit_xor(s.scrub_h60) AS BIGINT) AS xor_h60
+         |FROM scrub s JOIN documents docs USING (doc_id)
+         |WHERE docs.lang IN ('en', 'de')
+         |GROUP BY docs.lang ORDER BY docs.lang""".stripMargin,
 
     // incremental banding: identical band math, but the a-side is restricted
     // to the NEW batch (doc_id % 5 = 4) — history×history pairs never appear,

@@ -140,10 +140,7 @@ object Dedup {
     require(window >= 2, s"window must be >= 2 tokens: $window")
     // stage the token array behind a Generate barrier so the window lambda
     // references the materialized array, not a re-tokenize per window
-    val toks = documents
-      .select(col("doc_id"), explode(array(struct(tokens(col("text")).as("w")))).as("c"))
-      .select(col("doc_id"), col("c.w").as("w"))
-      .where(size(col("w")) >= window)
+    val toks = documents_toks(documents, window)
     val wins = graft.CacheRegistry.persist(
       toks.select(col("doc_id"),
         explode(transform(
@@ -243,6 +240,80 @@ object Dedup {
         lit(0L).as("n_removed"), col("text"))
     rewritten.unionByName(untouched)
   }
+
+  /** The append-only span-window ARTIFACT: one row per DISTINCT (doc_id,
+    * window-hash) — everything the cross-doc duplication test needs from a
+    * doc (positions stay batch-local; history never needs them). Built
+    * PER-ROW: each doc's window hashes collapse via `array_distinct` inside
+    * the row before the explode, so the operator is stateless — no global
+    * distinct, which is exactly what lets [[graft.streaming.EventStreams
+    * .spanWindowStream]] run it unchanged at ingest (append mode, no state
+    * store) the way `bandAssignStream` reuses [[lshBuckets]]. */
+  def spanWindowSet(documents: DataFrame, window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens: $window")
+    documents_toks(documents, window)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - lit(window - 1)),
+          i => h60(concat_ws(" ", slice(col("w"), i, lit(window))))))).as("wh"))
+  }
+
+  /** Incremental [[dupSpanShare]] — the daily-ingest span signal, completing
+    * the incremental family (exact dedup → [[incrementalExact]], LSH bands →
+    * [[lshCandidatePairsIncremental]], IVF → `mergeSegment`, spans → here):
+    * today's batch tokenizes ONLY itself (O(batch)), `historyWindows` is the
+    * append-only [[spanWindowSet]] artifact, and a batch window counts as
+    * duplicated iff some OTHER doc in history ∪ batch shares its hash — so
+    * the result equals the full-corpus [[dupSpanShare]] restricted to batch
+    * docs (DedupTextSpec asserts exactly that). Appending the batch's
+    * [[spanWindowSet]] to the artifact completes the cycle.
+    *
+    * Scale shape: the dup probe is an equi-join on `wh` whose build side is
+    * the batch's window set — AQE broadcasts it, so history streams through
+    * WITHOUT a shuffle (in production the artifact is additionally bucketed
+    * by `wh`, the [[lshCandidatePairsIncremental]] posture); the rollup
+    * shuffle is ∝ batch tokens only. Same dropped-short-docs coverage
+    * contract as [[dupSpanShare]]. */
+  def dupSpanShareIncremental(newDocs: DataFrame, historyWindows: DataFrame,
+      window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens: $window")
+    // positional windows of the batch — the rollup's denominator (and the
+    // only place positions matter); persisted: feeds the distinct set AND
+    // the final rollup join
+    val toks = documents_toks(newDocs, window)
+    val wins = graft.CacheRegistry.persist(
+      toks.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - lit(window - 1)),
+          i => h60(concat_ws(" ", slice(col("w"), i, lit(window)))))).as("wh")))
+    val newSet = wins.select(col("doc_id"), col("wh")).distinct()
+    val all = historyWindows.select(col("doc_id"), col("wh")).unionByName(newSet)
+    // a batch (doc, wh) is duplicated iff any OTHER doc holds wh. Inner
+    // join + distinct (NOT left_semi: semi builds on the RIGHT side, which
+    // is the history — inner lets AQE broadcast the small batch set and
+    // stream history); the distinct's shuffle is ∝ matched batch windows
+    val dupNew = newSet.as("a")
+      .join(all.as("b"),
+        col("a.wh") === col("b.wh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("a.wh")).distinct()
+      .withColumn("dup", lit(1))
+    wins.join(dupNew, Seq("doc_id", "wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_share"))
+  }
+
+  /** Tokenized frame behind a Generate barrier, window-length filtered —
+    * shared staging for the span family. */
+  private def documents_toks(documents: DataFrame, window: Int): DataFrame =
+    documents
+      .select(col("doc_id"), explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      .select(col("doc_id"), col("c.w").as("w"))
+      .where(size(col("w")) >= window)
 
   /** Incremental LSH candidate generation — the daily-ingest near-dup path,
     * and the text-side twin of [[IvfIndex.mergeSegment]]'s posture: the band

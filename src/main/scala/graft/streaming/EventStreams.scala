@@ -199,6 +199,17 @@ object EventStreams {
   def bandAssignStream(docs: DataFrame): DataFrame =
     graft.operators.Dedup.lshBuckets(docs)
 
+  /** Streaming span-window assignment — the ingest half of
+    * [[graft.operators.Dedup.dupSpanShareIncremental]]'s cycle, and the
+    * span-family twin of [[bandAssignStream]]: each arriving doc's DISTINCT
+    * rolling-window hashes land statelessly in the window-table sink (the
+    * per-doc dedup happens INSIDE the row via `array_distinct`, so no
+    * streaming state is needed), and the accumulated sink IS the append-only
+    * [[graft.operators.Dedup.spanWindowSet]] history artifact — documents
+    * are tokenized exactly once, at ingest. `docs` needs (doc_id, text). */
+  def spanWindowStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.spanWindowSet(docs)
+
   /** Micro-batch ANN serving THROUGH the version pointer — the 24/7 form of
     * the index-cutover lifecycle ([[graft.operators.IvfIndex.publishLatest]]
     * / [[graft.operators.IvfIndex.loadLatest]]): each micro-batch resolves

@@ -365,6 +365,27 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental span signal = full-corpus dupSpanShare restricted to batch docs") {
+    // the artifact-probing form must give the identical answer the full
+    // recompute gives for the batch docs — no window lost by skipping the
+    // history re-tokenize, none invented
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = key(Dedup.dupSpanShareIncremental(batch, Dedup.spanWindowSet(hist)))
+    val want = key(Dedup.dupSpanShare(docs).where(col("doc_id") % 5 === 4))
+    assert(got == want, s"incremental diverged: ${got.size} vs ${want.size} docs")
+    assert(got.nonEmpty)
+    // and the artifact really is per-doc distinct (its whole contract)
+    val art = Dedup.spanWindowSet(hist)
+    assert(art.count() == art.distinct().count(),
+      "spanWindowSet must emit distinct (doc_id, wh) rows")
+    graft.CacheRegistry.release()
+  }
+
   test("incremental LSH candidates = full-corpus banding restricted to new-side pairs") {
     // the append-only ingest contract: the batch's candidates against
     // history ∪ batch must be EXACTLY the full recompute's pairs that touch

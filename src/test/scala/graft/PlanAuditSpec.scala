@@ -63,6 +63,14 @@ class PlanAuditSpec extends SparkSpec {
       s"ann_lsh_indexed lost partition pruning:\n${p("ann_lsh_indexed").take(800)}")
   }
 
+  test("the scrubbed-lake lang read partition-prunes on lang") {
+    val p = plans
+    assert("PartitionFilters: \\[[^\\]]*lang".r
+        .findFirstIn(p("scrub_export_lang")).isDefined,
+      s"scrub_export_lang lost lang partition pruning:\n" +
+        p("scrub_export_lang").take(800))
+  }
+
   test("no serving query plans a fixed-attribute-blocked embedding self-join") {
     // The quadratic contrast case ([[Dedup.embeddingNearDupPairsFixedBlock]])
     // blocks an embedding self-join on `label`, a FIXED-cardinality attribute

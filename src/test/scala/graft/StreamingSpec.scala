@@ -119,6 +119,47 @@ class StreamingSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("streaming span-window ingest feeds the incremental span signal across a restart") {
+    import graft.operators.Dedup
+    // the span twin of the band-assignment cycle: day-1 docs' window hashes
+    // land in the sink, a restarted query ingests day 2 through the SAME
+    // checkpoint, and the accumulated sink IS the spanWindowSet artifact
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "span-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "span-sink").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "span-ckpt").toString
+    def ingestOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      EventStreams.runToParquet(
+        spark, EventStreams.spanWindowStream(stream), sinkDir, ckpt)
+    }
+    hist.coalesce(2).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    batch.coalesce(1).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    // accumulated sink == the batch artifact over the full corpus (docs
+    // tokenized once, at ingest — never re-tokenized)
+    val sunk = spark.read.parquet(sinkDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("wh"))).toSet
+    val want = Dedup.spanWindowSet(docs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("wh"))).toSet
+    assert(sunk == want, s"accumulated window sink diverged: ${sunk.size} vs ${want.size}")
+    // the sink IS the history artifact: incremental signal off the day-1
+    // slice of the sink == recomputed-history incremental signal
+    val viaSink = Dedup.dupSpanShareIncremental(batch,
+        spark.read.parquet(sinkDir).where(col("doc_id") % 5 =!= 4))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    graft.CacheRegistry.release()
+    val viaBatch = Dedup.dupSpanShareIncremental(batch, Dedup.spanWindowSet(hist))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(viaSink == viaBatch)
+    graft.CacheRegistry.release()
+  }
+
   test("ANN serving follows the index version pointer across a mid-stream cutover") {
     import graft.operators.{IvfIndex, KnnExact}
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
