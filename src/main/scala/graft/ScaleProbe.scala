@@ -164,6 +164,19 @@ object ScaleProbe {
       // the scrub's rewrite cost stays confined to affected docs
       "dup_span_share" -> (() => noop(Dedup.dupSpanShare(docs))),
       "scrub_dup_spans" -> (() => noop(Dedup.scrubDupSpans(docs))),
+      // incremental span ingest, split the way production pays it: the
+      // 9/10-history window artifact lands once ("span_art_build" — the
+      // per-refresh cost, ∝ history tokens), then the daily batch probes
+      // the PERSISTED artifact ("dup_span_share_inc" — the per-day cost,
+      // batch-only tokenize). The inc-vs-full delta against dup_span_share
+      // is the O(batch) ingest claim, measured. (Probe-filter callers must
+      // co-select the build with the inc probe, like ivf_build_wide.)
+      "span_art_build" -> (() =>
+        Dedup.spanWindowSet(docs.where(col("doc_id") % 10 =!= 9))
+          .write.mode("overwrite").parquet("target/scale-probe-spanart")),
+      "dup_span_share_inc" -> (() => noop(Dedup.dupSpanShareIncremental(
+        docs.where(col("doc_id") % 10 === 9),
+        spark.read.parquet("target/scale-probe-spanart")))),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),
