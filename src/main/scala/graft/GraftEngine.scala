@@ -352,19 +352,28 @@ final class GraftEngine(val spark: SparkSession,
     * files per partition. */
   def exportCorpus(df: DataFrame, outDir: String,
       partitionCols: Seq[String], sortCol: String): Unit =
-    // range-partition on (partitionCols, sortCol) — NOT a hash repartition on
-    // the partition columns alone, which would funnel each partition value
-    // (e.g. 80% of the corpus for split=train) through a single task. Range
-    // boundaries spread every partition value across tasks by sort key; the
-    // within-task sort keeps each written file contiguous and sorted.
+    GraftEngine.exportCorpus(df, outDir, partitionCols, sortCol)
+}
+
+object GraftEngine {
+  /** The [[GraftEngine.exportCorpus facade method]]'s implementation, static
+    * because it uses no engine state — layout builders
+    * ([[graft.sources.ScrubbedLake]]) call it here without constructing a
+    * facade (review r11: the facade constructor re-registers every UDF).
+    *
+    * Range-partition on (partitionCols, sortCol) — NOT a hash repartition on
+    * the partition columns alone, which would funnel each partition value
+    * (e.g. 80% of the corpus for split=train) through a single task. Range
+    * boundaries spread every partition value across tasks by sort key; the
+    * within-task sort keeps each written file contiguous and sorted. */
+  def exportCorpus(df: DataFrame, outDir: String,
+      partitionCols: Seq[String], sortCol: String): Unit =
     df.repartitionByRange((partitionCols :+ sortCol).map(col): _*)
       .sortWithinPartitions((partitionCols :+ sortCol).map(col): _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
-}
 
-object GraftEngine {
   /** Recommended local session (mirrors Verify/Bench conf; a cluster deploy
     * sets the same confs minus master). */
   def localSession(cores: Int = 8, appName: String = "graft"): SparkSession =

@@ -87,6 +87,9 @@ object ScaleProbe {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    val spanArtDir =
+      s"target/scale-probe-spanart-${SfPath.safe(sfDir)}-x$replication"
+
     import graft.operators._
     // the slowest families from BENCH_r05. Note the lifecycle is stricter
     // than Bench's: caches are released after EVERY probe (below), so each
@@ -169,14 +172,18 @@ object ScaleProbe {
       // per-refresh cost, ∝ history tokens), then the daily batch probes
       // the PERSISTED artifact ("dup_span_share_inc" — the per-day cost,
       // batch-only tokenize). The inc-vs-full delta against dup_span_share
-      // is the O(batch) ingest claim, measured. (Probe-filter callers must
-      // co-select the build with the inc probe, like ivf_build_wide.)
+      // is the O(batch) ingest claim, measured. Artifact path keyed by
+      // (sfDir, replication) — a fixed path would let a filtered run
+      // silently probe a STALE artifact from a different corpus size and
+      // report a timing for the wrong history (review r11); a missing
+      // keyed artifact fails loudly instead, like near_dup_ivf without
+      // ivf_build_wide.
       "span_art_build" -> (() =>
         Dedup.spanWindowSet(docs.where(col("doc_id") % 10 =!= 9))
-          .write.mode("overwrite").parquet("target/scale-probe-spanart")),
+          .write.mode("overwrite").parquet(spanArtDir)),
       "dup_span_share_inc" -> (() => noop(Dedup.dupSpanShareIncremental(
         docs.where(col("doc_id") % 10 === 9),
-        spark.read.parquet("target/scale-probe-spanart")))),
+        spark.read.parquet(spanArtDir)))),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),

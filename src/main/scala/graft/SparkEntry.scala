@@ -804,13 +804,28 @@ object SparkEntry {
     * are pure functions of the config and the tuned probe is resolved (and
     * memoized) by [[IvfIndex.tunedProbeForSfDir]] itself, so neither query
     * execution order nor a second config in the same JVM can skew the
-    * literals (verdict r10 #2 / ADVICE r10). Verify renders through this. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    oracleSqlCtx(OracleCtx(
+    * literals (verdict r10 #2 / ADVICE r10). Verify renders through this.
+    *
+    * `wanted` restricts the render to a query subset (Verify's builder
+    * filter): the tuner — the ONE literal whose resolution costs real work
+    * (IVF build + exact-scan recall curve) — only runs when
+    * `ivf_tuned_probe` is actually in the render set, so a single-query
+    * iteration run doesn't pay an index build for an oracle string it
+    * discards (review r11). Unfiltered renders (the driver path) still
+    * resolve everything. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String,
+      wanted: Option[Set[String]] = None): Map[String, String] = {
+    val needTuned = wanted.forall(_.contains("ivf_tuned_probe"))
+    val m = oracleSqlCtx(OracleCtx(
       IvfIndex.exportPathFor(sfDir, NumClusters),
       IvfIndex.mergeExportPathFor(sfDir, NumClusters),
       PqQuant.exportPathFor(sfDir),
-      prewarmTunedProbe(spark, sfDir)))
+      // 0 = the parseable-but-probes-nothing placeholder (lastTunedNProbe's
+      // no-tune sentinel); unreachable by the compare since the entry is
+      // filtered out of the returned map below
+      if (needTuned) prewarmTunedProbe(spark, sfDir) else 0))
+    wanted.fold(m)(w => m.filter { case (k, _) => w(k) })
+  }
 
   private def oracleSqlCtx(ctx: OracleCtx): Map[String, String] = Map(
     "q01_pricing_summary" ->

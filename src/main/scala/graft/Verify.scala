@@ -65,8 +65,11 @@ object Verify {
     } + "\""
     // keyed render (verdict r10 #2): export paths are pure functions of
     // (sfDir, config) and the tuned probe resolves itself, so the dump is
-    // correct regardless of which queries ran (or were filtered out) above
-    val json = SparkEntry.oracleSqlFor(spark, sfDir)
+    // correct regardless of which queries ran above. A FILTERED builder run
+    // dumps only its filtered oracles (review r11): the comparator then
+    // checks exactly what was produced, and rendering skips the tuner's
+    // index build when ivf_tuned_probe wasn't selected.
+    val json = SparkEntry.oracleSqlFor(spark, sfDir, only)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

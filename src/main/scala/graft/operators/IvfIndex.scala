@@ -555,12 +555,14 @@ object IvfIndex {
   /** The one tuned nProbe this JVM computed — LEGACY oracle-render
     * indirection with the same single-config contract as [[oracleExportDir]]
     * (the keyed path, [[SparkEntry.oracleSqlFor]] → [[tunedProbeForSfDir]],
-    * never reads this). With none computed, -1: an EXPLICITLY INVALID probe
-    * count (no probe rank matches, so an accidentally-executed render fails
-    * the compare loudly as a row-count mismatch instead of vacuously
-    * replaying nProbe=1 — ADVICE r10); with several, fail loudly. */
+    * never reads this). With none computed, 0: `LIMIT 0` PARSES everywhere
+    * (the -1 sentinel tried first hit DuckDB's bind-time "LIMIT cannot be
+    * negative", failing a legacy driver's WHOLE prepared dump instead of one
+    * query) yet probes zero clusters, so an accidentally-executed render
+    * returns no rows and fails its own compare loudly instead of vacuously
+    * replaying nProbe=1 (ADVICE r10); with several, fail loudly. */
   def lastTunedNProbe: Int = tunedCache.values.toSeq.distinct match {
-    case Seq() => -1
+    case Seq() => 0
     case Seq(n) => n
     case ns => throw new IllegalStateException(
       s"tuned nProbe computed for multiple configs ($ns) in one JVM — " +
@@ -650,9 +652,10 @@ object IvfIndex {
 
   /** Hidden-dir-safe sanitization shared by every artifact path: strip the
     * leading separator (a `_`-prefixed dir is invisible to Spark's file
-    * index — "All paths were ignored"), then flatten the rest. */
-  private def safeName(sfDir: String): String =
-    sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    * index — "All paths were ignored"), then flatten the rest. ONE
+    * definition repo-wide ([[graft.SfPath]]) so build path and keyed oracle
+    * render cannot drift. */
+  private def safeName(sfDir: String): String = graft.SfPath.safe(sfDir)
 
   /** Deterministic export path for (sfDir, numClusters) — a PURE function of
     * the config, usable by an oracle render whether or not the build has run

@@ -128,8 +128,7 @@ object LshAnn {
   def forSfDir(spark: org.apache.spark.sql.SparkSession, sfDir: String,
       dim: Int): String =
     indexCache.getOrElseUpdate(s"$sfDir#$dim", {
-      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "")
-        .replaceAll("[^A-Za-z0-9.]", "_")
+      val safe = graft.SfPath.safe(sfDir)
       val dir = java.nio.file.Paths.get("target", "lsh-index", s"$safe-b$NumBits")
         .toAbsolutePath.toString
       buildIndex(spark.read.parquet(s"$sfDir/embeddings.parquet"), dim, dir)

@@ -169,10 +169,8 @@ object PqQuant {
   /** Deterministic export path for an sfDir — a PURE function of the config,
     * usable by a keyed oracle render before the training has run in this JVM
     * (verdict r10 #2). [[forSfDir]] writes here. */
-  def exportPathFor(sfDir: String): String = {
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    java.nio.file.Paths.get("target", "pq-export", safe).toAbsolutePath.toString
-  }
+  def exportPathFor(sfDir: String): String = java.nio.file.Paths
+    .get("target", "pq-export", graft.SfPath.safe(sfDir)).toAbsolutePath.toString
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, (Model, DataFrame)]
@@ -182,9 +180,7 @@ object PqQuant {
     * read back from its own export — the production shape (codes are a
     * persisted index artifact, not recomputed per query). */
   def forSfDir(spark: SparkSession, sfDir: String, dim: Int): (Model, DataFrame) = {
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val exportDir = java.nio.file.Paths.get("target", "pq-export", safe)
-      .toAbsolutePath.toString
+    val exportDir = exportPathFor(sfDir)
     val result = cache.getOrElseUpdate(sfDir, {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val model = train(emb, dim)
@@ -212,12 +208,11 @@ object PqQuant {
   def forSfDirIvf(spark: SparkSession, sfDir: String, dim: Int,
       numClusters: Int): (Model, DataFrame) = {
     val (model, _) = forSfDir(spark, sfDir, dim)
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
     // keyed per (sfDir, numClusters) like the cache entry: a fixed path
     // would let a later build for a different cluster count overwrite the
     // files a live cached DataFrame lazily re-lists
     val dir = java.nio.file.Paths.get("target", "pq-export",
-      s"$safe-ivfcodes-k$numClusters").toAbsolutePath.toString
+      s"${graft.SfPath.safe(sfDir)}-ivfcodes-k$numClusters").toAbsolutePath.toString
     val codes = ivfCache.getOrElseUpdate(s"$sfDir#$numClusters", {
       val idx = IvfIndex.forSfDir(spark, sfDir, numClusters)
       encode(spark, idx.vectors, model)

@@ -58,8 +58,7 @@ object SqQuant {
       dim: Int): (Array[Double], Array[Double]) =
     statsCache.getOrElseUpdate((sfDir, dim), {
       val st = stats(spark.read.parquet(s"$sfDir/embeddings.parquet"), dim)
-      val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "")
-        .replaceAll("[^A-Za-z0-9.]", "_")
+      val safe = graft.SfPath.safe(sfDir)
       val dir = java.nio.file.Paths.get("target", "sq8-export", s"$safe-d$dim")
         .toAbsolutePath.toString
       import spark.implicits._

@@ -37,7 +37,7 @@ object ScrubbedLake {
     * path. Idempotent overwrite; memoized-artifact contract of
     * [[SortedLake.forSfDir]] / [[graft.operators.IvfIndex.forSfDir]]. */
   def forSfDir(spark: SparkSession, sfDir: String): String = {
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val safe = graft.SfPath.safe(sfDir)
     cache.getOrElseUpdate(s"scrubbed#$sfDir", {
       val dir = java.nio.file.Paths.get("target", "scrubbed-lake", safe, "documents")
         .toAbsolutePath.toString
@@ -58,8 +58,7 @@ object ScrubbedLake {
   def export(documents: DataFrame, outDir: String): Unit = {
     val scrubbed = graft.operators.Dedup.scrubDupSpansText(documents)
       .join(documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    new graft.GraftEngine(documents.sparkSession)
-      .exportCorpus(scrubbed, outDir, Seq("lang"), "doc_id")
+    graft.GraftEngine.exportCorpus(scrubbed, outDir, Seq("lang"), "doc_id")
   }
 
   /** The scrubbed lake as a DataFrame. */

@@ -54,7 +54,7 @@ object SortedLake {
     * driver now generates — the filter decoded all rows). A zone-map key
     * must be a type whose stats the engine actually consults. */
   def forSfDir(spark: SparkSession, sfDir: String): String = {
-    val safe = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val safe = graft.SfPath.safe(sfDir)
     cache.getOrElseUpdate(s"events#$sfDir", {
       val dir = java.nio.file.Paths.get("target", "sorted-lake", safe, "events")
         .toAbsolutePath.toString

@@ -38,6 +38,19 @@ class OracleRenderSpec extends SparkSpec {
     assert(tiny("q01_pricing_summary") == small("q01_pricing_summary"))
   }
 
+  test("a filtered render returns exactly the filter and skips unwanted work") {
+    // the builder single-query path (review r11): the returned map is the
+    // filter intersected with declared oracles — and since ivf_tuned_probe
+    // is not selected, the render must not have needed the tuner (not
+    // directly observable here once other tests warmed the memo, but the
+    // key-set contract is)
+    val one = SparkEntry.oracleSqlFor(spark, sf0001, Some(Set(
+      "q01_pricing_summary", "no_such_query")))
+    assert(one.keySet == Set("q01_pricing_summary"))
+    assert(one("q01_pricing_summary") ==
+      SparkEntry.oracleSqlFor(spark, sf0001)("q01_pricing_summary"))
+  }
+
   test("legacy singleton render fails loudly once two configs exist") {
     // the keyed renders above built artifacts for both sfDirs, so the
     // ran-first singleton can no longer name ONE unambiguous export
