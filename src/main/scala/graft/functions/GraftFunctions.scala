@@ -72,6 +72,15 @@ object GraftFunctions {
   def h32(s: Column): Column =
     ExpressionUtils.column(PortableHash32(ExpressionUtils.expression(s)))
 
+  /** Every `window`-token rolling window's [[h60]] over an ARRAY<STRING>
+    * column, one pass ([[SpanWindowHashes]]) — value-identical to
+    * `transform(sequence(1, n-w+1), i -> h60(concat_ws(' ', slice(toks, i, w))))`
+    * without that chain's per-window slice copy + string build. The span
+    * dedup family's window builder. */
+  def spanWindowHashes(toks: Column, window: Int): Column =
+    ExpressionUtils.column(
+      SpanWindowHashes(ExpressionUtils.expression(toks), window))
+
   /** THE content-identity hash for exact dedup — one definition shared by
     * batch ([[graft.operators.Dedup]].exact / incrementalExact) and
     * streaming (dedupDocStream / dedupDocStreamBounded / curateDocStream):

@@ -27,14 +27,55 @@ object PortableHash {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  def h60(bytes: Array[Byte]): Long = {
-    val m = md.get(); m.reset()
-    val d = m.digest(bytes)
+  private def h60FromDigest(d: Array[Byte]): Long = {
     val be =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
     be >>> 4
+  }
+
+  def h60(bytes: Array[Byte]): Long = {
+    val m = md.get(); m.reset()
+    h60FromDigest(m.digest(bytes))
+  }
+
+  private val SpaceByte = Array(' '.toByte)
+
+  /** All rolling-window h60 hashes of an ARRAY<STRING> token list in ONE
+    * pass — value-identical to the compositional
+    * `transform(sequence(1, n-w+1), i -> h60(concat_ws(' ', slice(toks, i, w))))`
+    * (each window = md5 of its w tokens space-joined), so every span-family
+    * DuckDB oracle replays it unchanged. What the one-pass form removes is
+    * the per-position intermediate garbage: `slice` copies a w-element
+    * ArrayData and `concat_ws` builds a w-token UTF8String PER WINDOW
+    * (O(n·w) allocations through the HOF evaluator); here each token's bytes
+    * are fetched once and streamed w times directly into the digest. Empty
+    * array when n < w (the compositional sequence(1, 0) shape). */
+  def spanWindowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n < window)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Long](n - window + 1)
+    val m = md.get()
+    var s = 0
+    while (s <= n - window) {
+      m.reset()
+      var j = s
+      while (j < s + window) {
+        if (j > s) m.update(SpaceByte)
+        m.update(toks(j))
+        j += 1
+      }
+      out(s) = h60FromDigest(m.digest())
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def h32(bytes: Array[Byte]): Long = {
@@ -185,5 +226,40 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+/** `span_window_hashes(ARRAY<STRING>, w) -> ARRAY<BIGINT>`: every w-token
+  * rolling window's portable h60 in one pass (see
+  * [[PortableHash.spanWindowHashes]]) — the span-dedup family's window
+  * builder. `window` is a construction-time constant (like
+  * [[graft.functions.LangIdExpr]]'s marker table): the plan carries it as
+  * part of the expression, not as a child. Value-identical to the
+  * compositional slice/concat_ws/h60 chain it replaces, so the family's
+  * oracles are untouched (PropertySpec gates the identity). */
+case class SpanWindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  require(window >= 2, s"window must be >= 2 tokens: $window")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_window_hashes expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.spanWindowHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash.spanWindowHashes($c, $window)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanWindowHashes =
     copy(child = newChild)
 }

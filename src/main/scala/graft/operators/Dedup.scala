@@ -143,9 +143,7 @@ object Dedup {
     val toks = documents_toks(documents, window)
     val wins = graft.CacheRegistry.persist(
       toks.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("w")) - lit(window - 1)),
-          i => h60(concat_ws(" ", slice(col("w"), i, lit(window)))))).as("wh")))
+        explode(spanWindowHashes(col("w"), window)).as("wh")))
     val dupHashes = wins.select(col("wh"), col("doc_id")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
       .where(col("nd") > 1)
@@ -203,10 +201,7 @@ object Dedup {
     // (doc, window-start, hash) — position must survive to build the mask
     val wins = graft.CacheRegistry.persist(
       winnable.select(col("doc_id"),
-        posexplode(transform(
-          sequence(lit(1), size(col("w")) - lit(window - 1)),
-          i => h60(concat_ws(" ", slice(col("w"), i, lit(window))))))
-          .as(Seq("i0", "wh")))
+        posexplode(spanWindowHashes(col("w"), window)).as(Seq("i0", "wh")))
         .select(col("doc_id"), (col("i0") + 1).as("i"), col("wh")))
     val dupHashes = wins.select(col("wh"), col("doc_id")).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
@@ -253,9 +248,7 @@ object Dedup {
     require(window >= 2, s"window must be >= 2 tokens: $window")
     documents_toks(documents, window)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("w")) - lit(window - 1)),
-          i => h60(concat_ws(" ", slice(col("w"), i, lit(window))))))).as("wh"))
+        explode(array_distinct(spanWindowHashes(col("w"), window))).as("wh"))
   }
 
   /** Incremental [[dupSpanShare]] — the daily-ingest span signal, completing
@@ -283,9 +276,7 @@ object Dedup {
     val toks = documents_toks(newDocs, window)
     val wins = graft.CacheRegistry.persist(
       toks.select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), size(col("w")) - lit(window - 1)),
-          i => h60(concat_ws(" ", slice(col("w"), i, lit(window)))))).as("wh")))
+        explode(spanWindowHashes(col("w"), window)).as("wh")))
     val newSet = wins.select(col("doc_id"), col("wh")).distinct()
     val all = historyWindows.select(col("doc_id"), col("wh")).unionByName(newSet)
     // a batch (doc, wh) is duplicated iff any OTHER doc holds wh. Inner

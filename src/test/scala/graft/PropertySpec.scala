@@ -208,6 +208,36 @@ class PropertySpec extends SparkSpec {
       "sample batch degenerated to misses only")
   }
 
+  test("property: SpanWindowHashes == composed slice/concat_ws/h60 chain") {
+    // the one-pass window builder must be VALUE-identical to the
+    // compositional form it replaced (the span-family oracles replay that
+    // form in DuckDB — md5 of the space-joined window); includes the n < w
+    // empty-array edge and tokens with empty strings
+    val tok: Gen[String] = Gen.oneOf("a", "bb", "ccc", "", "x9", "zz zz")
+    val toksGen: Gen[List[String]] =
+      Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n, tok))
+    val samples = Seq.tabulate(80)(i => toksGen(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(0x59A6L + i)).get)
+    for (w <- Seq(2, 4, 20)) {
+      val df = samples.map(Tuple1(_)).toDF("t")
+      // the composed side needs an explicit n >= w guard: sequence(1, 0)
+      // would generate a DESCENDING [1, 0] and slice(_, 0, _) errors — the
+      // operators pre-filter on size, the expression returns empty
+      val rows = df.select(col("t"),
+          GraftFunctions.spanWindowHashes(col("t"), w).as("fast"),
+          when(size(col("t")) >= w,
+            transform(
+              sequence(lit(1), size(col("t")) - lit(w - 1)),
+              i => GraftFunctions.h60(concat_ws(" ", slice(col("t"), i, lit(w))))))
+            .otherwise(array().cast("array<long>")).as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"w=$w toks=${r.getSeq[String](0)}")
+      }
+    }
+  }
+
   test("property: tokenModeCount equals brute-force max token frequency") {
     // small alphabet forces repeats; empty arrays excluded (mode undefined)
     val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>
