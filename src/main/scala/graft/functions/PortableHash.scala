@@ -51,7 +51,10 @@ object PortableHash {
     * ArrayData and `concat_ws` builds a w-token UTF8String PER WINDOW
     * (O(n·w) allocations through the HOF evaluator); here each token's bytes
     * are fetched once and streamed w times directly into the digest. Empty
-    * array when n < w (the compositional sequence(1, 0) shape). */
+    * array when n < w — NOT the compositional chain's behavior there
+    * (Spark's sequence(1, 0) descends and slice errors on index 0), which
+    * is why every span operator pre-filters `size(w) >= window`; the
+    * parity property pins this edge explicitly. */
   def spanWindowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
