@@ -421,8 +421,19 @@ object Dedup {
     * across [[ngramJaccardPairs]], [[benchmarkContamination]], and their
     * dependents within a session. */
   private[operators] def shingledDocs(documents: DataFrame): DataFrame =
+    // `sh` = DISTINCT 3-gram window h60 hashes, built by the one-pass
+    // [[graft.functions.SpanWindowHashes]] (window = 3 ≡ a 3-shingle; same
+    // space-joined bytes under the digest, so hash values equal
+    // h60(shingles3(...)) elementwise). The family was ALREADY staked on
+    // "hash classes == string classes, md5-collision-free in practice" for
+    // its joins (the DuckDB oracle joins the strings); deriving sizes from
+    // distinct hashes sits under the same declared contract and drops the
+    // per-shingle string materialization (two zip_with string builds +
+    // string array_distinct + per-posting re-hash) from the family's one
+    // shared materialization.
     graft.CacheRegistry.persist(documents
-      .select(col("doc_id"), col("lang"), shingles3(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        array_distinct(spanWindowHashes(tokens(col("text")), 3)).as("sh"))
       .where(size(col("sh")) > 0))
 
   /** Shingle-hash postings over [[shingledDocs]] (persisted): joins run on
@@ -430,8 +441,7 @@ object Dedup {
     * (md5-collision-free in practice), ~3× smaller shuffle rows. */
   private[operators] def shinglePostings(docs: DataFrame): DataFrame =
     graft.CacheRegistry.persist(docs
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), col("lang"), h60(col("s")).as("s")))
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s")))
 
   def ngramJaccardPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
     // persist the shingled docs: they feed sizes AND postings, and postings

@@ -238,6 +238,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: distinct window-3 hashes == h60 of shingles3, same order") {
+    // shingledDocs' hash-native form: array_distinct over the one-pass
+    // window hashes must equal h60 applied to the distinct 3-shingle
+    // STRINGS elementwise (array_distinct keeps first-occurrence order on
+    // both sides) — the identity the shingle family's sizes and postings
+    // now rest on
+    val tok: Gen[String] = Gen.oneOf("a", "b", "cc", "ddd")
+    val toksGen: Gen[List[String]] =
+      Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, tok))
+    val samples = Seq.tabulate(80)(i => toksGen(Gen.Parameters.default,
+      org.scalacheck.rng.Seed(0x5431L + i)).get)
+    val rows = samples.map(Tuple1(_)).toDF("t")
+      .select(
+        array_distinct(GraftFunctions.spanWindowHashes(col("t"), 3)).as("fast"),
+        transform(GraftFunctions.shingles3(col("t")),
+          s => GraftFunctions.h60(s)).as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fast=${r.getSeq[Long](0)} slow=${r.getSeq[Long](1)}")
+    }
+  }
+
   test("property: tokenModeCount equals brute-force max token frequency") {
     // small alphabet forces repeats; empty arrays excluded (mode undefined)
     val wordsGen = Gen.chooseNum(1, 40).flatMap(n =>
