@@ -409,6 +409,25 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental span edges: empty batch -> no rows; empty history -> batch-only signal") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val none = docs.limit(0)
+    assert(Dedup.dupSpanShareIncremental(none, Dedup.spanWindowSet(docs)).count() == 0,
+      "an empty ingest batch must produce no signal rows")
+    graft.CacheRegistry.release()
+    // day zero: no history yet — the incremental path degenerates to the
+    // full signal over the batch alone (dup decisions from batch×batch)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val dayZero = key(Dedup.dupSpanShareIncremental(docs, Dedup.spanWindowSet(none)))
+    graft.CacheRegistry.release()
+    val full = key(Dedup.dupSpanShare(docs))
+    assert(dayZero == full, s"day-zero ingest must equal the full signal: " +
+      s"${dayZero.size} vs ${full.size}")
+    graft.CacheRegistry.release()
+  }
+
   test("incremental LSH edges: empty batch -> no pairs; empty history -> new×new only") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
