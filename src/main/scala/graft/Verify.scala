@@ -7,9 +7,17 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (builder iteration
-    // on one query without the full 100-query dump); absent = run everything
+    // on one query without the full 100-query dump); absent = run everything.
+    // Names are trimmed and MUST each match a declared query — a typo'd
+    // filter would otherwise dump nothing for that name and the comparator
+    // would vacuously PASS on what remains (review r11)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")

@@ -55,30 +55,47 @@ object PortableHash {
     * (Spark's sequence(1, 0) descends and slice errors on index 0), which
     * is why every span operator pre-filters `size(w) >= window`; the
     * parity property pins this edge explicitly. */
+  private val EmptyLongArray =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+
   def spanWindowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
       window: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = arr.numElements()
-    if (n < window)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Long])
+    if (n < window) return EmptyLongArray
     val toks = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    // null elements keep concat_ws's skip semantics (null contributes
+    // neither bytes nor a separator) — split() never yields them, but the
+    // declared input type admits them (review r11)
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
     val out = new Array[Long](n - window + 1)
     val m = md.get()
     var s = 0
     while (s <= n - window) {
       m.reset()
       var j = s
+      var first = true
       while (j < s + window) {
-        if (j > s) m.update(SpaceByte)
-        m.update(toks(j))
+        val t = toks(j)
+        if (t != null) {
+          if (!first) m.update(SpaceByte)
+          m.update(t)
+          first = false
+        }
         j += 1
       }
       out(s) = h60FromDigest(m.digest())
       s += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // primitive-array result: GenericArrayData would box every window hash
+    // (one java.lang.Long per window per doc — re-adding the garbage the
+    // one-pass form exists to remove)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   def h32(bytes: Array[Byte]): Long = {
@@ -115,7 +132,9 @@ object PortableHash {
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    // primitive result — same no-boxing rationale as [[spanWindowHashes]]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
   }
 
   /** One-pass SimHash32 over an ARRAY<STRING> (see [[SimHash32]]). */

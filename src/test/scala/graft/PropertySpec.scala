@@ -236,6 +236,17 @@ class PropertySpec extends SparkSpec {
           s"w=$w toks=${r.getSeq[String](0)}")
       }
     }
+    // null ELEMENTS keep concat_ws's skip semantics (no bytes, no separator)
+    // — split() never yields them but the declared input type admits them
+    val withNulls = Seq(Tuple1(Seq("a", null, "b", "c"))).toDF("t")
+      .select(
+        GraftFunctions.spanWindowHashes(col("t"), 3).as("fast"),
+        transform(sequence(lit(1), lit(2)),
+          i => GraftFunctions.h60(concat_ws(" ", slice(col("t"), i, lit(3)))))
+          .as("slow"))
+      .head()
+    assert(withNulls.getSeq[Long](0) == withNulls.getSeq[Long](1),
+      "null array elements must follow concat_ws skip semantics")
   }
 
   test("property: distinct window-3 hashes == h60 of shingles3, same order") {

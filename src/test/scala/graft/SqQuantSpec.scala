@@ -66,7 +66,7 @@ class SqQuantSpec extends SparkSpec {
     assert(withArtifact == selfContained,
       "literal-codebook search must equal the self-contained form")
     // the exported (i, mn, mx) table round-trips
-    val safe = sf0001.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val safe = graft.SfPath.safe(sf0001)
     val exported = spark.read.parquet(
         java.nio.file.Paths.get("target", "sq8-export", s"$safe-d$Dim").toString)
       .orderBy("i").collect()
