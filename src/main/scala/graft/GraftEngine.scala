@@ -356,7 +356,7 @@ final class GraftEngine(val spark: SparkSession,
 }
 
 object GraftEngine {
-  /** The [[GraftEngine.exportCorpus facade method]]'s implementation, static
+  /** The [[GraftEngine.exportCorpus]] facade method's implementation, static
     * because it uses no engine state — layout builders
     * ([[graft.sources.ScrubbedLake]]) call it here without constructing a
     * facade (review r11: the facade constructor re-registers every UDF).

@@ -7,6 +7,23 @@ package graft
   * sanitization (or fixing a collision) cannot silently split the two
   * (review r11 — the regex had grown eight textually-identical copies). */
 object SfPath {
-  def safe(sfDir: String): String =
-    sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Raw inputs seen per safe name in this JVM — the collision guard's
+    * evidence (ADVICE r11: two distinct raw sfDirs that sanitize to one safe
+    * name would silently share every keyed artifact directory, so the second
+    * build overwrites the first caller's artifacts while both memo entries
+    * stay live). */
+  private val seen = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def safe(sfDir: String): String = {
+    val s = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
+    val prior = seen.putIfAbsent(s, sfDir)
+    prior.foreach { p =>
+      if (p != sfDir) throw new IllegalArgumentException(
+        s"ambiguous artifact key: sfDirs '$p' and '$sfDir' both sanitize to " +
+          s"'$s' — their keyed artifact paths would collide; disambiguate " +
+          "the directory names (fail-loud convention for ambiguous artifacts)")
+    }
+    s
+  }
 }

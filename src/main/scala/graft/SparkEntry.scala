@@ -12,7 +12,7 @@ import graft.operators._
   * Every entry in [[queries]] is an operator from SURVEY.md §2 (reference
   * citation on the implementing operator object) or from the LLM-data-pipeline
   * surface (dedup / similarity search / multimodal / text analysis). Entries in
-  * [[oracleSql]] are the equivalent ANSI SQL for DuckDB over the same parquet
+  * [[oracleSqlFor]] are the equivalent ANSI SQL for DuckDB over the same parquet
   * tables; column names and value determinism are aligned (see
   * [[graft.operators.Relational]] scaladoc for the conventions).
   */
@@ -792,14 +792,6 @@ object SparkEntry {
   private final case class OracleCtx(ivfExport: String, ivfMergeExport: String,
       pqExport: String, tunedNProbe: Int)
 
-  /** Driver-contract render: resolves the data-dependent literals from the
-    * LEGACY ran-first singletons (single-config JVMs only — a multi-config
-    * JVM fails loudly inside the singletons). Prefer [[oracleSqlFor]]. */
-  def oracleSql: Map[String, String] =
-    oracleSqlCtx(OracleCtx(IvfIndex.oracleExportDir,
-      IvfIndex.mergeOracleExportDir, PqQuant.oracleExportDir,
-      IvfIndex.lastTunedNProbe))
-
   /** KEYED render for an explicit (sfDir, engine-config) pair: export paths
     * are pure functions of the config and the tuned probe is resolved (and
     * memoized) by [[IvfIndex.tunedProbeForSfDir]] itself, so neither query
@@ -820,9 +812,9 @@ object SparkEntry {
       IvfIndex.exportPathFor(sfDir, NumClusters),
       IvfIndex.mergeExportPathFor(sfDir, NumClusters),
       PqQuant.exportPathFor(sfDir),
-      // 0 = the parseable-but-probes-nothing placeholder (lastTunedNProbe's
-      // no-tune sentinel); unreachable by the compare since the entry is
-      // filtered out of the returned map below
+      // 0 = the parseable-but-probes-nothing placeholder (LIMIT 0 parses in
+      // DuckDB where -1 fails at bind); unreachable by the compare since the
+      // entry is filtered out of the returned map below
       if (needTuned) prewarmTunedProbe(spark, sfDir) else 0))
     wanted.fold(m)(w => m.filter { case (k, _) => w(k) })
   }

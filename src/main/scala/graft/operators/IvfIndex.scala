@@ -552,23 +552,6 @@ object IvfIndex {
       idx.tuneNProbe(emb, queries, k, recallFloor)
     })
 
-  /** The one tuned nProbe this JVM computed — LEGACY oracle-render
-    * indirection with the same single-config contract as [[oracleExportDir]]
-    * (the keyed path, [[SparkEntry.oracleSqlFor]] → [[tunedProbeForSfDir]],
-    * never reads this). With none computed, 0: `LIMIT 0` PARSES everywhere
-    * (the -1 sentinel tried first hit DuckDB's bind-time "LIMIT cannot be
-    * negative", failing a legacy driver's WHOLE prepared dump instead of one
-    * query) yet probes zero clusters, so an accidentally-executed render
-    * returns no rows and fails its own compare loudly instead of vacuously
-    * replaying nProbe=1 (ADVICE r10); with several, fail loudly. */
-  def lastTunedNProbe: Int = tunedCache.values.toSeq.distinct match {
-    case Seq() => 0
-    case Seq(n) => n
-    case ns => throw new IllegalStateException(
-      s"tuned nProbe computed for multiple configs ($ns) in one JVM — " +
-        "render the oracle per config via tunedProbeForSfDir")
-  }
-
   /** Name of the atomic version pointer inside an index ROOT dir. */
   val LatestPointer = "LATEST"
 
@@ -622,34 +605,6 @@ object IvfIndex {
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 
-  private val exportDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Oracle-replay export dir (builder tooling, absolute so the driver's
-    * DuckDB process resolves it regardless of cwd). Export paths are keyed
-    * per (sfDir, k) — a fixed path would let a later build for a DIFFERENT
-    * scale factor silently overwrite the artifacts a pending oracle
-    * comparison replays. With exactly one (sfDir, k) built — the
-    * Verify/Bench flow, where queries run before `oracleSql` is serialized —
-    * the render is unambiguous; with none, the default placeholder (renders
-    * before any build are never executed); with several, fail loudly instead
-    * of replaying the wrong export (same contract as
-    * [[PqQuant.oracleExportDir]], ADVICE r4). */
-  def oracleExportDir: String = exportDirs.values.toSeq.distinct match {
-    case Seq() =>
-      java.nio.file.Paths.get("target", "ivf-export", "default")
-        .toAbsolutePath.toString
-    case Seq(d) => d
-    case _ => throw new IllegalStateException(
-      "IVF artifacts were built for multiple (sfDir, k) configs " +
-        s"(${exportDirs.keys.mkString(", ")}) in one JVM — an sf-agnostic " +
-        "oracle render would replay the wrong export; render per config via " +
-        "oracleExportDirFor")
-  }
-
-  /** Explicit per-(sfDir, k) lookup for multi-config processes. */
-  def oracleExportDirFor(sfDir: String, numClusters: Int): String =
-    exportDirs(s"$sfDir#$numClusters")
-
   /** Hidden-dir-safe sanitization shared by every artifact path: strip the
     * leading separator (a `_`-prefixed dir is invisible to Spark's file
     * index — "All paths were ignored"), then flatten the rest. ONE
@@ -659,8 +614,8 @@ object IvfIndex {
 
   /** Deterministic export path for (sfDir, numClusters) — a PURE function of
     * the config, usable by an oracle render whether or not the build has run
-    * in this JVM yet (verdict r10 #2: the keyed replacement for the
-    * [[oracleExportDir]] ran-first singleton). [[forSfDir]] writes here. */
+    * in this JVM yet (verdict r10 #2: the keyed replacement for the legacy
+    * ran-first singleton, deleted in r12). [[forSfDir]] writes here. */
   def exportPathFor(sfDir: String, numClusters: Int): String =
     java.nio.file.Paths
       .get("target", "ivf-export", s"${safeName(sfDir)}-k$numClusters")
@@ -673,19 +628,6 @@ object IvfIndex {
       .toAbsolutePath.toString
 
   private val mergeCache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
-  private val mergeExportDirs = scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Oracle-replay export dir for the MERGED config (base-index assignment +
-    * centroids) — same single-config contract as [[oracleExportDir]]. */
-  def mergeOracleExportDir: String = mergeExportDirs.values.toSeq.distinct match {
-    case Seq() =>
-      java.nio.file.Paths.get("target", "ivf-export", "merge-default")
-        .toAbsolutePath.toString
-    case Seq(d) => d
-    case _ => throw new IllegalStateException(
-      "merged IVF artifacts exist for multiple (sfDir, k) configs " +
-        s"(${mergeExportDirs.keys.mkString(", ")}) in one JVM")
-  }
 
   /** The daily-ingest scenario as a cached per-(sfDir, k) fixture: a BASE
     * index built over 9/10 of the corpus (`vec_id % 10 != 0` — the complement
@@ -720,7 +662,6 @@ object IvfIndex {
       built
       })
     })
-    mergeExportDirs.put(key, exportDir)
     idx
   }
 
@@ -738,7 +679,6 @@ object IvfIndex {
       writeCentroids(spark, s"$exportDir/centroids", built.centroids)
       built
     })
-    exportDirs.put(key, exportDir)
     idx
   }
 }

@@ -142,30 +142,6 @@ object PqQuant {
 
   // ---------------------------------------------------------------- export
 
-  private val exportDirs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** Oracle-replay export dir. Keyed per sfDir internally (ADVICE r4: a
-    * single mutable slot silently replayed only the last-built export when
-    * one JVM built artifacts for several scale dirs): with exactly one sfDir
-    * built — the Verify/Bench flow — the render is unambiguous; with none
-    * yet, the default path (renders before any build are never executed);
-    * with several, fail loudly instead of replaying the wrong artifacts. */
-  def oracleExportDir: String = exportDirs.values.toSeq.distinct match {
-    case Seq()  =>
-      java.nio.file.Paths.get("target", "pq-export", "default")
-        .toAbsolutePath.toString
-    case Seq(d) => d
-    case _ => throw new IllegalStateException(
-      "PQ artifacts were built for multiple sfDirs " +
-        s"(${exportDirs.keys.mkString(", ")}) in one JVM — an sf-agnostic " +
-        "oracle render would replay the wrong export; render per sfDir via " +
-        "oracleExportDirFor")
-  }
-
-  /** Explicit per-sfDir lookup for multi-sf processes. */
-  def oracleExportDirFor(sfDir: String): String = exportDirs(sfDir)
-
   /** Deterministic export path for an sfDir — a PURE function of the config,
     * usable by a keyed oracle render before the training has run in this JVM
     * (verdict r10 #2). [[forSfDir]] writes here. */
@@ -190,7 +166,6 @@ object PqQuant {
         .write.mode("overwrite").parquet(s"$exportDir/codes")
       (model, spark.read.parquet(s"$exportDir/codes"))
     })
-    exportDirs.put(sfDir, exportDir)
     result
   }
 
@@ -233,7 +208,7 @@ object PqQuant {
   /** Oracle for the encoded table (`pq_codes` as c0..c{M-1} columns): replay
     * the argmax encoding over the exported codebook. */
   def codesOracleSql(embTable: String, sub: Int,
-      pqExportDir: String = oracleExportDir): String = {
+      pqExportDir: String): String = {
     val codeCols = (0 until M).map(m =>
       s"CAST(SUM(CASE WHEN m = $m THEN code END) AS INT) AS c$m").mkString(",\n    ")
     s"""WITH cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c
@@ -259,7 +234,7 @@ object PqQuant {
     * partitioned scan reads. */
   def searchIvfPqOracleSql(embTable: String, sub: Int, k: Int,
       queryVecId: Long, nProbe: Int, ivfExportDir: String,
-      pqExportDir: String = oracleExportDir): String =
+      pqExportDir: String): String =
     s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM $embTable WHERE vec_id = $queryVecId),
        |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
@@ -298,7 +273,7 @@ object PqQuant {
   /** Oracle for [[search]]: T/N lookup tables from the exported codebook,
     * codes from the exported code table, subspace-order folds. */
   def searchOracleSql(embTable: String, sub: Int, k: Int, queryVecId: Long,
-      pqExportDir: String = oracleExportDir): String =
+      pqExportDir: String): String =
     s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM $embTable WHERE vec_id = $queryVecId),
        |cb AS (SELECT m, code, list_transform(cw, x -> CAST(x AS DOUBLE)) AS c

@@ -5,8 +5,8 @@ import graft.operators.{IvfIndex, PqQuant}
 /** Verdict r10 #2: the oracle render is keyed by (sfDir, config). Two scale
   * dirs exercised in ONE JVM must each render their own export paths and
   * tuned-probe literal — the exact scenario the legacy ran-first singletons
-  * ([[IvfIndex.oracleExportDir]], [[IvfIndex.lastTunedNProbe]]) could only
-  * refuse with an IllegalStateException. */
+  * (deleted in r12, verdict r11 #3) could only refuse with an
+  * IllegalStateException. */
 class OracleRenderSpec extends SparkSpec {
 
   test("oracleSqlFor renders per-config literals for two sfDirs in one JVM") {
@@ -51,11 +51,17 @@ class OracleRenderSpec extends SparkSpec {
       SparkEntry.oracleSqlFor(spark, sf0001)("q01_pricing_summary"))
   }
 
-  test("legacy singleton render fails loudly once two configs exist") {
-    // the keyed renders above built artifacts for both sfDirs, so the
-    // ran-first singleton can no longer name ONE unambiguous export
+  test("keyed renders stay stable after queries ran for two configs") {
+    // the multi-config scenario the deleted ran-first singletons could only
+    // refuse: after BOTH sfDirs' artifact-building queries execute in one
+    // JVM, each keyed render still names its own export, unaffected by
+    // execution order
     SparkEntry.queries("ivf_cluster_counts")(spark, sf0001).count()
     SparkEntry.queries("ivf_cluster_counts")(spark, sf001).count()
-    intercept[IllegalStateException](IvfIndex.oracleExportDir)
+    val k = SparkEntry.NumClusters
+    assert(SparkEntry.oracleSqlFor(spark, sf0001)("ann_ivf_probe")
+      .contains(IvfIndex.exportPathFor(sf0001, k)))
+    assert(SparkEntry.oracleSqlFor(spark, sf001)("ann_ivf_probe")
+      .contains(IvfIndex.exportPathFor(sf001, k)))
   }
 }

@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ADVICE r11: [[SfPath.safe]] is the single sanitizer every keyed artifact
+  * path derives from, so two DISTINCT raw sfDirs collapsing to one safe name
+  * would silently share (and overwrite) each other's artifact directories.
+  * The guard turns that silent collision into the repo's fail-loud
+  * convention for ambiguous artifacts. */
+class SfPathSpec extends AnyFunSuite {
+
+  test("safe is stable for one raw input and strips the leading separator") {
+    val s1 = SfPath.safe("/tmp/x/sfpathspec-a0.01")
+    assert(s1 == "tmp_x_sfpathspec_a0.01") // no leading _, dots preserved
+    assert(SfPath.safe("/tmp/x/sfpathspec-a0.01") == s1) // re-entry is fine
+  }
+
+  test("two distinct raws mapping to one safe name fail loudly") {
+    SfPath.safe("/tmp/sfpathspec/collide0.1")
+    val e = intercept[IllegalArgumentException](
+      SfPath.safe("_tmp_sfpathspec_collide0.1"))
+    assert(e.getMessage.contains("collide"))
+  }
+}
