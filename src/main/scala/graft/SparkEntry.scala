@@ -507,7 +507,19 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding"))
       KnnBatch.topK(tbl(s, d, "embeddings"), queries, 5)
         .orderBy(col("query_id"), col("rn"))
-    })
+    }),
+    "phash_docs"             -> ((s, d) =>
+      // per-frame perceptual hashes (aHash + dHash) — the media-payload
+      // dedup sketch, zero-shuffle map-side computation
+      Multimodal.phashFrames(tbl(s, d, "documents"))
+        .orderBy(col("doc_id"), col("frame_no"))),
+    "near_dup_frames"        -> ((s, d) =>
+      // per-doc duplicated-frame share via the banded Hamming join — the
+      // simhashPairs pigeonhole machinery applied to the payload sketches,
+      // rolled up to the O(docs) serving signal (the dup_span_share design;
+      // pair output on low-entropy media is quadratic — see scaladoc)
+      Multimodal.frameDupShare(tbl(s, d, "documents"))
+        .orderBy(col("doc_id")))
   )
 
   /** Cache-sharing family of each query: members share operator-persisted
@@ -546,6 +558,9 @@ object SparkEntry {
     // SimHash banded sketches ([[Dedup.simhashPairs]])
     "simhash_docs"        -> "simhash",
     "simhash_pairs"       -> "simhash",
+    // perceptual-hash frame sketches ([[Multimodal.nearDupFrames]])
+    "phash_docs"          -> "phash",
+    "near_dup_frames"     -> "phash",
     // BM25 staged projection ([[Retrieval.bm25TopK]])
     "bm25_topk"           -> "lex",
     "hybrid_rrf"          -> "lex",
@@ -718,6 +733,32 @@ object SparkEntry {
        |    CAST(SUM(CASE WHEN 2 * c >= n.n THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
        |  FROM bits JOIN n ON n.doc_id = bits.doc_id
        |  GROUP BY bits.doc_id)""".stripMargin
+  /** Perceptual-hash CTE chain ending in `ph(doc_id, frame_no, ahash,
+    * dhash)` — the DuckDB replay of [[Multimodal.phashFrames]]: same frame
+    * explosion, cell intensities `h32(cell chars) % 256`, integer-math aHash
+    * threshold (`cells·iv > Σiv`) and circular dHash gradient. Shared by the
+    * sketch export and the banded near-dup pair generator. */
+  private lazy val PhashCte: String = {
+    val stride = Multimodal.PhashStride
+    val cells = Multimodal.PhashCells
+    val cellw = stride / cells
+    s"""WITH fr AS (SELECT doc_id, text, unnest(generate_series(0,
+       |    CAST(greatest(ceil(CAST(length(text) AS DOUBLE) / $stride) - 1, 0) AS BIGINT))) AS frame_no
+       |  FROM documents),
+       |cell AS (SELECT doc_id, frame_no, g.c,
+       |    ${h32Sql(s"substring(text, CAST(frame_no * $stride + g.c * $cellw + 1 AS BIGINT), $cellw)")} % 256 AS iv
+       |  FROM fr, generate_series(0, ${cells - 1}) g(c)),
+       |tot AS (SELECT doc_id, frame_no, SUM(iv) AS total FROM cell GROUP BY 1, 2),
+       |ph AS (SELECT a.doc_id, a.frame_no,
+       |    CAST(SUM(CASE WHEN $cells * a.iv > t.total THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS ahash,
+       |    CAST(SUM(CASE WHEN a.iv > n.iv THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS dhash
+       |  FROM cell a
+       |  JOIN cell n ON n.doc_id = a.doc_id AND n.frame_no = a.frame_no
+       |    AND n.c = (a.c + 1) % $cells
+       |  JOIN tot t ON t.doc_id = a.doc_id AND t.frame_no = a.frame_no
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** distinct word-3-shingle fragment over a docs CTE exposing w */
   private val ShinglesFrag = shingles3Sql("w")
 
@@ -1750,6 +1791,35 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, vec_id, label, sim, rn FROM ranked
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "phash_docs" ->
+      s"""$PhashCte
+         |SELECT doc_id, frame_no, ahash, dhash FROM ph
+         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // banded Hamming over the frame sketches — same pigeonhole replay as
+    // simhash_pairs (4 bands × 8 bits of the aHash, lang-blocked), joint
+    // 64-bit (aHash ‖ dHash) verification, rolled up to the per-doc share
+    "near_dup_frames" ->
+      s"""$PhashCte,
+         |pl AS (SELECT ph.doc_id, ph.frame_no, ph.ahash, ph.dhash, documents.lang
+         |  FROM ph JOIN documents ON documents.doc_id = ph.doc_id),
+         |banded AS (SELECT doc_id, frame_no, lang, ahash, dhash, g.band,
+         |    (ahash >> (8 * g.band)) & 255 AS bv
+         |  FROM pl, generate_series(0, ${Dedup.SimhashBands - 1}) g(band)),
+         |dup AS (SELECT DISTINCT a.doc_id, a.frame_no
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) +
+         |    bit_count(xor(a.dhash, b.dhash)) <= 3)
+         |SELECT pl.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(dup.frame_no) AS BIGINT) AS n_dup_frames,
+         |  round(CAST(COUNT(dup.frame_no) AS DOUBLE) / COUNT(*), 6) AS dup_frame_share
+         |FROM pl LEFT JOIN dup
+         |  ON dup.doc_id = pl.doc_id AND dup.frame_no = pl.frame_no
+         |GROUP BY pl.doc_id ORDER BY pl.doc_id""".stripMargin,
 
     // training-mix rollup: GROUPING() markers make the sort total (q24 rule);
     // integer sums cast to BIGINT (DuckDB SUM(int) is HUGEINT)

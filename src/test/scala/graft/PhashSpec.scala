@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Perceptual-hash near-dup family (verdict r11 #4): aHash/dHash semantics
+  * over the deterministic frame samples, and the banded Hamming pair
+  * generator's pigeonhole exactness (no pair within maxHamming is ever lost
+  * to banding — the [[graft.operators.Dedup.simhashPairs]] contract applied
+  * to the payload sketches). */
+class PhashSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  test("aHash/dHash replay a hand-computed reference on a tiny frame") {
+    // stride=4, cells=2, cellw=2: one frame of "abcd" has cell slices
+    // "ab" / "cd"; intensities are h32 % 256 of those strings, and the two
+    // hashes follow from the definition directly
+    val df = Seq((1L, "abcd")).toDF("doc_id", "text")
+    val row = Multimodal.phashFrames(df, stride = 4, cells = 2).collect().head
+    val i0 = graft.functions.PortableHash.h32("ab".getBytes("UTF-8")) % 256
+    val i1 = graft.functions.PortableHash.h32("cd".getBytes("UTF-8")) % 256
+    val total = i0 + i1
+    val wantA = (if (2 * i0 > total) 1L else 0L) + (if (2 * i1 > total) 2L else 0L)
+    val wantD = (if (i0 > i1) 1L else 0L) + (if (i1 > i0) 2L else 0L)
+    assert(row.getAs[Long]("ahash") == wantA && row.getAs[Long]("dhash") == wantD,
+      s"got (${row.getAs[Long]("ahash")}, ${row.getAs[Long]("dhash")}), " +
+        s"want ($wantA, $wantD) from intensities ($i0, $i1)")
+  }
+
+  test("frame counts follow ceil(len/stride) with a 1-frame floor; hashes are deterministic") {
+    val sub = docs.limit(25)
+    val ph = Multimodal.phashFrames(sub)
+    val byDoc = ph.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = sub.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    byDoc.foreach { case (id, n) =>
+      assert(n == math.max(
+        math.ceil(sizes(id) / Multimodal.PhashStride.toDouble).toLong, 1L),
+        s"doc $id: $n frames for ${sizes(id)} chars")
+    }
+    val a = ph.orderBy("doc_id", "frame_no").collect()
+    val b = Multimodal.phashFrames(sub).orderBy("doc_id", "frame_no").collect()
+    assert(a.sameElements(b), "phash must be deterministic")
+  }
+
+  test("identical payloads hash identically; a single-char edit stays frame-local") {
+    val base = "x1 " * 60 // ~3 frames at stride 64
+    val df = Seq((1L, base), (2L, base),
+      (3L, base.updated(2, 'Q').toString)).toDF("doc_id", "text")
+    val ph = Multimodal.phashFrames(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("ahash"), r.getAs[Long]("dhash")))
+      .toMap
+    val frames = ph.keys.map(_._2).toSet
+    // identical docs: every frame's hashes equal
+    frames.foreach(f => assert(ph((1L, f)) == ph((2L, f)),
+      s"frame $f diverged between identical docs"))
+    // the edit lives in frame 0: later frames must be untouched
+    assert(ph((1L, 0L)) != ph((3L, 0L)), "edited frame should (generically) move")
+    frames.filter(_ > 0L).foreach(f => assert(ph((1L, f)) == ph((3L, f)),
+      s"frame $f changed although the edit was confined to frame 0"))
+  }
+
+  test("banding is pigeonhole-exact: candidate pairs == brute force within maxHamming") {
+    // brute-force twin over a doc subset: every same-lang cross-doc frame
+    // pair within joint Hamming 3 of the 64-bit (aHash ‖ dHash) sketch must
+    // come out of the banded join with the identical distance — banding can
+    // only be a candidate FILTER, never a recall loss
+    val sub = docs.limit(120).select(col("doc_id"), col("text"), col("lang"))
+    val got = Multimodal.nearDupFramePairs(sub).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getAs[Int]("hamming")).toMap
+    graft.CacheRegistry.release()
+    val frames = Multimodal.phashFrames(sub)
+      .join(sub.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
+        col("dhash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[Long]("ahash"), r.getAs[Long]("dhash")))
+    val want = (for {
+      (da, fa, la, aa, dda) <- frames
+      (db, fb, lb, ab, ddb) <- frames
+      if la == lb && da < db &&
+        java.lang.Long.bitCount(aa ^ ab) + java.lang.Long.bitCount(dda ^ ddb) <= 3
+    } yield (da, db, fa, fb) ->
+      (java.lang.Long.bitCount(aa ^ ab) + java.lang.Long.bitCount(dda ^ ddb)))
+      .toMap
+    assert(got == want,
+      s"banded pairs diverged from brute force: got ${got.size}, " +
+        s"want ${want.size} (missing ${(want.keySet -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- want.keySet).take(3)})")
+    assert(want.nonEmpty, "subset should contain at least one near-dup frame pair")
+    graft.CacheRegistry.release()
+  }
+
+  test("frameDupShare rolls the pair set up per doc, one row per doc") {
+    // the serving signal must agree with the pair drill-down: a doc's
+    // n_dup_frames = its distinct frames appearing in ANY qualifying pair
+    // (either side), and every doc gets a row even with zero dups
+    val sub = docs.limit(120).select(col("doc_id"), col("text"), col("lang"))
+    val share = Multimodal.frameDupShare(sub).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getAs[Double]("dup_frame_share"))).toMap
+    graft.CacheRegistry.release()
+    val pairs = Multimodal.nearDupFramePairs(sub).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.CacheRegistry.release()
+    val dupFrames = pairs.flatMap { case (da, db, fa, fb) =>
+      Seq((da, fa), (db, fb)) }.toSet
+    val nFrames = Multimodal.phashFrames(sub).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(share.keySet == nFrames.keySet, "one row per doc, all docs")
+    share.foreach { case (doc, (nf, nd, s)) =>
+      assert(nf == nFrames(doc), s"doc $doc frame count")
+      assert(nd == dupFrames.count(_._1 == doc),
+        s"doc $doc n_dup_frames: $nd vs pair-set ${dupFrames.count(_._1 == doc)}")
+      assert(math.abs(s - nd.toDouble / nf) < 1e-6)
+    }
+    assert(share.values.exists(_._2 > 0), "some doc should have dup frames")
+    graft.CacheRegistry.release()
+  }
+}
