@@ -203,6 +203,12 @@ object Bench {
     prewarm("lsh") {
       graft.operators.LshAnn.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
     }
+    prewarm("inc-history") { // daily-ingest history artifacts (hash table,
+      // band table, span-window set): the once-per-refresh build, outside
+      // query timing like the index builds — the incremental rows then time
+      // only their O(batch) probe (verdict r11 #2)
+      graft.sources.IncrementalHistory.buildAll(spark, sfDir)
+    }
 
     // cache-storage high-water across the run (bytes): with family-scoped
     // release this stays bounded by the largest single family's working set —

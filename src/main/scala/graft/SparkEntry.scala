@@ -307,13 +307,15 @@ object SparkEntry {
     "dup_span_share_inc"     -> ((s, d) => {
       // daily-ingest span signal: same 4/5 history / 1/5 batch split as the
       // other incremental rows; the batch tokenizes only itself and probes
-      // the append-only window artifact (rebuilt here because the suite is
-      // stateless — in production it's the spanWindowStream sink), giving
+      // the append-only window ARTIFACT — a real parquet table built once
+      // per refresh (IncrementalHistory, Bench-prewarmed like the index
+      // builds; in production it's the spanWindowStream sink), so the timed
+      // cost is the O(batch) probe the row exists to demonstrate — giving
       // the full-corpus dupSpanShare answer restricted to batch docs
       val docs = tbl(s, d, "documents")
       Dedup.dupSpanShareIncremental(
-        docs.where(col("doc_id") % 5 === 4),
-        Dedup.spanWindowSet(docs.where(col("doc_id") % 5 =!= 4)))
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.spanWindows(s, d))
         .orderBy(col("doc_id"))
     }),
     "scrub_dup_spans"        -> ((s, d) =>
@@ -344,13 +346,13 @@ object SparkEntry {
         .orderBy(col("lang"))),
     "lsh_candidates_inc"     -> ((s, d) => {
       // daily-ingest near-dup: same 4/5 history / 1/5 batch split as
-      // dedup_incremental; history's band table is the persisted artifact
-      // (never re-shingled — here rebuilt because the suite is stateless,
-      // in production a lake read), the batch bands against history ∪ batch
+      // dedup_incremental; history's band table is the persisted parquet
+      // artifact (IncrementalHistory — never re-shingled, a lake read
+      // exactly as in production), the batch bands against history ∪ batch
       val docs = tbl(s, d, "documents")
-      val histBands = Dedup.lshBuckets(docs.where(col("doc_id") % 5 =!= 4))
       Dedup.lshCandidatePairsIncremental(
-        docs.where(col("doc_id") % 5 === 4), histBands)
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.bands(s, d))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "ngram_jaccard"          -> ((s, d) =>
@@ -360,13 +362,14 @@ object SparkEntry {
       Dedup.ngramSurvivors(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
     "dedup_incremental"      -> ((s, d) => {
       // daily-ingest dedup: 4/5 of the corpus is "history" (its hash table
-      // is the side output dedup_exact maintains), 1/5 is today's batch —
-      // new docs drop against history by hash anti-join, then dedup
-      // within the batch (keep-min)
+      // is the side output dedup_exact maintains — read here as the
+      // IncrementalHistory parquet artifact), 1/5 is today's batch — new
+      // docs drop against history by hash anti-join, then dedup within the
+      // batch (keep-min)
       val docs = tbl(s, d, "documents")
-      val seen = Dedup.exact(docs.where(col("doc_id") % 5 =!= 4))
-        .select(col("text_md5"))
-      Dedup.incrementalExact(docs.where(col("doc_id") % 5 === 4), seen)
+      Dedup.incrementalExact(
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.seenHashes(s, d))
         .orderBy(col("text_md5"))
     }),
     "dedup_bloom"            -> ((s, d) => {
@@ -375,12 +378,14 @@ object SparkEntry {
       // construction (no false negatives; false positives die in the exact
       // anti-join), so it shares dedup_incremental's oracle shape
       val docs = tbl(s, d, "documents")
-      val seen = Dedup.exact(docs.where(col("doc_id") % 5 =!= 4))
-        .select(col("text_md5"))
       // sketch sized for the suite's batch scale (≤100k docs/batch at sf10:
       // fpp <1% at a 128 KiB sketch); production sizes by expected daily
-      // volume — parity holds at ANY size, sizing only tunes pruning
-      Dedup.incrementalExactBloom(docs.where(col("doc_id") % 5 === 4), seen,
+      // volume — parity holds at ANY size, sizing only tunes pruning. The
+      // history side is the IncrementalHistory parquet artifact, so the
+      // bloom probe lands inside a REAL artifact scan stage
+      Dedup.incrementalExactBloom(
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.seenHashes(s, d),
           expectedItems = 1L << 16, numBits = 1L << 20)
         .orderBy(col("text_md5"))
     }),

@@ -1,0 +1,83 @@
+package graft.sources
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The daily-ingest HISTORY artifacts as real parquet tables (verdict r11
+  * #2): the incremental serving rows (`dedup_incremental`, `dedup_bloom`,
+  * `lsh_candidates_inc`, `dup_span_share_inc`) exist to demonstrate the
+  * O(batch) probe a production pipeline runs against append-only lake
+  * artifacts — but the suite is stateless, so they used to rebuild the
+  * history side (hash table / band table / window set) INSIDE the timed
+  * query, conflating the once-per-refresh artifact build with the probe the
+  * row measures (at 10× the split is ~1.6 s build vs ~2.4 s probe for the
+  * span family). Landing the artifacts under target/ with the
+  * memoized-artifact contract of [[ScrubbedLake.forSfDir]] /
+  * [[graft.operators.IvfIndex.forSfDir]] makes the timed queries read the
+  * production shape (parquet scan + probe; Bench prewarms the build like the
+  * index builds), and the history tokenize/shingle/hash genuinely never
+  * reruns — which is the incremental family's whole contract.
+  *
+  * The history/batch split is the suite-wide daily-ingest convention:
+  * history = `doc_id % 5 != 4`, batch = `doc_id % 5 == 4` (see
+  * [[historyDocs]]/[[batchDocs]]). Oracle SQL is UNCHANGED: each artifact is
+  * a deterministic function of the documents table, so the DuckDB replay
+  * recomputes it from source — a mangled artifact byte hashes red, the
+  * layout-invariance class of check. */
+object IncrementalHistory {
+
+  /** The suite's daily-ingest split: 4/5 history. */
+  def historyDocs(documents: DataFrame): DataFrame =
+    documents.where(col("doc_id") % 5 =!= 4)
+
+  /** The suite's daily-ingest split: 1/5 arriving batch. */
+  def batchDocs(documents: DataFrame): DataFrame =
+    documents.where(col("doc_id") % 5 === 4)
+
+  private val cache = TrieMap[String, String]()
+
+  private def artifactDir(sfDir: String, name: String): String =
+    java.nio.file.Paths.get("target", "inc-history", graft.SfPath.safe(sfDir), name)
+      .toAbsolutePath.toString
+
+  private def build(spark: SparkSession, sfDir: String, name: String)
+      (make: DataFrame => DataFrame): String =
+    cache.getOrElseUpdate(s"$name#$sfDir", {
+      val dir = artifactDir(sfDir, name)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      make(historyDocs(docs)).write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** History content-hash table — the side output [[graft.operators.Dedup
+    * .exact]] maintains; the anti-join / bloom-probe target. */
+  def seenHashes(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "seen") { h =>
+      graft.operators.Dedup.exact(h).select(col("text_md5"))
+    })
+
+  /** History LSH band table — the append-only banding artifact
+    * ([[graft.operators.Dedup.lshBuckets]] of the history split). */
+  def bands(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "bands") { h =>
+      graft.operators.Dedup.lshBuckets(h)
+    })
+
+  /** History span-window set — the append-only [[graft.operators.Dedup
+    * .spanWindowSet]] artifact ([[graft.streaming.EventStreams
+    * .spanWindowStream]]'s sink shape). */
+  def spanWindows(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "span_windows") { h =>
+      graft.operators.Dedup.spanWindowSet(h)
+    })
+
+  /** Build every history artifact (Bench prewarm hook — the analog of the
+    * index builds: the once-per-refresh cost, outside query timing). */
+  def buildAll(spark: SparkSession, sfDir: String): Unit = {
+    seenHashes(spark, sfDir)
+    bands(spark, sfDir)
+    spanWindows(spark, sfDir)
+  }
+}
