@@ -767,4 +767,118 @@ class StreamingSpec extends SparkSpec {
     val total = spark.read.parquet(stagingDir).count()
     assert(rows.length == total, "left stream-static join must not drop rows")
   }
+
+  test("quality-drift monitor survives a checkpointed restart: windowed percentile state recovers") {
+    // verdict r11 #6: the last windowed-state pipeline without a
+    // kill-and-resume drill. Window 3 receives docs in BOTH feeds but only
+    // closes after the restart, so its percentiles are correct iff the
+    // per-(window, lang) ratio lists recovered from the checkpoint — a lost
+    // list would drop run-1 docs from the interpolation entirely.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("ts", expr(
+        "timestamp '2026-01-01 00:00:00' + (doc_id % 6) * INTERVAL '1' HOUR"))
+      .select("ts", "lang", "text", "doc_id")
+    val hour = expr("hour(ts)")
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "qdrift-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "qdrift-sink").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "qdrift-ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP, lang STRING, text STRING").parquet(srcDir)
+      EventStreams.runToParquet(spark,
+        EventStreams.qualityDriftStream(stream), sinkDir, ckpt)
+    }
+    def key(r: org.apache.spark.sql.Row) = (r.getTimestamp(0).getTime, r.getString(1))
+    def vals(r: org.apache.spark.sql.Row) = (r.getLong(2), r.getDouble(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    def sunk(): Map[(Long, String), (Long, Double, Double, Double, Double, Double)] = {
+      val rows = spark.read.parquet(sinkDir).collect()
+      assert(rows.length == rows.map(key).distinct.length,
+        "a (window, lang) group must emit exactly once across both runs")
+      rows.map(r => key(r) -> vals(r)).toMap
+    }
+    def hourMs(h: Int): Long =
+      java.sql.Timestamp.valueOf(s"2026-01-01 0$h:00:00").getTime
+    // hour-3 docs are ≡ 3 or 9 mod 12 (6k+3 is always odd — an id-parity
+    // split would put them ALL in one feed, the hotKeyStream fixture trap)
+    assert(docs.where(col("doc_id") % 12 === 3).count() > 0 &&
+      docs.where(col("doc_id") % 12 === 9).count() > 0,
+      "fixture must place hour-3 docs in both feeds")
+
+    // feed 1: hours 0-2 + half of hour 3 → watermark 02:30, windows 0,1 close
+    docs.where(hour < 3 || col("doc_id") % 12 === 3).drop("doc_id")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(sunk().keySet.map(_._1) == Set(hourMs(0), hourMs(1)),
+      s"run 1 must close exactly windows 0,1: ${sunk().keySet.map(_._1)}")
+
+    // feed 2 through the SAME checkpoint: hour 3's other half + hours 4,5 →
+    // watermark 04:30, windows 2 and the restart-spanning 3 close
+    docs.where(col("doc_id") % 12 === 9 || hour > 3).drop("doc_id")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val got = sunk()
+    assert(got.keySet.map(_._1) == Set(hourMs(0), hourMs(1), hourMs(2), hourMs(3)),
+      s"run 2 must add exactly windows 2,3: ${got.keySet.map(_._1)}")
+    // parity: every emitted group equals the batch twin over the FULL frame
+    // (window 3's ratio lists span the restart boundary)
+    val want = EventStreams.qualityDriftStream(docs.drop("doc_id")).collect()
+      .map(r => key(r) -> vals(r)).toMap
+    got.foreach { case (k, v) =>
+      assert(v == want(k), s"group $k: streamed $v vs batch ${want(k)}")
+    }
+    assert(got.keySet.exists(_._1 == hourMs(3)),
+      "the restart-spanning window must be represented")
+  }
+
+  test("shard assignment survives a checkpointed restart: no loss, no re-emission") {
+    // shardAssignStream is stateless BY DESIGN (append mode, no state
+    // store) — what a restart must still guarantee is source-offset
+    // recovery: a resumed query on the same checkpoint processes feed 1
+    // exactly once (committed batches never re-emit into the sink) and
+    // feed 2 exactly once (nothing lost), with the hash contract identical
+    // to the batch operator either side of the boundary.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "shard-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "shard-sink").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "shard-ckpt").toString
+    val n = 8
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = EventStreams.shardAssignStream(stream, n)
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("shard")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce()
+    val afterRun1 = spark.read.parquet(sinkDir).count()
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    runOnce() // kill-and-resume: new query instance, same checkpoint
+    val landed = spark.read.parquet(sinkDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h"), r.getAs[Int]("shard"), r.getAs[Long]("n_tok")))
+    // exactly-once across the boundary: every doc exactly one row
+    assert(afterRun1 == docs.where(col("doc_id") % 2 === 0).count(),
+      "run 1 must land exactly the even docs")
+    assert(landed.length == docs.count(),
+      s"restart lost or re-emitted rows: ${landed.length} vs ${docs.count()}")
+    assert(landed.map(_._1).distinct.length == landed.length,
+      "a doc must land exactly once across both runs")
+    // hash-contract parity with the batch operator on the full frame
+    val want = EventStreams.shardAssignStream(docs, n).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h"), r.getAs[Int]("shard"), r.getAs[Long]("n_tok"))).toMap
+    landed.foreach { case (id, v) =>
+      assert(v == want(id), s"doc $id: streamed $v vs batch ${want(id)}")
+    }
+  }
 }
