@@ -153,6 +153,17 @@ object ScaleProbe {
         require(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3),
           s"60-bit hash collision at probe scale: $r")
       }),
+      // same invariant for the hash-native shingle/span postings (verdict
+      // r11 #5): distinct window STRINGS == distinct h60s over the scaled
+      // corpus' actual 3-shingle and 20-token-window sets — the declared
+      // "collision-free in practice" contract as a measured fact where
+      // scale grows (a collision silently merges two posting lists)
+      "span_hash_audit" -> (() => {
+        Dedup.spanHashAudit(docs).collect().foreach { r =>
+          require(r.getLong(1) == r.getLong(2),
+            s"60-bit hash collision at probe scale: $r")
+        }
+      }),
       // sequential vs batched BPE trainer at the SAME rule budget (K=8): the
       // batched form selects top-M pairwise-disjoint merges per round and
       // pays ONE chained-fold symbol rewrite for all M, so its full-corpus

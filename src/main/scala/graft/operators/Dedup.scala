@@ -436,6 +436,39 @@ object Dedup {
         array_distinct(spanWindowHashes(tokens(col("text")), 3)).as("sh"))
       .where(size(col("sh")) > 0))
 
+  /** Collision audit for the hash-native shingle/span families (verdict r11
+    * #5, the [[graft.operators.TextAnalysis.bigramHashAudit]] pattern): per
+    * window width, the number of DISTINCT window strings in the corpus vs
+    * the number of DISTINCT h60 values over them. Equality is the "hash
+    * classes == string classes" contract [[shingledDocs]] (3-shingles) and
+    * the span family ([[SpanWindow]]-token windows) stake their joins on —
+    * declared "md5-collision-free in practice", here a MEASURED fact per
+    * dataset (run by DedupTextSpec at test scale and ScaleProbe at 10×; a
+    * collision would silently merge two windows' posting lists). The string
+    * side is built by the pre-[[graft.functions.GraftFunctions
+    * .spanWindowHashes]] slice/concat formulation, whose elementwise hash
+    * identity to the one-pass expression PropertySpec pins separately. */
+  def spanHashAudit(documents: DataFrame,
+      windows: Seq[Int] = Seq(3, SpanWindow)): DataFrame = {
+    def audited(w: Int): DataFrame = {
+      val staged = documents
+        .select(col("doc_id"),
+          explode(array(struct(tokens(col("text")).as("t")))).as("c"))
+        .select(col("c.t").as("t"))
+        // the size guard (not a bare sequence): sequence(1, 0) generates a
+        // DESCENDING [1, 0] and slice(_, 0, _) errors
+        .where(size(col("t")) >= w)
+      staged
+        .select(explode(transform(
+          sequence(lit(1), size(col("t")) - w + 1),
+          i => concat_ws(" ", slice(col("t"), i, lit(w))))).as("s"))
+        .agg(countDistinct(col("s")).as("n_strings"),
+          countDistinct(h60(col("s"))).as("n_h60"))
+        .select(lit(w).as("window"), col("n_strings"), col("n_h60"))
+    }
+    windows.map(audited).reduce(_ unionByName _)
+  }
+
   /** Shingle-hash postings over [[shingledDocs]] (persisted): joins run on
     * the 60-bit hash, not the string — same equality classes
     * (md5-collision-free in practice), ~3× smaller shuffle rows. */

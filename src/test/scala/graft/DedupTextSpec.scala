@@ -409,6 +409,25 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("spanHashAudit: h60 is injective over the corpus shingle/span-window sets") {
+    // the "hash classes == string classes" contract every hash-native
+    // shingle/span join rides on (shingledDocs, spanWindowSet), measured on
+    // the real corpus instead of declared (verdict r11 #5; ScaleProbe runs
+    // the same audit at 10×). Both served widths: 3-shingles and the
+    // 20-token span windows.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = Dedup.spanHashAudit(docs).collect()
+      .map(r => r.getAs[Int]("window") -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set(3, Dedup.SpanWindow), s"audit widths: ${rows.keySet}")
+    rows.foreach { case (w, (nStrings, nH60)) =>
+      assert(nStrings > 0, s"width $w: audit must see a real corpus")
+      assert(nStrings == nH60,
+        s"width $w: 60-bit hash collision ($nStrings strings vs $nH60 hashes)")
+    }
+    graft.CacheRegistry.release()
+  }
+
   test("incremental span edges: empty batch -> no rows; empty history -> batch-only signal") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"))
