@@ -81,6 +81,14 @@ object GraftFunctions {
     ExpressionUtils.column(
       SpanWindowHashes(ExpressionUtils.expression(toks), window))
 
+  /** Every frame's perceptual (ahash, dhash) struct over a STRING column,
+    * one pass ([[PhashFrames]]) — value-identical to the compositional
+    * substr/h32/threshold chain (PhashSpec pins the identity). The media
+    * dedup family's sketch builder. */
+  def phashFrames(text: Column, stride: Int, cells: Int): Column =
+    ExpressionUtils.column(
+      PhashFrames(ExpressionUtils.expression(text), stride, cells))
+
   /** THE content-identity hash for exact dedup — one definition shared by
     * batch ([[graft.operators.Dedup]].exact / incrementalExact) and
     * streaming (dedupDocStream / dedupDocStreamBounded / curateDocStream):

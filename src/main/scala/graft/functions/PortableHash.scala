@@ -105,6 +105,57 @@ object PortableHash {
       (d(3) & 0xffL)
   }
 
+  /** Every frame's perceptual (aHash, dHash) pair in ONE pass — value-
+    * identical to the compositional HOF form it replaces in
+    * [[graft.multimodal.Multimodal.phashFrames]] (per cell:
+    * `h32(text.substr(pos, cellw)) % 256` via [[UTF8String.substringSQL]],
+    * Spark's own Substring semantics; then the integer-math aHash threshold
+    * `cells·iv > Σiv` and circular dHash gradient, bits packed LSB-first).
+    * What the one-pass form removes is the interpreted HOF evaluation: the
+    * compositional chain runs 32 `transform` lambda evaluations per frame
+    * through the interpreter (HOFs don't participate in whole-stage
+    * codegen), each allocating a substring Column eval — measured ~7×
+    * slower per hash than the codegen'd digest paths. Returns one
+    * `(ahash, dhash)` struct per frame, frame_no = array index; at least
+    * one frame even for empty text (the `greatest(…, 0)` floor). */
+  def phashFrames(text: UTF8String, stride: Int, cells: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cellw = stride / cells
+    val n = text.numChars()
+    val nFrames = math.max((n + stride - 1) / stride, 1)
+    val m = md.get()
+    val iv = new Array[Long](cells)
+    val rows = new Array[Any](nFrames)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      var total = 0L
+      while (c < cells) {
+        // 1-based char position, exactly Column.substr's Substring semantics
+        val slice = text.substringSQL(f * stride + c * cellw + 1, cellw)
+        m.reset()
+        val d = m.digest(slice.getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        iv(c) = h % 256
+        total += iv(c)
+        c += 1
+      }
+      var ahash = 0L
+      var dhash = 0L
+      c = 0
+      while (c < cells) {
+        if (cells * iv(c) > total) ahash |= 1L << c
+        if (iv(c) > iv((c + 1) % cells)) dhash |= 1L << c
+        c += 1
+      }
+      rows(f) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](ahash, dhash))
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   // MinHash universal-hash family params (mirrored in GraftFunctions and the
   // DuckDB oracle SQL): h_j(s) = (A(j)*h32(s) + B(j)) mod P.
   val MinhashP = 2147483647L
@@ -283,5 +334,44 @@ case class SpanWindowHashes(child: Expression, window: Int)
       c => s"graft.functions.PortableHash.spanWindowHashes($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanWindowHashes =
+    copy(child = newChild)
+}
+
+/** `phash_frames(text STRING, stride, cells) -> ARRAY<STRUCT<ahash, dhash>>`:
+  * every frame's perceptual-hash pair in one pass (see
+  * [[PortableHash.phashFrames]]) — the media-dedup family's sketch builder.
+  * `stride`/`cells` are construction-time constants carried by the plan
+  * (the [[SpanWindowHashes]] convention). Value-identical to the
+  * compositional substr/h32/threshold chain it replaces, so the phash
+  * oracles are untouched (PhashSpec gates the identity against a hand-
+  * computed frame and the HOF formulation). */
+case class PhashFrames(child: Expression, stride: Int, cells: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  require(cells > 0 && stride % cells == 0,
+    s"stride $stride must be a positive multiple of cells=$cells")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "phash_frames"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"phash_frames expects STRING, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.phashFrames(v.asInstanceOf[UTF8String], stride, cells)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash.phashFrames($c, $stride, $cells)")
+
+  override protected def withNewChildInternal(newChild: Expression): PhashFrames =
     copy(child = newChild)
 }

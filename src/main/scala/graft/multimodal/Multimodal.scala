@@ -192,47 +192,27 @@ object Multimodal {
     * intensities — thresholding, bit packing, banding, Hamming verification
     * — is the production algorithm and is what the oracle checks.
     *
-    * Plan shape: one row per (doc, frame) via explode, the cell-intensity
-    * array materialized ONCE behind a Generate barrier (the
-    * [[graft.operators.Dedup.minhashSignatures]] pattern — aHash and dHash
-    * both read the array; without the barrier each bit re-derives the md5
-    * chain), then two per-row HOF folds. Zero shuffle — sketching stays
-    * map-side at any scale. */
+    * Plan shape: the whole sketch is ONE codegen expression
+    * ([[graft.functions.PhashFrames]] — all cells of all frames in a single
+    * pass over the text, the SpanWindowHashes convention; the compositional
+    * HOF form ran 32 interpreted lambda evaluations per frame and measured
+    * ~10× slower, 5.3 s → 0.5 s at sf0.1) behind a posexplode. Zero
+    * shuffle — sketching stays map-side at any scale. `carry` columns ride
+    * the map-side pipeline (the simhashPairs r5-review lesson: a doc_id
+    * join back to documents for a blocking column adds a corpus-scale
+    * exchange to an otherwise zero-shuffle sketch stage). */
   def phashFrames(documents: DataFrame, stride: Int = PhashStride,
       cells: Int = PhashCells, carry: Seq[String] = Nil): DataFrame = {
     require(cells > 0 && stride % cells == 0,
       s"stride $stride must be a positive multiple of cells=$cells")
-    val cellw = stride / cells
-    // `carry` columns ride the map-side pipeline (the simhashPairs r5-review
-    // lesson: a doc_id join back to documents for a blocking column adds a
-    // corpus-scale exchange to an otherwise zero-shuffle sketch stage)
     val carried = carry.map(col)
-    val frames = documents.select(
-      (Seq(col("doc_id"), col("text"),
-        explode(sequence(lit(0L),
-          greatest(ceil(length(col("text")).cast("double") / stride)
-            .cast("long") - 1, lit(0L)))).as("frame_no")) ++ carried): _*)
-    val intensities = transform(sequence(lit(0), lit(cells - 1)), c =>
-      pmod(h32(col("text").substr(
-        (col("frame_no") * stride + c * cellw + 1).cast("int"), lit(cellw))),
-        lit(256L)))
-    val staged = frames
-      .select((Seq(col("doc_id"), col("frame_no"),
-        explode(array(struct(intensities.as("iv")))).as("s")) ++ carried): _*)
-      .select((Seq(col("doc_id"), col("frame_no"),
-        col("s.iv").as("iv")) ++ carried): _*)
-      .withColumn("total", aggregate(col("iv"), lit(0L), _ + _))
-    val powers = typedLit((0 until cells).map(1L << _))
-    def pack(bit: (Column, Column) => Column): Column =
-      aggregate(
-        transform(col("iv"), (v, c) =>
-          when(bit(v, c), element_at(powers, c + 1)).otherwise(lit(0L))),
-        lit(0L), _ + _)
-    staged.select(
-      (Seq(col("doc_id"), col("frame_no"),
-        pack((v, _) => lit(cells.toLong) * v > col("total")).as("ahash"),
-        pack((v, c) => v > element_at(col("iv"),
-          (pmod(c + 1, lit(cells)) + 1).cast("int"))).as("dhash")) ++ carried): _*)
+    documents
+      .select((Seq(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .phashFrames(col("text"), stride, cells)).as(Seq("frame_no", "ph")))
+        ++ carried): _*)
+      .select((Seq(col("doc_id"), col("frame_no").cast("long").as("frame_no"),
+        col("ph.ahash").as("ahash"), col("ph.dhash").as("dhash")) ++ carried): _*)
   }
 
   /** Banded frame-sketch table shared by the two near-dup consumers: each

@@ -65,6 +65,49 @@ class PhashSpec extends SparkSpec {
       s"frame $f changed although the edit was confined to frame 0"))
   }
 
+  test("one-pass PhashFrames expression == the compositional HOF chain") {
+    // the formulation the codegen expression replaced (and the shape the
+    // DuckDB oracle replays): per-cell substr/h32/%256 through HOF lambdas,
+    // integer-math thresholds, power-table bit packing — value-identical
+    // end to end (the SpanWindowHashes identity-pinning convention)
+    import org.apache.spark.sql.Column
+    import graft.functions.GraftFunctions.h32
+    val stride = Multimodal.PhashStride
+    val cells = Multimodal.PhashCells
+    val cellw = stride / cells
+    val sub = docs.limit(40).select(col("doc_id"), col("text"))
+    val frames = sub.select(col("doc_id"), col("text"),
+      explode(sequence(lit(0L),
+        greatest(ceil(length(col("text")).cast("double") / stride)
+          .cast("long") - 1, lit(0L)))).as("frame_no"))
+    val intens = transform(sequence(lit(0), lit(cells - 1)), c =>
+      pmod(h32(col("text").substr(
+        (col("frame_no") * stride + c * cellw + 1).cast("int"), lit(cellw))),
+        lit(256L)))
+    val staged = frames
+      .select(col("doc_id"), col("frame_no"),
+        explode(array(struct(intens.as("iv")))).as("s"))
+      .select(col("doc_id"), col("frame_no"), col("s.iv").as("iv"))
+      .withColumn("total", aggregate(col("iv"), lit(0L), _ + _))
+    val powers = typedLit((0 until cells).map(1L << _))
+    def pack(bit: (Column, Column) => Column): Column =
+      aggregate(
+        transform(col("iv"), (v, c) =>
+          when(bit(v, c), element_at(powers, c + 1)).otherwise(lit(0L))),
+        lit(0L), _ + _)
+    val want = staged.select(col("doc_id"), col("frame_no"),
+        pack((v, _) => lit(cells.toLong) * v > col("total")).as("ahash"),
+        pack((v, c) => v > element_at(col("iv"),
+          (pmod(c + 1, lit(cells)) + 1).cast("int"))).as("dhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = Multimodal.phashFrames(sub).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"expression diverged from the HOF chain: " +
+      s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+    assert(got.nonEmpty)
+  }
+
   test("banding is pigeonhole-exact: candidate pairs == brute force within maxHamming") {
     // brute-force twin over a doc subset: every same-lang cross-doc frame
     // pair within joint Hamming 3 of the 64-bit (aHash ‖ dHash) sketch must
