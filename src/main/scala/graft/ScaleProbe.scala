@@ -195,6 +195,15 @@ object ScaleProbe {
       "dup_span_share_inc" -> (() => noop(Dedup.dupSpanShareIncremental(
         docs.where(col("doc_id") % 10 === 9),
         spark.read.parquet(spanArtDir)))),
+      // media dedup family: the sketch stage must scale ∝ corpus payload
+      // bytes (one codegen pass per row, zero shuffle) and the share
+      // rollup's OUTPUT stays O(docs) even though its banded candidate
+      // join grows with the corpus's perceptual-collision rate — the
+      // design reason the serving signal is a share, not a pair list
+      "phash_sketch" -> (() =>
+        noop(graft.multimodal.Multimodal.phashFrames(docs, carry = Seq("lang")))),
+      "frame_dup_share" -> (() =>
+        noop(graft.multimodal.Multimodal.frameDupShare(docs))),
       "tok_encode" -> (() => noop(TextAnalysis.encodeTokens(docs, 200))),
       "mix_sample" -> (() => noop(TrainingMix.mixSample(docs, 100000L))),
       "seq_pack" -> (() => noop(TrainingMix.packSequences(docs, 512L))),

@@ -524,7 +524,18 @@ object SparkEntry {
       // rolled up to the O(docs) serving signal (the dup_span_share design;
       // pair output on low-entropy media is quadratic — see scaladoc)
       Multimodal.frameDupShare(tbl(s, d, "documents"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "frame_dup_share_inc"    -> ((s, d) => {
+      // daily-ingest media dedup: the batch sketches only itself and probes
+      // the append-only per-frame sketch artifact (IncrementalHistory,
+      // Bench-prewarmed) — media is the fifth incremental modality; equals
+      // the full-corpus frameDupShare restricted to batch docs
+      val docs = tbl(s, d, "documents")
+      Multimodal.frameDupShareIncremental(
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.phashSketches(s, d))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** Cache-sharing family of each query: members share operator-persisted
@@ -566,6 +577,7 @@ object SparkEntry {
     // perceptual-hash frame sketches ([[Multimodal.nearDupFrames]])
     "phash_docs"          -> "phash",
     "near_dup_frames"     -> "phash",
+    "frame_dup_share_inc" -> "phash",
     // BM25 staged projection ([[Retrieval.bm25TopK]])
     "bm25_topk"           -> "lex",
     "hybrid_rrf"          -> "lex",
@@ -1824,6 +1836,31 @@ object SparkEntry {
          |  round(CAST(COUNT(dup.frame_no) AS DOUBLE) / COUNT(*), 6) AS dup_frame_share
          |FROM pl LEFT JOIN dup
          |  ON dup.doc_id = pl.doc_id AND dup.frame_no = pl.frame_no
+         |GROUP BY pl.doc_id ORDER BY pl.doc_id""".stripMargin,
+
+    // incremental media dedup: history ∪ batch IS the full corpus, so the
+    // replay is the near_dup_frames chain with the a-side (and the rollup)
+    // restricted to batch docs — the dup_span_share_inc oracle convention
+    "frame_dup_share_inc" ->
+      s"""$PhashCte,
+         |pl AS (SELECT ph.doc_id, ph.frame_no, ph.ahash, ph.dhash, documents.lang
+         |  FROM ph JOIN documents ON documents.doc_id = ph.doc_id),
+         |banded AS (SELECT doc_id, frame_no, lang, ahash, dhash, g.band,
+         |    (ahash >> (8 * g.band)) & 255 AS bv
+         |  FROM pl, generate_series(0, ${Dedup.SimhashBands - 1}) g(band)),
+         |dup AS (SELECT DISTINCT a.doc_id, a.frame_no
+         |  FROM banded a JOIN banded b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.bv = b.bv
+         |    AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id % 5 = 4 AND bit_count(xor(a.ahash, b.ahash)) +
+         |    bit_count(xor(a.dhash, b.dhash)) <= 3)
+         |SELECT pl.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+         |  CAST(COUNT(dup.frame_no) AS BIGINT) AS n_dup_frames,
+         |  round(CAST(COUNT(dup.frame_no) AS DOUBLE) / COUNT(*), 6) AS dup_frame_share
+         |FROM pl LEFT JOIN dup
+         |  ON dup.doc_id = pl.doc_id AND dup.frame_no = pl.frame_no
+         |WHERE pl.doc_id % 5 = 4
          |GROUP BY pl.doc_id ORDER BY pl.doc_id""".stripMargin,
 
     // training-mix rollup: GROUPING() markers make the sort total (q24 rule);

@@ -226,18 +226,25 @@ object Multimodal {
     * `maxHamming ≤ SimhashBands − 1` — banding is exact, never a recall
     * loss. Candidates must also share `lang` (the text families' blocking
     * key). */
-  private def bandedFrames(documents: DataFrame, stride: Int, cells: Int): DataFrame = {
-    val ph = phashFrames(documents, stride, cells, carry = Seq("lang"))
+  /** Band explosion over an already-computed sketch table
+    * `(doc_id, frame_no, ahash, dhash, lang)` — split out so the
+    * incremental form can band a history ARTIFACT without re-sketching it
+    * (the [[graft.operators.Dedup.lshBucketsFromSigs]] split). */
+  private def bandSketches(sketches: DataFrame): DataFrame = {
     val bandCols = (0 until graft.operators.Dedup.SimhashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
     }
-    graft.CacheRegistry.persist(ph
+    sketches
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
         col("dhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
-        col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv")))
+        col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
   }
+
+  private def bandedFrames(documents: DataFrame, stride: Int, cells: Int): DataFrame =
+    graft.CacheRegistry.persist(
+      bandSketches(phashFrames(documents, stride, cells, carry = Seq("lang"))))
 
   /** Joint 64-bit sketch distance between the `a.`/`b.`-aliased frame rows. */
   private def jointHamming: Column =
@@ -304,6 +311,55 @@ object Multimodal {
       .withColumn("dup", lit(1))
     banded.where(col("band") === 0) // one row per frame
       .select(col("doc_id"), col("frame_no"))
+      .join(dup, Seq("doc_id", "frame_no"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        count(col("dup")).as("n_dup_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
+        round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
+          .as("dup_frame_share"))
+  }
+
+  /** Incremental [[frameDupShare]] — the daily-ingest media-dedup signal,
+    * making media the FIFTH incremental modality (exact →
+    * `incrementalExact`, LSH → `lshCandidatePairsIncremental`, spans →
+    * `dupSpanShareIncremental`, embeddings → IVF `mergeSegment`, frames →
+    * here): today's batch sketches ONLY itself (O(batch)),
+    * `historySketches` is the append-only per-frame sketch artifact
+    * `(doc_id, frame_no, ahash, dhash, lang)` — history payloads are never
+    * re-decoded or re-hashed — and a batch frame counts as duplicated iff
+    * some frame of ANOTHER doc in history ∪ batch sits within `maxHamming`
+    * joint bits. The result equals the full-corpus [[frameDupShare]]
+    * restricted to batch docs (PhashSpec asserts exactly that). Appending
+    * the batch's sketches to the artifact completes the cycle.
+    *
+    * Scale shape: the banded probe's build side is the batch's band table —
+    * AQE broadcasts it and the history artifact streams through on a
+    * bucketed equi-join (in production additionally bucketed by (band, bv),
+    * the lshCandidatePairsIncremental posture); the rollup shuffle is
+    * ∝ batch frames only. */
+  def frameDupShareIncremental(newDocs: DataFrame, historySketches: DataFrame,
+      maxHamming: Int = 3, stride: Int = PhashStride,
+      cells: Int = PhashCells): DataFrame = {
+    require(maxHamming < graft.operators.Dedup.SimhashBands,
+      s"banding is only exact for maxHamming < ${graft.operators.Dedup.SimhashBands}")
+    // persist the batch sketches: they feed the banded probe AND the rollup
+    val newSk = graft.CacheRegistry.persist(
+      phashFrames(newDocs, stride, cells, carry = Seq("lang")))
+    val newBanded = bandSketches(newSk)
+    val all = newBanded.unionByName(bandSketches(historySketches
+      .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
+        col("lang"))))
+    val dup = newBanded.as("a")
+      .join(all.as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv") && col("a.doc_id") =!= col("b.doc_id"))
+      .where(jointHamming <= maxHamming)
+      .select(col("a.doc_id").as("doc_id"), col("a.frame_no").as("frame_no"))
+      .distinct()
+      .withColumn("dup", lit(1))
+    newSk.select(col("doc_id"), col("frame_no"))
       .join(dup, Seq("doc_id", "frame_no"), "left")
       .groupBy(col("doc_id"))
       .agg(

@@ -73,11 +73,20 @@ object IncrementalHistory {
       graft.operators.Dedup.spanWindowSet(h)
     })
 
+  /** History per-frame perceptual-sketch table — the append-only media
+    * twin of [[bands]] ([[graft.multimodal.Multimodal.phashFrames]] of the
+    * history split, lang carried; history payloads are never re-decoded). */
+  def phashSketches(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "phash") { h =>
+      graft.multimodal.Multimodal.phashFrames(h, carry = Seq("lang"))
+    })
+
   /** Build every history artifact (Bench prewarm hook — the analog of the
     * index builds: the once-per-refresh cost, outside query timing). */
   def buildAll(spark: SparkSession, sfDir: String): Unit = {
     seenHashes(spark, sfDir)
     bands(spark, sfDir)
     spanWindows(spark, sfDir)
+    phashSketches(spark, sfDir)
   }
 }

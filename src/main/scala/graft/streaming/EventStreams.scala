@@ -210,6 +210,17 @@ object EventStreams {
   def spanWindowStream(docs: DataFrame): DataFrame =
     graft.operators.Dedup.spanWindowSet(docs)
 
+  /** Streaming perceptual-sketch assignment — the ingest half of
+    * [[graft.multimodal.Multimodal.frameDupShareIncremental]]'s cycle, and
+    * the media twin of [[bandAssignStream]]/[[spanWindowStream]]: each
+    * arriving payload's per-frame (aHash, dHash) sketches land statelessly
+    * in the sketch-table sink (one codegen expression per row, no state
+    * store, restart-safe), and the accumulated sink IS the append-only
+    * per-frame sketch history artifact — payloads are decoded and hashed
+    * exactly once, at ingest. `docs` needs (doc_id, text, lang). */
+  def frameSketchStream(docs: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.phashFrames(docs, carry = Seq("lang"))
+
   /** Micro-batch ANN serving THROUGH the version pointer — the 24/7 form of
     * the index-cutover lifecycle ([[graft.operators.IvfIndex.publishLatest]]
     * / [[graft.operators.IvfIndex.loadLatest]]): each micro-batch resolves

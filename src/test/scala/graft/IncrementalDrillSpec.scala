@@ -3,17 +3,20 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, IvfIndex, KnnExact}
 
 /** Multi-day incremental ingest drill (verdict r11 #1): the composed daily
   * cycle a 100 TB pipeline actually runs. Each incremental family was already
   * proven for ONE batch against its full-recompute twin (DedupTextSpec,
-  * IvfSpec); this drill chains FOUR synthetic days through ALL four
-  * modalities at once — exact dedup ([[Dedup.incrementalExact]] over an
+  * IvfSpec); this drill chains FOUR synthetic days through ALL FIVE
+  * incremental modalities at once — exact dedup ([[Dedup.incrementalExact]] over an
   * append-only seen-hash artifact), LSH banding
   * ([[Dedup.lshCandidatePairsIncremental]] over an append-only band
   * artifact), span dedup ([[Dedup.dupSpanShareIncremental]] over an
-  * append-only [[Dedup.spanWindowSet]] artifact) and the IVF index
+  * append-only [[Dedup.spanWindowSet]] artifact), media payloads
+  * ([[graft.multimodal.Multimodal.frameDupShareIncremental]] over an
+  * append-only per-frame sketch artifact) and the IVF index
   * ([[IvfIndex.mergeSegment]] via [[IvfIndex.maintain]], with a forced
   * rebuild + [[IvfIndex.publishLatest]] version rotation MID-drill) — and
   * asserts after EVERY day that the cumulative artifact/serving state equals
@@ -36,7 +39,7 @@ class IncrementalDrillSpec extends SparkSpec {
   private val artRoot = "target/drill"
 
   private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    .select(col("doc_id"), col("text"))
+    .select(col("doc_id"), col("text"), col("lang"))
   private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     .select(col("vec_id"), col("label"), col("embedding"))
 
@@ -67,6 +70,7 @@ class IncrementalDrillSpec extends SparkSpec {
     val seenDir = s"$artRoot/seen"     // (text_md5, keep_doc_id) per first arrival
     val bandDir = s"$artRoot/bands"    // (doc_id, band, bucket) append-only
     val winDir = s"$artRoot/windows"   // (doc_id, wh) append-only
+    val skDir = s"$artRoot/sketches"   // per-frame phash sketches, append-only
     val ivfRoot = s"$artRoot/ivf"      // versioned index root with LATEST pointer
 
     // ---- day 0 bootstrap: empty history everywhere; the incremental forms
@@ -78,6 +82,8 @@ class IncrementalDrillSpec extends SparkSpec {
       .write.mode("overwrite").parquet(seenDir)
     Dedup.lshBuckets(d0).write.mode("overwrite").parquet(bandDir)
     Dedup.spanWindowSet(d0).write.mode("overwrite").parquet(winDir)
+    Multimodal.phashFrames(d0, carry = Seq("lang"))
+      .write.mode("overwrite").parquet(skDir)
     // day-0 candidate pairs: new×new = the full banding of slice 0
     var pairsSoFar = pairSet(Dedup.lshCandidatePairs(d0))
     graft.CacheRegistry.release()
@@ -167,6 +173,30 @@ class IncrementalDrillSpec extends SparkSpec {
       assert(winArt == winFull, s"day $day: window artifact diverged " +
         s"(${winArt.size} vs ${winFull.size})")
       graft.CacheRegistry.release()
+
+      // ---------------- media dedup: probe the sketch artifact, append
+      val skHist = spark.read.parquet(skDir)
+      val mediaSig = Multimodal.frameDupShareIncremental(batch, skHist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("dup_frame_share"))).toSet
+      Multimodal.phashFrames(batch, carry = Seq("lang"))
+        .write.mode("append").parquet(skDir)
+      graft.CacheRegistry.release()
+      val mediaWant = Multimodal.frameDupShare(cumDocs)
+        .where(col("doc_id") % Days === day)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("dup_frame_share"))).toSet
+      assert(mediaSig == mediaWant, s"day $day: media signal diverged " +
+        s"(${mediaSig.size} vs ${mediaWant.size} docs)")
+      graft.CacheRegistry.release()
+      val skArt = spark.read.parquet(skDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("ahash"),
+          r.getAs[Long]("dhash"))).toSet
+      val skFull = Multimodal.phashFrames(cumDocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("ahash"),
+          r.getAs[Long]("dhash"))).toSet
+      assert(skArt == skFull, s"day $day: sketch artifact diverged " +
+        s"(${skArt.size} vs ${skFull.size})")
 
       // ---------------- IVF: serve through the pointer, ingest via maintain;
       // day 2 forces the rebuild arm and rotates the published version —

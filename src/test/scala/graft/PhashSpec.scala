@@ -140,6 +140,39 @@ class PhashSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental frame signal = full-corpus frameDupShare restricted to batch docs") {
+    // the artifact-probing form must give the identical answer the full
+    // recompute gives for the batch docs — no frame lost by skipping the
+    // history re-sketch, none invented (the dupSpanShareIncremental
+    // contract, media edition)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("dup_frame_share"))).toSet
+    val histSketches = Multimodal.phashFrames(hist, carry = Seq("lang"))
+    val got = key(Multimodal.frameDupShareIncremental(batch, histSketches))
+    graft.CacheRegistry.release()
+    val want = key(Multimodal.frameDupShare(docs).where(col("doc_id") % 5 === 4))
+    graft.CacheRegistry.release()
+    assert(got == want, s"incremental diverged: ${got.size} vs ${want.size} docs")
+    assert(got.nonEmpty)
+    // edges: empty batch -> no rows; empty history -> batch-only signal
+    assert(Multimodal.frameDupShareIncremental(batch.limit(0), histSketches)
+      .count() == 0, "an empty ingest batch must produce no signal rows")
+    graft.CacheRegistry.release()
+    val dayZero = key(Multimodal.frameDupShareIncremental(batch,
+      Multimodal.phashFrames(batch.limit(0), carry = Seq("lang"))))
+    graft.CacheRegistry.release()
+    val batchOnly = key(Multimodal.frameDupShare(batch))
+    assert(dayZero == batchOnly,
+      s"day-zero ingest must equal the batch-only signal: " +
+        s"${dayZero.size} vs ${batchOnly.size}")
+    graft.CacheRegistry.release()
+  }
+
   test("frameDupShare rolls the pair set up per doc, one row per doc") {
     // the serving signal must agree with the pair drill-down: a doc's
     // n_dup_frames = its distinct frames appearing in ANY qualifying pair

@@ -160,6 +160,51 @@ class StreamingSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("streaming frame-sketch ingest feeds the incremental media signal across a restart") {
+    import graft.multimodal.Multimodal
+    // the media twin of the band/span ingest cycles: day-1 payloads' frame
+    // sketches land in the sink, a restarted query ingests day 2 through
+    // the SAME checkpoint, and the accumulated sink IS the per-frame sketch
+    // artifact frameDupShareIncremental probes
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "phash-src").toString
+    val sinkDir = Files.createTempDirectory(Paths.get("target"), "phash-sink").toString
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "phash-ckpt").toString
+    def ingestOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, lang STRING").parquet(srcDir)
+      EventStreams.runToParquet(
+        spark, EventStreams.frameSketchStream(stream), sinkDir, ckpt)
+    }
+    hist.coalesce(2).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    batch.coalesce(1).write.mode("append").parquet(srcDir)
+    ingestOnce()
+    // accumulated sink == the batch sketch table over the full corpus
+    // (payloads decoded and hashed once, at ingest)
+    def skKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_no"),
+        r.getAs[Long]("ahash"), r.getAs[Long]("dhash"), r.getAs[String]("lang")))
+      .toSet
+    val sunk = skKey(spark.read.parquet(sinkDir))
+    val want = skKey(Multimodal.phashFrames(docs, carry = Seq("lang")))
+    assert(sunk == want, s"accumulated sketch sink diverged: ${sunk.size} vs ${want.size}")
+    // the sink IS the history artifact: incremental signal off the day-1
+    // slice of the sink == recomputed-history incremental signal
+    val viaSink = Multimodal.frameDupShareIncremental(batch,
+        spark.read.parquet(sinkDir).where(col("doc_id") % 5 =!= 4))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    graft.CacheRegistry.release()
+    val viaBatch = Multimodal.frameDupShareIncremental(batch,
+        Multimodal.phashFrames(hist, carry = Seq("lang")))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(viaSink == viaBatch)
+    graft.CacheRegistry.release()
+  }
+
   test("ANN serving follows the index version pointer across a mid-stream cutover") {
     import graft.operators.{IvfIndex, KnnExact}
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
