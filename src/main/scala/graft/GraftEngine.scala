@@ -230,6 +230,25 @@ final class GraftEngine(val spark: SparkSession,
     Dedup.minhashEstPairs(documents)
   def survivors(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.ngramSurvivors(documents, minJaccard)
+  /** Per-doc duplicated-span share — the substring-level dedup signal. */
+  def spanDupReport(documents: DataFrame): DataFrame =
+    Dedup.dupSpanShare(documents)
+  /** Remove cross-doc duplicated spans from every carrier doc. */
+  def scrubSpans(documents: DataFrame): DataFrame =
+    Dedup.scrubDupSpans(documents)
+  /** Per-frame perceptual (aHash, dHash) sketches of the media payloads. */
+  def frameSketches(documents: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.phashFrames(documents, carry = Seq("lang"))
+  /** Per-doc duplicated-frame share — the media-payload dedup signal
+    * (O(docs) output; [[graft.multimodal.Multimodal.nearDupFramePairs]] is
+    * the bounded pair drill-down). */
+  def mediaDupReport(documents: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.frameDupShare(documents)
+  /** Daily-ingest media dedup: batch sketches only itself, probes the
+    * append-only [[frameSketches]] history artifact. */
+  def mediaDupReportIncremental(newDocs: DataFrame,
+      historySketches: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.frameDupShareIncremental(newDocs, historySketches)
   /** CONTRAST CASE — fixed-attribute (`label`) blocking, pairs ∝ N² per
     * block as the corpus grows. Kept for the measured contrast against
     * [[similarityPairsIndexed]], which is the production form (IVF-cluster

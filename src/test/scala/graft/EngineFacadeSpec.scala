@@ -288,4 +288,38 @@ class EngineFacadeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
     engine.releaseCaches()
   }
+
+  test("r12 facade surface: span dedup and media (phash) dedup reports") {
+    val engine = new GraftEngine(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("lang"))
+    val span = engine.spanDupReport(docs)
+    assert(span.columns.toSeq ==
+      Seq("doc_id", "n_windows", "n_dup_windows", "dup_share"))
+    assert(span.count() > 0)
+    val scrubbed = engine.scrubSpans(docs)
+    assert(scrubbed.columns.contains("n_removed") && scrubbed.count() > 0)
+    engine.releaseCaches()
+    val sk = engine.frameSketches(docs)
+    assert(sk.columns.toSeq ==
+      Seq("doc_id", "frame_no", "ahash", "dhash", "lang"))
+    val media = engine.mediaDupReport(docs)
+    assert(media.columns.toSeq ==
+      Seq("doc_id", "n_frames", "n_dup_frames", "dup_frame_share"))
+    assert(media.count() == docs.count(), "one media row per doc")
+    engine.releaseCaches()
+    // incremental form agrees with the facade's full report on the batch
+    import org.apache.spark.sql.functions.col
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val inc = engine.mediaDupReportIncremental(batch, engine.frameSketches(hist))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    engine.releaseCaches()
+    val full = engine.mediaDupReport(docs).where(col("doc_id") % 5 === 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(inc == full, "facade incremental must match full on batch docs")
+    engine.releaseCaches()
+  }
 }

@@ -108,6 +108,45 @@ class PhashSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("expression/HOF identity holds on non-ASCII text (char-based slicing)") {
+    // the corpus contract is ASCII, but the expression must still agree
+    // with Column.substr semantics on multi-byte chars (substringSQL slices
+    // by CHAR, so a real unicode payload cannot silently diverge between
+    // the one-pass form and the compositional chain)
+    import graft.functions.GraftFunctions.h32
+    val stride = 8; val cells = 4; val cellw = 2
+    val df = Seq((1L, "héllo wörld — ünïcodé päyload çontent"),
+      (2L, "日本語のテキストです、フレームのテスト"),
+      (3L, "mixed ascii and ελληνικά and עברית")).toDF("doc_id", "text")
+    val got = Multimodal.phashFrames(df, stride = stride, cells = cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val frames = df.select(col("doc_id"), col("text"),
+      explode(sequence(lit(0L),
+        greatest(ceil(length(col("text")).cast("double") / stride)
+          .cast("long") - 1, lit(0L)))).as("frame_no"))
+    val intens = transform(sequence(lit(0), lit(cells - 1)), c =>
+      pmod(h32(col("text").substr(
+        (col("frame_no") * stride + c * cellw + 1).cast("int"), lit(cellw))),
+        lit(256L)))
+    val staged = frames
+      .select(col("doc_id"), col("frame_no"),
+        explode(array(struct(intens.as("iv")))).as("s"))
+      .select(col("doc_id"), col("frame_no"), col("s.iv").as("iv"))
+      .withColumn("total", aggregate(col("iv"), lit(0L), _ + _))
+    val powers = typedLit((0 until cells).map(1L << _))
+    val want = staged.select(col("doc_id"), col("frame_no"),
+        aggregate(transform(col("iv"), (v, c) =>
+          when(lit(cells.toLong) * v > col("total"),
+            element_at(powers, c + 1)).otherwise(lit(0L))), lit(0L), _ + _)
+          .as("ahash"),
+        aggregate(transform(col("iv"), (v, c) =>
+          when(v > element_at(col("iv"), (pmod(c + 1, lit(cells)) + 1).cast("int")),
+            element_at(powers, c + 1)).otherwise(lit(0L))), lit(0L), _ + _)
+          .as("dhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"unicode divergence: ${(want -- got).take(3)} vs ${(got -- want).take(3)}")
+  }
+
   test("banding is pigeonhole-exact: candidate pairs == brute force within maxHamming") {
     // brute-force twin over a doc subset: every same-lang cross-doc frame
     // pair within joint Hamming 3 of the 64-bit (aHash ‖ dHash) sketch must
