@@ -513,6 +513,18 @@ object SparkEntry {
       KnnBatch.topK(tbl(s, d, "embeddings"), queries, 5)
         .orderBy(col("query_id"), col("rn"))
     }),
+    "multimodal_ann"         -> ((s, d) => {
+      // the media pipeline composed with the INDEX serving path: payload →
+      // decode → frame embedding → batched IVF probe search (one pruned
+      // union scan for the whole decoded-query batch) — multimodal content
+      // rides the same inverted-file serving point as the vector queries,
+      // the posture a mixed text+media corpus actually deploys
+      val queries = Multimodal.frameEmbeddings(s,
+          Multimodal.withPayload(tbl(s, d, "documents").where(col("doc_id") < 3)))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      IvfIndex.forSfDir(s, d, NumClusters).searchBatch(queries, 5, AnnProbe)
+        .orderBy(col("query_id"), col("rn"))
+    }),
     "phash_docs"             -> ((s, d) =>
       // per-frame perceptual hashes (aHash + dHash) — the media-payload
       // dedup sketch, zero-shuffle map-side computation
@@ -1802,6 +1814,35 @@ object SparkEntry {
          |    round(list_dot_product(e.v, q.v) /
          |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
          |  FROM e, q),
+         |ranked AS (SELECT query_id, vec_id, label, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT query_id, vec_id, label, sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // media queries through the IVF serving point: frame-embedding CTE
+    // (identical decode/embed replay as multimodal_knn) + the ann_ivf_batch
+    // coarse/fine replay over the exported centroid/assignment artifacts
+    "multimodal_ann" ->
+      s"""WITH ${Multimodal.frameEmbeddingQuerySql("doc_id < 3")},
+         |cent AS (SELECT cluster, list_transform(centroid, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM read_parquet('${ctx.ivfExport}/centroids/*.parquet')),
+         |sc AS (SELECT q.query_id, cent.cluster,
+         |    list_dot_product(c, q.v) /
+         |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8) AS csim
+         |  FROM cent, q),
+         |probes AS (SELECT query_id, cluster FROM (
+         |    SELECT query_id, cluster,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cluster ASC) AS crn
+         |    FROM sc) WHERE crn <= $AnnProbe),
+         |a AS (SELECT vec_id, cluster FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')),
+         |cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a ON a.cluster = p.cluster),
+         |e AS (SELECT vec_id, label, $EmbDouble AS v FROM embeddings),
+         |scored AS (SELECT c.query_id, e.vec_id, e.label,
+         |    round(list_dot_product(e.v, q.v) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)) + 1e-8), 6) AS sim
+         |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
          |ranked AS (SELECT query_id, vec_id, label, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
