@@ -324,6 +324,54 @@ final case class IvfIndex(
       .parquet(indexDir)
   }
 
+  /** Compact over-fragmented cluster partitions — the maintenance op daily
+    * [[mergeSegment]]s make necessary: every merge appends up to one file
+    * per touched cluster, so after N days a cluster holds up to N small
+    * files and probe-pruned scans degrade to file-open overhead (the
+    * classic small-file problem — at daily 100 TB ingest the dominant
+    * read-amplification term). Each cluster whose parquet file count
+    * exceeds `maxFilesPerCluster` has its rows rewritten as ONE file;
+    * clusters under the threshold are never read, so the cost is
+    * ∝ fragmented-cluster bytes, not index bytes. The rewrite stages into a
+    * sibling temp dir and swaps each compacted cluster directory via FS
+    * rename — per-cluster swap, not a global atomic cutover (a reader
+    * racing the swap of one cluster should use the [[maintain]] →
+    * [[IvfIndex.publishLatest]] versioned path instead; compaction is the
+    * cheap in-place arm for single-writer maintenance windows). Row set,
+    * assignments, and every search result are invariants (IvfSpec-gated).
+    * Returns the compacted cluster ids. */
+  def compact(maxFilesPerCluster: Int = 1): Seq[Int] = {
+    require(maxFilesPerCluster >= 1, s"maxFilesPerCluster: $maxFilesPerCluster")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(conf)
+    def parquetCount(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val frag = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .collect { case s if parquetCount(s.getPath) > maxFilesPerCluster =>
+        s.getPath.getName.stripPrefix("cluster=").toInt }
+      .sorted
+    if (frag.nonEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        indexDir.stripSuffix("/") + "-compacting")
+      // hash-repartition by cluster: each fragmented cluster lands wholly in
+      // one task, so partitionBy writes exactly one file per cluster
+      vectors.where(col("cluster").isin(frag.map(Int.box): _*))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
+        .repartition(frag.size, col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
+      frag.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(root, s"cluster=$c")
+        val src = new org.apache.hadoop.fs.Path(tmp, s"cluster=$c")
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+      fs.delete(tmp, true)
+    }
+    frag
+  }
+
   /** Merge-then-rebuild-when-skewed — the maintenance policy [[balanceReport]]
     * observes but (until now) nothing acted on: merge the segment, then if the
     * hottest cluster's load factor exceeds `maxLoadFactor` (1.0 = perfectly

@@ -238,5 +238,22 @@ class IncrementalDrillSpec extends SparkSpec {
       assert(got.sameElements(exact),
         s"day $day: full-probe search diverged from exact over the union")
     }
+
+    // ---- post-drill maintenance coda: the daily merges fragmented the
+    // serving layout (≤1 appended file per touched cluster per day) —
+    // compaction collapses the fragmented clusters and must leave the row
+    // set and full-probe search untouched (the scheduled-compaction step a
+    // production deployment runs after its ingest window)
+    val served = IvfIndex.loadLatest(spark, ivfRoot)
+    val rowsBefore = served.vectors.select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    served.compact(maxFilesPerCluster = 1)
+    val rowsAfter = served.vectors.select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rowsAfter == rowsBefore, "post-drill compaction moved or lost rows")
+    val qv = KnnExact.queryVector(emb, 0L)
+    val exact = KnnExact.topK(emb, qv, 10).collect().map(_.getLong(0))
+    val got = served.search(qv, 10, nProbe = 8).collect().map(_.getLong(0))
+    assert(got.sameElements(exact), "post-compaction search diverged")
   }
 }

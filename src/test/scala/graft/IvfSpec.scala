@@ -244,6 +244,45 @@ class IvfSpec extends SparkSpec {
         s"want ${exact.mkString(",")}")
   }
 
+  test("compact: fragmented clusters collapse to one file; rows and search invariant") {
+    // three daily merges fragment the layout (each appends ≤1 file per
+    // touched cluster); compact(1) must rewrite ONLY the fragmented
+    // clusters, leave every row and search result identical, and bring all
+    // per-cluster parquet counts back to 1
+    val dir = "target/ivf-test/compact"
+    val base = emb.where(col("vec_id") % 5 === 0)
+    val idx = IvfIndex.build(spark, base, dir, numClusters = 8)
+    (1 to 3).foreach(d => idx.mergeSegment(emb.where(col("vec_id") % 5 === d)))
+    def filesPerCluster(): Map[Int, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(f => f.getName.stripPrefix("cluster=").toInt ->
+          f.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerCluster()
+    assert(before.values.exists(_ > 1), s"merges must fragment: $before")
+    val rowsBefore = idx.vectors.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val compacted = idx.compact(maxFilesPerCluster = 1)
+    assert(compacted.toSet == before.filter(_._2 > 1).keySet,
+      s"compact must touch exactly the fragmented clusters: $compacted vs $before")
+    val after = filesPerCluster()
+    assert(after.values.forall(_ <= 1), s"post-compact fragmentation: $after")
+    assert(after.keySet == before.keySet, "no cluster directory may vanish")
+    val rowsAfter = idx.vectors.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rowsAfter == rowsBefore, "compaction must not move or lose a row")
+    // search invariance at full probe over the merged corpus
+    val corpus = emb.where(col("vec_id") % 5 <= 3)
+    val exact = KnnExact.topK(corpus, qv, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("sim")))
+    val got = idx.search(qv, 10, 8).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("sim")))
+    assert(got.sameElements(exact), "post-compact full-probe search diverged")
+    // idempotence: a second compact is a no-op
+    assert(idx.compact(maxFilesPerCluster = 1).isEmpty)
+  }
+
   test("maintain: rebuild fires iff max load factor exceeds the threshold") {
     val dir = "target/ivf-test/maintain"
     val base = emb.where(col("vec_id") % 10 =!= 0)
