@@ -309,8 +309,8 @@ object ScaleProbe {
       // pinning the skewed fact through every earlier probe's measurement.
       // Now the materialization runs inside the skewjoin_setup probe (its
       // own labeled timing row, so the plain-vs-salted pair stays clean),
-      // and the salted probe unpersists both frames when it finishes so
-      // nothing stays pinned through the relational probes that follow.
+      // and the last SELECTED skew probe unpersists both frames when it
+      // finishes so nothing stays pinned through the probes that follow.
       lazy val skewSetup: (DataFrame, DataFrame, Int) = {
         val ev = spark.read.parquet(s"$sfDir/events.parquet")
           .select(col("event_id"), col("user_id"), col("value"))
@@ -347,16 +347,27 @@ object ScaleProbe {
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
         }
       }
+      def release(): Unit = {
+        val (fact, dim, _) = skewSetup
+        fact.unpersist(blocking = false)
+        dim.unpersist(blocking = false)
+      }
+      // the release rides the LAST skew probe the filter actually selects —
+      // a filtered run executing setup/plain without salted must not leave
+      // the replicated frames pinned through later probes (review r12)
+      val lastSelected = skewNames
+        .filter(n => probeFilter.forall(_.contains(n))).lastOption
+      def withRelease(name: String)(body: => Unit): Unit =
+        try body finally if (lastSelected.contains(name)) release()
       Seq(
-        "skewjoin_setup" -> (() => { skewSetup; () }),
-        "skewjoin_plain" -> (() => {
+        "skewjoin_setup" -> (() => withRelease("skewjoin_setup") { skewSetup; () }),
+        "skewjoin_plain" -> (() => withRelease("skewjoin_plain") {
           val (fact, dim, _) = skewSetup
           nonAdaptive(noop(fact.join(dim, Seq("user_id"))))
         }),
-        "skewjoin_salted" -> (() => {
+        "skewjoin_salted" -> (() => withRelease("skewjoin_salted") {
           val (fact, dim, salts) = skewSetup
-          try nonAdaptive(noop(SkewJoin.saltedInner(fact, dim, "user_id", salts)))
-          finally { fact.unpersist(blocking = false); dim.unpersist(blocking = false) }
+          nonAdaptive(noop(SkewJoin.saltedInner(fact, dim, "user_id", salts)))
         }))
     }
 

@@ -15,12 +15,23 @@ object SfPath {
     * stay live). */
   private val seen = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Collision identity: path-normalized, so two SPELLINGS of one directory
+    * (`//root/x`, `/root/./x`, a relative form) never trip the guard —
+    * only genuinely different directories colliding on one safe name do
+    * (review r12: the raw-string compare threw a spurious ambiguity for
+    * equivalent spellings). Falls back to the raw string for inputs the
+    * path API rejects. */
+  private def identity(sfDir: String): String =
+    try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
+    catch { case _: java.nio.file.InvalidPathException => sfDir }
+
   def safe(sfDir: String): String = {
     val s = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
-    val prior = seen.putIfAbsent(s, sfDir)
+    val id = identity(sfDir)
+    val prior = seen.putIfAbsent(s, id)
     prior.foreach { p =>
-      if (p != sfDir) throw new IllegalArgumentException(
-        s"ambiguous artifact key: sfDirs '$p' and '$sfDir' both sanitize to " +
+      if (p != id) throw new IllegalArgumentException(
+        s"ambiguous artifact key: sfDirs '$p' and '$id' both sanitize to " +
           s"'$s' — their keyed artifact paths would collide; disambiguate " +
           "the directory names (fail-loud convention for ambiguous artifacts)")
     }

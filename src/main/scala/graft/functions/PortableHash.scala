@@ -349,7 +349,7 @@ case class PhashFrames(child: Expression, stride: Int, cells: Int)
     extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
-  require(cells > 0 && stride % cells == 0,
+  require(stride > 0 && cells > 0 && stride % cells == 0,
     s"stride $stride must be a positive multiple of cells=$cells")
 
   override def dataType: DataType = ArrayType(

@@ -203,7 +203,7 @@ object Multimodal {
     * exchange to an otherwise zero-shuffle sketch stage). */
   def phashFrames(documents: DataFrame, stride: Int = PhashStride,
       cells: Int = PhashCells, carry: Seq[String] = Nil): DataFrame = {
-    require(cells > 0 && stride % cells == 0,
+    require(stride > 0 && cells > 0 && stride % cells == 0,
       s"stride $stride must be a positive multiple of cells=$cells")
     val carried = carry.map(col)
     documents

@@ -361,11 +361,25 @@ final case class IvfIndex(
         .select(col("vec_id"), col("label"), col("embedding"), col("cluster"))
         .repartition(frag.size, col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(tmp.toString)
+      // swap via move-aside + move-in, CHECKING every rename: Hadoop
+      // FileSystem.rename signals most failures by returning false, and a
+      // delete-then-rename sequence that ignored it would silently lose the
+      // cluster (then the tmp cleanup would destroy the only copy). With
+      // the aside step the rows exist on disk at every instant — a failed
+      // move-in restores the original and aborts loudly (review r12).
       frag.foreach { c =>
         val dst = new org.apache.hadoop.fs.Path(root, s"cluster=$c")
         val src = new org.apache.hadoop.fs.Path(tmp, s"cluster=$c")
-        fs.delete(dst, true)
-        fs.rename(src, dst)
+        val aside = new org.apache.hadoop.fs.Path(root, s".cluster=$c.compacted-away")
+        fs.delete(aside, true) // stale aside from a crashed prior run
+        if (!fs.rename(dst, aside)) throw new java.io.IOException(
+          s"compact: could not move aside $dst — layout unchanged")
+        if (!fs.rename(src, dst)) {
+          fs.rename(aside, dst) // restore; original rows still intact
+          throw new java.io.IOException(
+            s"compact: could not move $src into place — original restored")
+        }
+        fs.delete(aside, true)
       }
       fs.delete(tmp, true)
     }

@@ -119,7 +119,7 @@ object LshAnn {
       .parquet(indexDir)
     // a rebuild invalidates any open serve-time handle on this dir (the
     // cached relation's file index is a snapshot)
-    frameCache.keys.filter(_.endsWith(s"#$indexDir")).foreach(frameCache.remove)
+    frameCache.remove(indexDir)
   }
 
   /** Serve-time handle on a [[buildIndex]] layout, resolved ONCE per
@@ -136,9 +136,18 @@ object LshAnn {
 
   private def indexFrame(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    frameCache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}#$indexDir",
-      spark.read.parquet(indexDir))
+    // keyed by dir with a LIVENESS check, not by a session hash (review
+    // r12: identityHashCode is neither unique nor tied to liveness — a
+    // dead session's entry must be replaced, never served): an entry bound
+    // to another or a stopped session is rebuilt against the caller's
+    frameCache.get(indexDir) match {
+      case Some(df) if (df.sparkSession eq spark) &&
+          !spark.sparkContext.isStopped => df
+      case _ =>
+        val df = spark.read.parquet(indexDir)
+        frameCache.put(indexDir, df)
+        df
+    }
 
   private val indexCache = scala.collection.concurrent.TrieMap.empty[String, String]
 

@@ -15,6 +15,15 @@ class SfPathSpec extends AnyFunSuite {
     assert(SfPath.safe("/tmp/x/sfpathspec-a0.01") == s1) // re-entry is fine
   }
 
+  test("two spellings of the SAME directory never trip the guard") {
+    // review r12: the raw-string compare threw a spurious ambiguity for
+    // equivalent spellings; the collision identity is the normalized path.
+    // '//tmp/...' collides on the safe name with '/tmp/...' but is the same
+    // directory — it must return the same key, not throw.
+    val s1 = SfPath.safe("/tmp/sfpathspec/samedir0.1")
+    assert(SfPath.safe("//tmp/sfpathspec/samedir0.1") == s1)
+  }
+
   test("two distinct raws mapping to one safe name fail loudly") {
     SfPath.safe("/tmp/sfpathspec/collide0.1")
     val e = intercept[IllegalArgumentException](
