@@ -355,6 +355,19 @@ object SparkEntry {
         graft.sources.IncrementalHistory.bands(s, d))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
+    "lsh_candidates_inc_bloom" -> ((s, d) => {
+      // the same daily-ingest banding probe with the batch's (band, bucket)
+      // sketch pushed into the history artifact scan — result-identical by
+      // construction (no false negatives; false positives die in the exact
+      // equi-join), so it shares lsh_candidates_inc's oracle shape, the
+      // dedup_bloom convention
+      val docs = tbl(s, d, "documents")
+      Dedup.lshCandidatePairsIncrementalBloom(
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.bands(s, d),
+        expectedItems = 1L << 16, numBits = 1L << 20)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     "ngram_jaccard"          -> ((s, d) =>
       Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -575,6 +588,7 @@ object SparkEntry {
     // new-batch band table ([[Dedup.lshCandidatePairsIncremental]]; the
     // history/batch split frames differ from the full-corpus minhash family)
     "lsh_candidates_inc"  -> "inclsh",
+    "lsh_candidates_inc_bloom" -> "inclsh",
     // rolling-window hash tables ([[Dedup.dupSpanShare]] /
     // [[Dedup.scrubDupSpans]] — different persisted frames, one family so
     // they run adjacent and release together)
@@ -849,6 +863,20 @@ object SparkEntry {
        |c AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS common
        |  FROM p a JOIN p b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Incremental-banding replay shared by the plain and bloom-prefiltered
+    * serving rows (identical results is the CONTRACT, the dedup_bloom
+    * convention). */
+  private lazy val LshIncOracle: String =
+    s"""$MinhashCte,
+       |bands AS (
+       |  $LshBandsSql)
+       |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |  greatest(a.doc_id, b.doc_id) AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
+       |WHERE a.doc_id % 5 = 4
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val LshBandsSql: String =
     (0 until Dedup.Bands).map { b =>
@@ -1533,16 +1561,11 @@ object SparkEntry {
     // incremental banding: identical band math, but the a-side is restricted
     // to the NEW batch (doc_id % 5 = 4) — history×history pairs never appear,
     // new×new pairs canonicalize via least/greatest + DISTINCT
-    "lsh_candidates_inc" ->
-      s"""$MinhashCte,
-         |bands AS (
-         |  $LshBandsSql)
-         |SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-         |  greatest(a.doc_id, b.doc_id) AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id <> b.doc_id
-         |WHERE a.doc_id % 5 = 4
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "lsh_candidates_inc" -> LshIncOracle,
+    // bit-identical by construction (bloom has no false negatives; false
+    // positives die in the exact equi-join) — same oracle, the
+    // dedup_bloom / dedup_incremental convention
+    "lsh_candidates_inc_bloom" -> LshIncOracle,
 
     // MinHash-estimated Jaccard for the banded candidate pairs: fraction of
     // the K=8 signature components on which the pair agrees

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -327,6 +327,46 @@ object Dedup {
       .unionByName(nb)
     nb.as("a")
       .join(all.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** [[lshCandidatePairsIncremental]] with a bloom runtime filter pushed
+    * into the HISTORY band artifact's scan — the [[incrementalExactBloom]]
+    * shape applied to the banding family. The plain incremental join's cost
+    * profile inverts at scale the same way: the batch's band table is small
+    * but the history artifact is corpus-sized, and even a bucketed equi-join
+    * moves every history row through a scan. A sketch of the batch's
+    * (band, bucket) keys — packed into one 62-bit long, band in bits 60-61
+    * over the 60-bit bucket hash — probes INSIDE the artifact scan, so
+    * history shrinks to ≈ bucket-sharing rows + fpp·|history| BEFORE any
+    * exchange, at which point AQE broadcasts the survivor side.
+    *
+    * Result-identical to [[lshCandidatePairsIncremental]] for ANY sketch
+    * size: no false negatives (every history band row sharing a batch
+    * bucket survives the pruned scan), and false positives die in the exact
+    * (band, bucket) equi-join. DedupTextSpec asserts parity down to a
+    * saturated 64-bit sketch. */
+  def lshCandidatePairsIncrementalBloom(newDocs: DataFrame,
+      historyBands: DataFrame, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    def key(band: Column, bucket: Column): Column =
+      shiftleft(band.cast("long"), 60) + bucket
+    val nb = graft.CacheRegistry.persist(lshBuckets(newDocs))
+    val sketch = bloomSketch(
+      nb.select(key(col("band"), col("bucket")).as("k")), col("k"),
+      expectedItems, numBits)
+    val hist = historyBands.select(col("doc_id"), col("band"), col("bucket"))
+    val pruned =
+      if (sketch == null) hist.limit(0)
+      else hist.where(bloomMightContain(sketch, key(col("band"), col("bucket"))))
+    nb.as("a")
+      .join(pruned.unionByName(nb).as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") =!= col("b.doc_id"))

@@ -409,6 +409,33 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("bloom-prefiltered incremental banding matches the plain probe at any sketch size") {
+    // the incrementalExactBloom structural-parity contract on the banding
+    // family: no false negatives, false positives die in the exact
+    // (band, bucket) equi-join — identical pairs at a generous sketch AND
+    // at a saturated 64-bit one; an empty batch yields no pairs (null
+    // sketch path)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val histBands = Dedup.lshBuckets(hist)
+    val plain = pairs(Dedup.lshCandidatePairsIncremental(batch, histBands))
+    graft.CacheRegistry.release()
+    val bloom = pairs(Dedup.lshCandidatePairsIncrementalBloom(batch, histBands))
+    graft.CacheRegistry.release()
+    assert(bloom == plain, s"bloom diverged: ${bloom.size} vs ${plain.size}")
+    val saturated = pairs(Dedup.lshCandidatePairsIncrementalBloom(
+      batch, histBands, expectedItems = 4, numBits = 64))
+    graft.CacheRegistry.release()
+    assert(saturated == plain, "saturated sketch must stay exact")
+    assert(Dedup.lshCandidatePairsIncrementalBloom(batch.limit(0), histBands)
+      .count() == 0, "empty batch must produce no candidates")
+    graft.CacheRegistry.release()
+  }
+
   test("spanHashAudit: h60 is injective over the corpus shingle/span-window sets") {
     // the "hash classes == string classes" contract every hash-native
     // shingle/span join rides on (shingledDocs, spanWindowSet), measured on
@@ -488,6 +515,12 @@ class DedupTextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       s"history scan must carry the bloom probe predicate:\n${plan.take(800)}")
+    graft.CacheRegistry.release()
+    // same placement contract for the banding family's bloom row
+    val lshPlan = SparkEntry.queries("lsh_candidates_inc_bloom")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(lshPlan.contains("might_contain"),
+      s"band-artifact scan must carry the bloom probe:\n${lshPlan.take(800)}")
     graft.CacheRegistry.release()
   }
 }
