@@ -61,7 +61,20 @@ object ScaleProbe {
 
     // optional probe-name filter (args(2)): families whose probes are all
     // filtered out skip their corpus materialization entirely
-    val probeFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    val rawFilter = args.lift(2).map(_.split(",").map(_.trim).toSet)
+    // Selecting a TIMED skew probe implies its untimed setup row: the skew
+    // materialization is a lazy val forced by whichever skew probe runs
+    // first, so a filter naming only plain/salted would fold the replicated
+    // persist + hot-key report into the first timed body and corrupt the
+    // plain-vs-salted comparison (advice r12).
+    val probeFilter = rawFilter.map { f =>
+      if ((f.contains("skewjoin_plain") || f.contains("skewjoin_salted")) &&
+          !f.contains("skewjoin_setup")) {
+        System.err.println("[scale-probe] implicitly including skewjoin_setup" +
+          " so plain/salted never absorb the materialization cost")
+        f + "skewjoin_setup"
+      } else f
+    }
     def wants(names: String*): Boolean =
       probeFilter.forall(f => names.exists(f.contains))
 

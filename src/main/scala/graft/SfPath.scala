@@ -15,6 +15,13 @@ object SfPath {
     * stay live). */
   private val seen = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** On-disk twin of [[seen]] (ADVICE r12: the in-JVM map cannot see a
+    * collision across separate JVMs or restarts — exactly when the stale
+    * artifact is most likely to be silently reused). One marker file per
+    * safe name under the same `target/` root every keyed artifact lives in,
+    * holding the normalized raw identity; verified on every [[safe]] call. */
+  private val registry = java.nio.file.Paths.get("target", ".sfpath-keys")
+
   /** Collision identity: path-normalized, so two SPELLINGS of one directory
     * (`//root/x`, `/root/./x`, a relative form) never trip the guard —
     * only genuinely different directories colliding on one safe name do
@@ -25,16 +32,54 @@ object SfPath {
     try java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize.toString
     catch { case _: java.nio.file.InvalidPathException => sfDir }
 
+  private def collide(s: String, a: String, b: String): Nothing =
+    throw new IllegalArgumentException(
+      s"ambiguous artifact key: sfDirs '$a' and '$b' both sanitize to " +
+        s"'$s' — their keyed artifact paths would collide; disambiguate " +
+        "the directory names, or remove target/.sfpath-keys after clearing " +
+        "the stale artifacts (fail-loud convention for ambiguous artifacts)")
+
+  /** Cross-process arm of the guard: record `id` under the safe name in the
+    * on-disk registry, failing loudly if a DIFFERENT identity already owns
+    * it. Registry I/O failures degrade to the in-JVM guard (never mask the
+    * collision error itself — only IOExceptions are swallowed). */
+  private def persistGuard(s: String, id: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.charset.StandardCharsets.UTF_8
+    try {
+      Files.createDirectories(registry)
+      val f = registry.resolve(s)
+      def ownerOf(p: java.nio.file.Path): String =
+        new String(Files.readAllBytes(p), UTF_8).trim
+      if (Files.exists(f)) {
+        val prior = ownerOf(f)
+        if (prior.nonEmpty && prior != id) collide(s, prior, id)
+      } else {
+        // atomic claim: write-to-temp + ATOMIC_MOVE without REPLACE, so two
+        // racing processes cannot both think they own the name — the loser
+        // re-verifies against whatever the winner recorded
+        val tmp = Files.createTempFile(registry, s".$s", ".tmp")
+        Files.write(tmp, id.getBytes(UTF_8))
+        try Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            Files.deleteIfExists(tmp)
+            if (Files.exists(f)) {
+              val prior = ownerOf(f)
+              if (prior.nonEmpty && prior != id) collide(s, prior, id)
+            }
+        }
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
   def safe(sfDir: String): String = {
     val s = sfDir.replaceAll("^[^A-Za-z0-9.]+", "").replaceAll("[^A-Za-z0-9.]", "_")
     val id = identity(sfDir)
     val prior = seen.putIfAbsent(s, id)
-    prior.foreach { p =>
-      if (p != id) throw new IllegalArgumentException(
-        s"ambiguous artifact key: sfDirs '$p' and '$id' both sanitize to " +
-          s"'$s' — their keyed artifact paths would collide; disambiguate " +
-          "the directory names (fail-loud convention for ambiguous artifacts)")
-    }
+    prior.foreach { p => if (p != id) collide(s, p, id) }
+    persistGuard(s, id)
     s
   }
 }

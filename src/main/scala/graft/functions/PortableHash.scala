@@ -120,6 +120,10 @@ object PortableHash {
     * one frame even for empty text (the `greatest(…, 0)` floor). */
   def phashFrames(text: UTF8String, stride: Int, cells: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
+    // mirrors the PhashFrames constructor guard for direct callers: past 62
+    // cells the `1L << c` packing wraps/sets the sign bit (advice r12)
+    require(cells > 0 && cells <= 62 && stride % cells == 0,
+      s"cells=$cells must be in [1, 62] and divide stride=$stride")
     val cellw = stride / cells
     val n = text.numChars()
     val nFrames = math.max((n + stride - 1) / stride, 1)
@@ -349,8 +353,12 @@ case class PhashFrames(child: Expression, stride: Int, cells: Int)
     extends UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
 
-  require(stride > 0 && cells > 0 && stride % cells == 0,
-    s"stride $stride must be a positive multiple of cells=$cells")
+  // cells ≤ 62: bit packing shifts `1L << c`, which wraps mod 64 past 63
+  // (silently folding cells onto shared bits) and at 63–64 sets the sign
+  // bit, diverging from the DuckDB CTE arithmetic and the banded
+  // `shiftright` extraction (advice r12)
+  require(stride > 0 && cells > 0 && cells <= 62 && stride % cells == 0,
+    s"stride $stride must be a positive multiple of cells=$cells (cells <= 62)")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -203,8 +203,9 @@ object Multimodal {
     * exchange to an otherwise zero-shuffle sketch stage). */
   def phashFrames(documents: DataFrame, stride: Int = PhashStride,
       cells: Int = PhashCells, carry: Seq[String] = Nil): DataFrame = {
-    require(stride > 0 && cells > 0 && stride % cells == 0,
-      s"stride $stride must be a positive multiple of cells=$cells")
+    require(stride > 0 && cells > 0 && cells <= 62 && stride % cells == 0,
+      s"stride $stride must be a positive multiple of cells=$cells (cells <= 62:" +
+        " sign-free single-long bit packing)")
     val carried = carry.map(col)
     documents
       .select((Seq(col("doc_id"),

@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** One-job set fingerprint over a DISTINCT canonically-oriented edge set:
+    * (row count, xor of xxhash64(u,v)). Equality of fingerprints ⟺ set
+    * equality up to a ~2⁻⁶⁴ xor-collision on the symmetric difference —
+    * sound as a convergence test at any realistic edge cardinality, and it
+    * replaces the former two full-shuffle `exceptAll` jobs per star round
+    * with ONE map-side-partial aggregate (xor never overflows, so it is
+    * safe under ANSI mode where `sum` of hashes would throw). */
+  private def fingerprint(edges: DataFrame): (Long, Long) = {
+    val r = edges
+      .agg(count(lit(1)).as("c"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** `pairs`: (src BIGINT, dst BIGINT) undirected edges. Returns
     * (doc_id, cluster_rep) for every node with ≥1 edge, cluster_rep = the
     * component's minimum node id (component minima label themselves). */
@@ -37,6 +52,7 @@ object ConnectedComponents {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
+    var prevFp = fingerprint(edges)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -63,9 +79,9 @@ object ConnectedComponents {
           least(col("n"), col("m")).as("v"))
         .distinct()
         .localCheckpoint()
-      val changed =
-        ss.exceptAll(edges).isEmpty && edges.exceptAll(ss).isEmpty
-      converged = changed
+      val fp = fingerprint(ss)
+      converged = fp == prevFp
+      prevFp = fp
       edges = ss
       rounds += 1
     }

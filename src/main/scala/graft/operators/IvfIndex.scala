@@ -345,6 +345,29 @@ final case class IvfIndex(
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(conf)
+    // Crash recovery BEFORE anything else touches aside dirs: a prior run
+    // that died between rename(dst, aside) and rename(src, dst) left the
+    // cluster's ONLY copy in a dot-prefixed aside dir Spark's file index
+    // ignores — searches would silently drop those vectors, and the
+    // per-cluster pre-emptive aside delete below could destroy the copy.
+    // Restore any aside whose cluster= sibling is missing; an aside WITH a
+    // live sibling is always redundant (asides are deleted immediately
+    // after a successful move-in, so a surviving pair means the compacted
+    // full copy already landed) and is cleaned up here.
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".cluster=") &&
+        s.getPath.getName.endsWith(".compacted-away"))
+      .foreach { s =>
+        val c = s.getPath.getName
+          .stripPrefix(".").stripSuffix(".compacted-away")
+        val dst = new org.apache.hadoop.fs.Path(root, c)
+        if (!fs.exists(dst)) {
+          if (!fs.rename(s.getPath, dst)) throw new java.io.IOException(
+            s"compact: orphaned aside ${s.getPath} could not be restored " +
+              "— index is missing this cluster's rows; manual restore needed")
+        } else fs.delete(s.getPath, true)
+      }
     def parquetCount(p: org.apache.hadoop.fs.Path): Int =
       fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val frag = fs.listStatus(root).toSeq

@@ -283,6 +283,44 @@ class IvfSpec extends SparkSpec {
     assert(idx.compact(maxFilesPerCluster = 1).isEmpty)
   }
 
+  test("compact: orphaned aside dir from a crashed swap is restored first") {
+    // ADVICE r12: a process dying between rename(dst, aside) and
+    // rename(src, dst) leaves the cluster's ONLY copy in the dot-prefixed
+    // aside dir, which Spark's file index ignores — searches silently drop
+    // the cluster and the next compact's pre-emptive aside delete could
+    // destroy the copy. The start-of-compact recovery scan must restore it.
+    val dir = "target/ivf-test/compact-orphan"
+    val base = emb.where(col("vec_id") % 5 === 0)
+    val idx = IvfIndex.build(spark, base, dir, numClusters = 8)
+    idx.mergeSegment(emb.where(col("vec_id") % 5 === 1))
+    val rowsBefore = idx.vectors.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // simulate the crash window on one populated cluster: dst moved aside,
+    // replacement never moved in
+    val root = new java.io.File(dir)
+    val victim = root.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head
+    val c = victim.getName.stripPrefix("cluster=")
+    val aside = new java.io.File(root, s".cluster=$c.compacted-away")
+    assert(victim.renameTo(aside), "test setup: move-aside failed")
+    // the damage is real: the cluster's rows are invisible to a fresh scan
+    assert(spark.read.parquet(dir).count() < rowsBefore.size)
+    idx.compact(maxFilesPerCluster = 1)
+    assert(!aside.exists(), "recovery must consume the aside dir")
+    val rowsAfter = idx.vectors.select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rowsAfter == rowsBefore,
+      "orphan recovery must restore the cluster's rows exactly")
+    // a REDUNDANT aside (crash after successful move-in, before cleanup)
+    // is deleted, not restored over the live dir
+    val live = new java.io.File(root, victim.getName)
+    val stale = new java.io.File(root, s".cluster=$c.compacted-away")
+    assert(stale.mkdir(), "test setup: stale aside")
+    idx.compact(maxFilesPerCluster = 1)
+    assert(!stale.exists() && live.exists(),
+      "redundant aside must be cleaned up without touching the live cluster")
+  }
+
   test("maintain: rebuild fires iff max load factor exceeds the threshold") {
     val dir = "target/ivf-test/maintain"
     val base = emb.where(col("vec_id") % 10 =!= 0)

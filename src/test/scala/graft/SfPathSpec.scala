@@ -30,4 +30,32 @@ class SfPathSpec extends AnyFunSuite {
       SfPath.safe("_tmp_sfpathspec_collide0.1"))
     assert(e.getMessage.contains("collide"))
   }
+
+  test("collisions across JVMs fail loudly via the on-disk registry") {
+    // ADVICE r12: the in-JVM TrieMap cannot see a collision from a SEPARATE
+    // process or an earlier run. Simulate the other process by pre-seeding
+    // its marker file, then call safe() with a DIFFERENT directory that
+    // sanitizes to the same name — the registry, not the map, must catch it.
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val registry = Paths.get("target", ".sfpath-keys")
+    Files.createDirectories(registry)
+    val marker = registry.resolve("tmp_sfpathspec_xproc0.1")
+    Files.write(marker, "/claimed/by/another/process".getBytes(UTF_8))
+    try {
+      val e = intercept[IllegalArgumentException](
+        SfPath.safe("/tmp/sfpathspec/xproc0.1"))
+      assert(e.getMessage.contains("collide"))
+    } finally Files.deleteIfExists(marker)
+  }
+
+  test("safe() persists its identity marker for future processes") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val s = SfPath.safe("/tmp/sfpathspec/persist0.1")
+    val marker = Paths.get("target", ".sfpath-keys").resolve(s)
+    assert(Files.exists(marker))
+    assert(new String(Files.readAllBytes(marker), UTF_8).trim ==
+      "/tmp/sfpathspec/persist0.1")
+  }
 }
