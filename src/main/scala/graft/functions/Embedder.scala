@@ -15,6 +15,14 @@ trait Embedder extends Serializable {
   def dim: Int
   /** Encode one text. Implementations should be pure + deterministic. */
   def embed(text: String): Array[Float]
+  /** Model-call batch size (the reference's `batch_size=1024` analog,
+    * `embedding.py:32`) — [[Embedder.encode]] groups each partition's rows
+    * into batches of this size before calling [[embedBatch]]. */
+  def batchSize: Int = 256
+  /** Encode a batch in one model call. Default delegates per-text; real
+    * model backends ([[OnnxEmbedder]]) override with a true batched forward
+    * pass — the GPU/BLAS utilization lever at the A2 boundary. */
+  def embedBatch(texts: Array[String]): Array[Array[Float]] = texts.map(embed)
 }
 
 /** Deterministic bag-of-hashed-words embedder standing in for the MiniLM
@@ -58,8 +66,27 @@ object Embedder {
     val ds: Dataset[(Long, String)] =
       df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
     ds.mapPartitions { it =>
-      // model init would happen here, once per partition
-      it.map { case (id, text) => (id, embedder.embed(text)) }
+      // model init happens on first batch, once per partition (OnnxEmbedder
+      // opens its session lazily); grouped() keeps at most one batch of
+      // texts in memory while streaming the partition through the model
+      it.grouped(embedder.batchSize).flatMap { chunk =>
+        val ids = chunk.map(_._1)
+        val vecs = embedder.embedBatch(chunk.map(_._2).toArray)
+        ids.lazyZip(vecs).map { case (id, v) => (id, v) }
+      }
     }.toDF(idCol, "embedding")
   }
+
+  /** Select the A2 backend from the environment: `GRAFT_ONNX_MODEL` +
+    * `GRAFT_ONNX_VOCAB` (and the ONNX runtime on the classpath) activate
+    * the real MiniLM arm; otherwise the deterministic hermetic stand-in.
+    * The declared default everywhere in this repo is [[HashEmbedder]] —
+    * this factory is the ONE opt-in switch, so no hermetic test or oracle
+    * can silently depend on the model being present. */
+  def forEnv(dim: Int = 64): Embedder =
+    (sys.env.get("GRAFT_ONNX_MODEL"), sys.env.get("GRAFT_ONNX_VOCAB")) match {
+      case (Some(model), Some(vocab)) if OnnxRuntime.available =>
+        OnnxEmbedder(model, vocab)
+      case _ => HashEmbedder(dim)
+    }
 }
