@@ -407,6 +407,20 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "near_dup_clusters"      -> ((s, d) =>
       Dedup.nearDupClusters(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+    "near_dup_clusters_inc"  -> ((s, d) => {
+      // daily-ingest clustering: the batch shingles only itself, probes the
+      // history posting/size artifacts (never re-tokenized), and merges into
+      // yesterday's labeling via its star edges — result ≡ the full
+      // recompute over history ∪ batch, so the oracle is near_dup_clusters'
+      // recursive-CTE replay over the whole corpus, verbatim
+      val docs = tbl(s, d, "documents")
+      Dedup.nearDupClustersIncremental(
+        graft.sources.IncrementalHistory.batchDocs(docs),
+        graft.sources.IncrementalHistory.shinglePostings(s, d),
+        graft.sources.IncrementalHistory.shingleSizes(s, d),
+        graft.sources.IncrementalHistory.nearDupLabels(s, d),
+        0.5).orderBy(col("doc_id"))
+    }),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "simhash_pairs"          -> ((s, d) =>
@@ -589,6 +603,9 @@ object SparkEntry {
     // history/batch split frames differ from the full-corpus minhash family)
     "lsh_candidates_inc"  -> "inclsh",
     "lsh_candidates_inc_bloom" -> "inclsh",
+    // new-batch shingle subtree ([[Dedup.nearDupClustersIncremental]] —
+    // batch frames, distinct from the full-corpus shingle family)
+    "near_dup_clusters_inc" -> "incclust",
     // rolling-window hash tables ([[Dedup.dupSpanShare]] /
     // [[Dedup.scrubDupSpans]] — different persisted frames, one family so
     // they run adjacent and release together)
@@ -1632,6 +1649,25 @@ object SparkEntry {
     // representative is the MIN reachable id (undirected ⇒ min over the walk
     // closure = component min). The chain needs the RECURSIVE keyword.
     "near_dup_clusters" ->
+      s"""${NgramCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |  UNION SELECT db, da FROM pairs),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
+         |SELECT doc_id, MIN(reach) AS cluster_rep
+         |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the incremental path's declared contract IS result-equality with the
+    // full recompute over history ∪ batch, so its oracle is the full
+    // recursive-CTE replay verbatim — any drift in the artifact probe, the
+    // semi-join prefilter, or the star-edge merge hashes red here
+    "near_dup_clusters_inc" ->
       s"""${NgramCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |pairs AS (
          |  SELECT da, db

@@ -623,6 +623,80 @@ object Dedup {
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("doc_id"), col("label").as("cluster_rep"))
 
+  /** The shingle family's history artifacts in their lake shape — what a
+    * daily pipeline appends per ingested batch so [[nearDupClustersIncremental]]
+    * never re-shingles history: the hash postings (doc_id, lang, s) and the
+    * per-doc shingle-set sizes (doc_id, n). Deterministic functions of the
+    * documents table (the IncrementalHistory replay contract). */
+  def shinglePostingsOf(documents: DataFrame): DataFrame =
+    shinglePostings(shingledDocs(documents))
+
+  /** See [[shinglePostingsOf]] — the sizes half of the artifact pair. */
+  def shingleSizesOf(documents: DataFrame): DataFrame =
+    shingledDocs(documents).select(col("doc_id"), size(col("sh")).as("n"))
+
+  /** Incremental near-dup CLUSTERING — the clustering family's daily-ingest
+    * form, completing the set (exact / banding / span / media / embedding
+    * already have O(batch) incremental twins). History enters as three
+    * artifacts: its shingle postings + sizes ([[shinglePostingsOf]] /
+    * [[shingleSizesOf]] — history text is never re-tokenized) and
+    * yesterday's labeling ([[nearDupClusters]] output). Today's work is:
+    *
+    *  1. shingle ONLY the batch (O(batch) — the one tokenize pass);
+    *  2. verified new×new pairs: the standard set-similarity self-join over
+    *     the batch's own postings;
+    *  3. verified new×history pairs: history postings are first semi-joined
+    *     down to the batch's OWN shingle keys — the posting-family analog of
+    *     the bloom-prefiltered banding probe — so only history rows sharing
+    *     a shingle with today's batch reach any exchange (∝ batch vocabulary
+    *     × document frequency, never corpus-sized), then the same
+    *     common-count / Jaccard-threshold tail with sizes from both sides;
+    *  4. connected components over (new pairs) ∪ (yesterday's labeling as
+    *     STAR edges member→rep) — the star preserves yesterday's
+    *     connectivity exactly at O(clustered docs) rows, so history×history
+    *     pairs are NEVER re-verified or even re-read.
+    *
+    * Result ≡ [[nearDupClusters]] over history ∪ batch (same oracle):
+    * Jaccard of any pair is unchanged by when its endpoints arrived, the
+    * verified pair set decomposes as new×new ∪ new×hist ∪ hist×hist, and
+    * CC over (histStar ∪ newPairs) has the same components as CC over
+    * (histPairs ∪ newPairs) because a component's star is connectivity-
+    * equivalent to its pair set. Labels are a REWRITE artifact (the one
+    * non-append artifact of the six incremental modalities — O(clustered
+    * docs), rewritten after each day's run). */
+  def nearDupClustersIncremental(newDocs: DataFrame,
+      historyPostings: DataFrame, historySizes: DataFrame,
+      historyLabels: DataFrame, minJaccard: Double): DataFrame = {
+    val docs = shingledDocs(newDocs)
+    val np = shinglePostings(docs)
+    val ns = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val newNew = jaccardPairsFrom(np, ns, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val keys = np.select(col("lang"), col("s")).distinct()
+    val hp = historyPostings.select(col("doc_id"), col("lang"), col("s"))
+      .join(keys, Seq("lang", "s"), "left_semi")
+    val common = np.as("a")
+      .join(hp.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s"))
+      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = ns.unionByName(historySizes.select(col("doc_id"), col("n")))
+    val newHist = common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .where(round(col("common").cast("double") /
+        (col("sa.n") + col("sb.n") - col("common")), 6) >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val histStar = historyLabels
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("doc_a"), col("cluster_rep").as("doc_b"))
+    ConnectedComponents.run(
+      newNew.unionByName(newHist).unionByName(histStar)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** Train/test contamination check — near-duplicate pairs that STRADDLE
     * split boundaries: even a deduplicated corpus leaks evaluation data when
     * a near-dup of a test doc sits in train. Joins the verified pair table

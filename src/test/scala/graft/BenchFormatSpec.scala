@@ -68,6 +68,15 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(map == "{\"bad\":-1.000,\"ok\":0.500}")
   }
 
+  test("streaming section renders as nested strict JSON; empty stays valid") {
+    val s = Bench.streamingJson(Seq(
+      "band_assign_stream" -> Seq("rows" -> 5000.0, "rows_per_sec" -> 1234.5678),
+      "serve_ann_stream" -> Seq("mean_batch_ms" -> 210.25)))
+    assert(s == "{\"band_assign_stream\":{\"rows\":5000.000," +
+      "\"rows_per_sec\":1234.568},\"serve_ann_stream\":{\"mean_batch_ms\":210.250}}")
+    assert(Bench.streamingJson(Nil) == "{}")
+  }
+
   test("env-sourced values cannot break the parse target (cpus=*, odd paths)") {
     val wild = Bench.summaryLine(1.0, 2.0, 1, Nil,
       sfDir = "/tmp/we\"ird\\dir", sparkVersion = "4.1.2", cpus = "*",

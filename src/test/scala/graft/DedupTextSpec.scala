@@ -436,6 +436,37 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("incremental near-dup clustering = full recompute over history ∪ batch") {
+    // the sixth incremental modality (r13): batch shingles only itself,
+    // probes the history posting/size artifacts, and merges into
+    // yesterday's labeling via star edges — the composed result must be
+    // BIT-identical to rerunning clustering over everything, including
+    // representative election (component minima), merged components that
+    // straddle the history/batch boundary, and batch-only new components
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    val histLabels = Dedup.nearDupClusters(hist, 0.5)
+    val histPost = Dedup.shinglePostingsOf(hist)
+    val histSizes = Dedup.shingleSizesOf(hist)
+    graft.CacheRegistry.release()
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = labels(Dedup.nearDupClustersIncremental(
+      batch, histPost, histSizes, histLabels, 0.5))
+    graft.CacheRegistry.release()
+    val want = labels(Dedup.nearDupClusters(docs, 0.5))
+    graft.CacheRegistry.release()
+    assert(got == want, s"incremental clustering diverged: ${got.size} vs " +
+      s"${want.size} docs (sample diff: ${(want.toSet -- got.toSet).take(3)}" +
+      s" / ${(got.toSet -- want.toSet).take(3)})")
+    // the merge must genuinely exercise all three edge sources: history-only
+    // components survive, and at least one clustered batch doc exists
+    assert(got.keySet.exists(_ % 5 != 4), "no history doc stayed clustered")
+    assert(got.keySet.exists(_ % 5 == 4), "no batch doc joined a cluster")
+  }
+
   test("spanHashAudit: h60 is injective over the corpus shingle/span-window sets") {
     // the "hash classes == string classes" contract every hash-native
     // shingle/span join rides on (shingledDocs, spanWindowSet), measured on
