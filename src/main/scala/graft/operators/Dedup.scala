@@ -460,7 +460,12 @@ object Dedup {
     * same analyzed plan, so Spark's cache manager reuses one materialization
     * across [[ngramJaccardPairs]], [[benchmarkContamination]], and their
     * dependents within a session. */
-  private[operators] def shingledDocs(documents: DataFrame): DataFrame =
+  /** The shingle projection WITHOUT the cache registration — the stateless
+    * per-row form streaming ingest needs (a streaming frame cannot persist;
+    * see [[graft.streaming.EventStreams.shinglePostingStream]]). Batch
+    * callers use [[shingledDocs]], which registers the one shared family
+    * materialization over this same expression. */
+  private[operators] def shingledDocsRaw(documents: DataFrame): DataFrame =
     // `sh` = DISTINCT 3-gram window h60 hashes, built by the one-pass
     // [[graft.functions.SpanWindowHashes]] (window = 3 ≡ a 3-shingle; same
     // space-joined bytes under the digest, so hash values equal
@@ -471,10 +476,13 @@ object Dedup {
     // per-shingle string materialization (two zip_with string builds +
     // string array_distinct + per-posting re-hash) from the family's one
     // shared materialization.
-    graft.CacheRegistry.persist(documents
+    documents
       .select(col("doc_id"), col("lang"),
         array_distinct(spanWindowHashes(tokens(col("text")), 3)).as("sh"))
-      .where(size(col("sh")) > 0))
+      .where(size(col("sh")) > 0)
+
+  private[operators] def shingledDocs(documents: DataFrame): DataFrame =
+    graft.CacheRegistry.persist(shingledDocsRaw(documents))
 
   /** Collision audit for the hash-native shingle/span families (verdict r11
     * #5, the [[graft.operators.TextAnalysis.bigramHashAudit]] pattern): per
@@ -634,6 +642,17 @@ object Dedup {
   /** See [[shinglePostingsOf]] — the sizes half of the artifact pair. */
   def shingleSizesOf(documents: DataFrame): DataFrame =
     shingledDocs(documents).select(col("doc_id"), size(col("sh")).as("n"))
+
+  /** Streaming-safe (unpersisted) twin of [[shinglePostingsOf]] — one
+    * stateless projection per arriving doc, value-identical by
+    * construction (same expression tree minus the cache registration). */
+  def shinglePostingRows(documents: DataFrame): DataFrame =
+    shingledDocsRaw(documents)
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+
+  /** Streaming-safe twin of [[shingleSizesOf]]. */
+  def shingleSizeRows(documents: DataFrame): DataFrame =
+    shingledDocsRaw(documents).select(col("doc_id"), size(col("sh")).as("n"))
 
   /** Incremental near-dup CLUSTERING — the clustering family's daily-ingest
     * form, completing the set (exact / banding / span / media / embedding
