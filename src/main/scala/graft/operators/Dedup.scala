@@ -707,37 +707,46 @@ object Dedup {
       .where(round(col("common").cast("double") /
         (col("sa.n") + col("sb.n") - col("common")), 6) >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    // The CC merge is confined to the AFFECTED subgraph: components none of
-    // today's pairs touch keep yesterday's labels verbatim (their
-    // connectivity and minimum are provably unchanged — edges are only ever
-    // added), so the star rounds run over O(new pairs + touched-component
-    // members), not O(all clustered docs). At a daily batch against a
-    // petabyte corpus this is the difference between re-labeling the lake
-    // and re-labeling today's blast radius. Density caveat, measured: on a
-    // corpus where the batch touches nearly every component (the synthetic
-    // testdata's ~40-word vocabulary is the adversarial case) the affected
-    // set approaches everything and the confinement bookkeeping (three
-    // label-artifact joins) is overhead-neutral-to-negative; the design
-    // target is the realistic regime where components are small relative
-    // to the lake and the blast radius is ∝ batch.
-    val newPairs = graft.CacheRegistry.persist(newNew.unionByName(newHist))
-    val touched = newPairs
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val affectedReps = historyLabels
-      .join(touched, Seq("doc_id"), "left_semi")
-      .select(col("cluster_rep")).distinct()
-    val affectedStar = historyLabels
-      .join(affectedReps, Seq("cluster_rep"), "left_semi")
-      .where(col("doc_id") =!= col("cluster_rep"))
-      .select(col("doc_id").as("doc_a"), col("cluster_rep").as("doc_b"))
-    val merged = ConnectedComponents.run(
-      newPairs.unionByName(affectedStar)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    // The CC merge runs on the QUOTIENT graph: each new pair's endpoints are
+    // first contracted through yesterday's labeling (member → its component
+    // rep; unlabeled endpoints — batch docs and never-clustered history —
+    // keep their own id), so the star rounds see O(batch pairs) nodes
+    // REGARDLESS of component sizes or how much of the lake the batch
+    // touches; the blast radius is then expanded by ONE join that re-labels
+    // exactly the components whose rep appears in the merged result.
+    // Soundness: contracting a component to its rep preserves connectivity
+    // (quotient-graph argument), and minima survive contraction because a
+    // rep IS its component's minimum — so min over (reps ∪ new ids) in a
+    // merged component equals min over all underlying members. Components
+    // no new edge touches keep yesterday's labels verbatim. This dominates
+    // both the naive all-star merge (CC ∝ clustered docs) and an
+    // affected-subgraph star merge (CC ∝ touched-component members — which
+    // on a near-dup-dense corpus is everything).
+    val newPairs = newNew.unionByName(newHist)
+    val lbl = historyLabels.select(col("doc_id"), col("cluster_rep"))
+    val contracted = newPairs
+      .join(lbl.toDF("doc_a", "rep_a"), Seq("doc_a"), "left")
+      .join(lbl.toDF("doc_b", "rep_b"), Seq("doc_b"), "left")
+      .select(coalesce(col("rep_a"), col("doc_a")).as("src"),
+        coalesce(col("rep_b"), col("doc_b")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val merged = ConnectedComponents.run(contracted)
+    val repRelabel = merged
+      .select(col("doc_id").as("cluster_rep"), col("label"))
+    // members (and the center row itself) of every touched component take
+    // the merged component's label
+    val relabeled = historyLabels.join(repRelabel, Seq("cluster_rep"))
       .select(col("doc_id"), col("label").as("cluster_rep"))
-    historyLabels.join(affectedReps, Seq("cluster_rep"), "left_anti")
+    // merged nodes that were NOT old reps: batch docs and previously
+    // unclustered history docs entering a component for the first time
+    val newlyLabeled = merged
+      .join(lbl.select(col("cluster_rep").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("label").as("cluster_rep"))
+    val untouched = historyLabels
+      .join(repRelabel.select(col("cluster_rep")), Seq("cluster_rep"), "left_anti")
       .select(col("doc_id"), col("cluster_rep"))
-      .unionByName(merged)
+    untouched.unionByName(relabeled).unionByName(newlyLabeled)
   }
 
   /** Train/test contamination check — near-duplicate pairs that STRADDLE
