@@ -467,6 +467,29 @@ class DedupTextSpec extends SparkSpec {
     assert(got.keySet.exists(_ % 5 == 4), "no batch doc joined a cluster")
   }
 
+  test("incremental clustering re-elects the rep when a batch doc becomes the min") {
+    // the corpus-level equivalence test can't guarantee this case arises
+    // (measured: zero batch-doc reps at sf0.001), so pin it by hand — the
+    // quotient merge must let a NEW doc with the smallest id take over as
+    // a merged component's representative, while an untouched component
+    // keeps yesterday's labels verbatim
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val hist = Seq((10L, t1, "en"), (11L, t1, "en"),
+      (20L, t2, "en"), (21L, t2, "en")).toDF("doc_id", "text", "lang")
+    val batch = Seq((4L, t1, "en")).toDF("doc_id", "text", "lang")
+    val labels = Dedup.nearDupClusters(hist, 0.5)
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    val got = Dedup.nearDupClustersIncremental(batch,
+        Dedup.shinglePostingsOf(hist), Dedup.shingleSizesOf(hist), labels, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 4L, 10L -> 4L, 11L -> 4L, 20L -> 20L, 21L -> 20L),
+      s"re-election/untouched split diverged: $got")
+    graft.CacheRegistry.release()
+  }
+
   test("spanHashAudit: h60 is injective over the corpus shingle/span-window sets") {
     // the "hash classes == string classes" contract every hash-native
     // shingle/span join rides on (shingledDocs, spanWindowSet), measured on
