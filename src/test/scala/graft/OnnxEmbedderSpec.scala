@@ -54,6 +54,22 @@ class OnnxEmbedderSpec extends SparkSpec {
     assert(mask2.forall(_ == 1L))
   }
 
+  test("tokenizer edges: empty text, unicode punctuation, long-word guard") {
+    // empty / whitespace-only text still frames validly: [CLS] [SEP] + PADs
+    val (ids, mask) = tok.encode("")
+    assert(ids.toSeq == Seq(2L, 3L) ++ Seq.fill(8)(0L))
+    assert(mask.toSeq == Seq(1L, 1L) ++ Seq.fill(8)(0L))
+    // unicode punctuation splits like ASCII punctuation (BERT P*-class rule)
+    assert(tok.basicTokens("the“taj”").toSeq ==
+      Seq("the", "“", "taj", "”"))
+    // ASCII symbols BERT treats as punctuation even where Unicode disagrees
+    assert(tok.basicTokens("the$taj").toSeq == Seq("the", "$", "taj"))
+    // the >100-char word guard short-circuits to [UNK] (BERT semantics)
+    assert(tok.wordpieces("the" * 40).toSeq == Seq(1L))
+    // control chars are dropped, not split on
+    assert(tok.basicTokens("ta\u0000j").toSeq == Seq("taj"))
+  }
+
   test("mean pooling: masked mean then L2 normalize, zero-safe") {
     val hidden = Array(
       Array(1f, 0f), // [CLS] — masked in
