@@ -687,6 +687,45 @@ object IvfIndex {
     load(spark, v)
   }
 
+  /** Version garbage collection — the lifecycle step that bounds a
+    * versioned serving root's storage: every [[maintain]]-rebuild +
+    * [[publishLatest]] rotation leaves the superseded version dir behind
+    * (deliberately — it is the rollback target), and after N rotations the
+    * root holds N dead full-index copies. Deletes version dirs under
+    * `rootDir` EXCEPT the pointer's current target and the `keep` most
+    * recently modified non-serving versions (keep ≥ 1 preserves a rollback
+    * target; 0 keeps only the serving copy). Refuses to run without a
+    * published pointer — GC on an unpublished root could delete the only
+    * copy. Only first-level directories that are not dot/`_`-prefixed are
+    * candidates (the pointer file and Spark metadata are never touched).
+    * Returns the deleted dirs. */
+  def gcVersions(spark: SparkSession, rootDir: String, keep: Int = 1): Seq[String] = {
+    require(keep >= 0, s"keep: $keep")
+    val serving = latestVersionDir(spark, rootDir).getOrElse(
+      throw new IllegalStateException(
+        s"no $LatestPointer pointer under $rootDir — refusing to GC an unpublished root"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(conf)
+    val servingPath = fs.makeQualified(new org.apache.hadoop.fs.Path(serving))
+    // a version UNIT is the index dir + its `-centroids` sibling (the
+    // [[load]]/[[build]] artifact convention at centroidsDirFor) — ranked
+    // and deleted together, never split
+    val versionDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.endsWith("-centroids") &&
+        fs.makeQualified(s.getPath) != servingPath)
+      .sortBy(-_.getModificationTime)
+    versionDirs.drop(keep).flatMap { s =>
+      fs.delete(s.getPath, true)
+      val cents = new org.apache.hadoop.fs.Path(
+        root, s.getPath.getName + "-centroids")
+      val alsoCents = fs.exists(cents) && fs.delete(cents, true)
+      s.getPath.toString +: (if (alsoCents) Seq(cents.toString) else Nil)
+    }
+  }
+
   // Per-(sfDir, k) index cache so the bench/verify harness builds each index once.
   private val cache = scala.collection.concurrent.TrieMap.empty[String, IvfIndex]
 

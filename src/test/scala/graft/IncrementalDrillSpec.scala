@@ -337,5 +337,16 @@ class IncrementalDrillSpec extends SparkSpec {
     val exact = KnnExact.topK(emb, qv, 10).collect().map(_.getLong(0))
     val got = served.search(qv, 10, nProbe = 8).collect().map(_.getLong(0))
     assert(got.sameElements(exact), "post-compaction search diverged")
+
+    // ---- version GC closes the lifecycle: after the day-2 rotation the
+    // root still holds v1 (the rollback target); keep=0 reclaims it and
+    // the pointer's serving copy is untouched
+    val reclaimed = IvfIndex.gcVersions(spark, ivfRoot, keep = 0)
+    assert(reclaimed.exists(_.endsWith("/v1")),
+      s"GC must reclaim the superseded v1: $reclaimed")
+    assert(IvfIndex.latestVersionDir(spark, ivfRoot).contains(s"$ivfRoot/v2"))
+    val afterGc = IvfIndex.loadLatest(spark, ivfRoot)
+      .search(qv, 10, nProbe = 8).collect().map(_.getLong(0))
+    assert(afterGc.sameElements(exact), "post-GC search diverged")
   }
 }

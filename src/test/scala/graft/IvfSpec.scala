@@ -321,6 +321,42 @@ class IvfSpec extends SparkSpec {
       "redundant aside must be cleaned up without touching the live cluster")
   }
 
+  test("gcVersions: bounds the versioned root without touching the serving copy") {
+    val root = "target/ivf-test/gc-root"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(root))
+    // an unpublished root refuses to GC (could delete the only copy)
+    new java.io.File(root).mkdirs()
+    intercept[IllegalStateException](IvfIndex.gcVersions(spark, root))
+    // three published rotations: v1 -> v2 -> v3 (serving)
+    (1 to 3).foreach { v =>
+      IvfIndex.build(spark, emb.where(col("vec_id") % 3 < v),
+        s"$root/v$v", numClusters = 4)
+      IvfIndex.publishLatest(spark, root, s"$root/v$v")
+      Thread.sleep(20) // distinct mtimes for the recency order
+    }
+    val deleted = IvfIndex.gcVersions(spark, root, keep = 1)
+    assert(deleted.map(_.split('/').last).toSet == Set("v1", "v1-centroids"),
+      s"keep=1 must retain serving v3 + rollback v2 (with centroids), " +
+        s"got deleted: $deleted")
+    assert(new java.io.File(s"$root/v2").exists() &&
+      new java.io.File(s"$root/v2-centroids").exists() &&
+      new java.io.File(s"$root/v3").exists() &&
+      new java.io.File(s"$root/v3-centroids").exists())
+    // the serving index is untouched and still loads through the pointer
+    assert(IvfIndex.loadLatest(spark, root).vectors.count() ==
+      emb.where(col("vec_id") % 3 < 3).count())
+    // keep=0 keeps only the serving copy (unit = dir + centroids);
+    // idempotent afterwards
+    assert(IvfIndex.gcVersions(spark, root, keep = 0)
+      .map(_.split('/').last) == Seq("v2", "v2-centroids"))
+    assert(IvfIndex.gcVersions(spark, root, keep = 0).isEmpty)
+    assert(new java.io.File(s"$root/v3").exists() &&
+      new java.io.File(s"$root/v3-centroids").exists())
+  }
+
   test("maintain: rebuild fires iff max load factor exceeds the threshold") {
     val dir = "target/ivf-test/maintain"
     val base = emb.where(col("vec_id") % 10 =!= 0)
