@@ -36,6 +36,20 @@ final class GraftEngine(val spark: SparkSession,
   def openIndex(name: String): IvfIndex =
     IvfIndex.load(spark, s"$workDir/$name")
 
+  /** Versioned serving-root lifecycle (the 24/7 ops loop the drill
+    * exercises end-to-end): publish a built version behind the atomic
+    * LATEST pointer, open whatever the pointer currently names, and bound
+    * the root's storage by reclaiming superseded versions (`keep` rollback
+    * targets retained; the serving copy is never touched). Daily ingest and
+    * in-place maintenance live on the index itself ([[IvfIndex.maintain]] /
+    * [[IvfIndex.compact]]). */
+  def publishIndex(rootName: String, index: IvfIndex): Unit =
+    IvfIndex.publishLatest(spark, s"$workDir/$rootName", index.indexDir)
+  def openLatest(rootName: String): IvfIndex =
+    IvfIndex.loadLatest(spark, s"$workDir/$rootName")
+  def gcIndexVersions(rootName: String, keep: Int = 1): Seq[String] =
+    IvfIndex.gcVersions(spark, s"$workDir/$rootName", keep)
+
   /** Exact k-NN (reference nProbe=128 mode). */
   def knnExact(embeddings: DataFrame, query: Array[Float], k: Int = 5): DataFrame =
     KnnExact.topK(embeddings, query, k)
@@ -263,6 +277,16 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.trainValTestSplit(documents)
   def nearDupClusters(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.nearDupClusters(documents, minJaccard)
+  /** Daily-ingest clustering (the sixth incremental modality): batch-only
+    * shingling against the posting/size history artifacts, quotient-graph
+    * merge into yesterday's labeling — result ≡ [[nearDupClusters]] over
+    * history ∪ batch. Artifact builders: [[Dedup.shinglePostingsOf]] /
+    * [[Dedup.shingleSizesOf]] (append per batch; labels are rewritten). */
+  def nearDupClustersIncremental(newDocs: DataFrame, historyPostings: DataFrame,
+      historySizes: DataFrame, historyLabels: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.nearDupClustersIncremental(
+      newDocs, historyPostings, historySizes, historyLabels, minJaccard)
   def splitLeaks(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.splitLeakPairs(documents, minJaccard)
   def sampleByLanguage(documents: DataFrame, rates: Map[String, Double],

@@ -322,4 +322,36 @@ class EngineFacadeSpec extends SparkSpec {
     assert(inc == full, "facade incremental must match full on batch docs")
     engine.releaseCaches()
   }
+
+  test("r13 facade surface: incremental clustering + versioned-root lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val engine = new GraftEngine(spark, workDir = "target/facade-r13")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val hist = docs.where(col("doc_id") % 5 =!= 4)
+    val batch = docs.where(col("doc_id") % 5 === 4)
+    // sixth incremental modality through the facade ≡ full recompute
+    val inc = engine.nearDupClustersIncremental(batch,
+        graft.operators.Dedup.shinglePostingsOf(hist),
+        graft.operators.Dedup.shingleSizesOf(hist),
+        engine.nearDupClusters(hist))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    engine.releaseCaches()
+    val full = engine.nearDupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"facade incremental clustering diverged " +
+      s"(${inc.size} vs ${full.size})")
+    engine.releaseCaches()
+    // versioned-root lifecycle: publish → openLatest → rotate → GC
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val v1 = engine.buildIndex(emb.where(col("vec_id") % 2 === 0), "gc/v1",
+      numClusters = 4)
+    engine.publishIndex("gc", v1)
+    assert(engine.openLatest("gc").vectors.count() == v1.vectors.count())
+    val v2 = engine.buildIndex(emb, "gc/v2", numClusters = 4)
+    engine.publishIndex("gc", v2)
+    val reclaimed = engine.gcIndexVersions("gc", keep = 0)
+    assert(reclaimed.exists(_.endsWith("/v1")), s"v1 must be reclaimed: $reclaimed")
+    assert(engine.openLatest("gc").vectors.count() == emb.count())
+  }
 }
