@@ -25,7 +25,7 @@ Replication recipes (mirroring ScaleProbe.scala):
 
 Usage: python3 make_sf.py [srcDir] [outDir] [replication]
 """
-import re, sys
+import re, shutil, sys
 from pathlib import Path
 
 import numpy as np
@@ -40,9 +40,30 @@ K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OUT.mkdir(parents=True, exist_ok=True)
 
 
-def write(name, table):
-    pq.write_table(table, OUT / f"{name}.parquet")
-    print(f"  {name}: {table.num_rows} rows")
+def write(name, table, parts=None):
+    """Lake shape: a `<name>.parquet/` DIRECTORY of part files, so Spark
+    scans parallelize the way a production table would (a 6 MB single file
+    is ONE scan task and single-threads every downstream map stage — the
+    r13 sf1 bench measured exactly that). Tiny dims stay single-file."""
+    n = parts if parts is not None else (1 if table.num_rows < 10000 else 4 * K)
+    tgt = OUT / f"{name}.parquet"
+    if tgt.is_file() and n > 1:  # rebuilding over the pre-r13 single-file layout
+        tgt.unlink()
+    if tgt.is_dir() and n <= 1:
+        shutil.rmtree(tgt)
+    if n <= 1:
+        pq.write_table(table, OUT / f"{name}.parquet")
+    else:
+        d = OUT / f"{name}.parquet"
+        d.mkdir(parents=True, exist_ok=True)
+        for old in d.glob("*.parquet"):
+            old.unlink()
+        step = (table.num_rows + n - 1) // n
+        for i in range(n):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, d / f"part-{i:05d}.parquet")
+    print(f"  {name}: {table.num_rows} rows ({max(1, n)} files)")
 
 
 def replicate(table, mut):
@@ -84,8 +105,13 @@ write("events", replicate(events, lambda t, i: perturbed(
 # driver's generator switched ns -> us in round 9; the engine reads both via
 # the type-adaptive Relational.tsSecExpr, but a silent precision change HERE
 # would decouple replica from source)
-assert pq.read_schema(OUT / "events.parquet").field("ts").type == \
-    pq.read_schema(SRC / "events.parquet").field("ts").type, \
+def _schema_of(path):
+    p = Path(path)
+    f = sorted(p.glob("*.parquet"))[0] if p.is_dir() else p
+    return pq.read_schema(f)
+
+assert _schema_of(OUT / "events.parquet").field("ts").type == \
+    _schema_of(SRC / "events.parquet").field("ts").type, \
     "events.ts must keep the source's physical timestamp type"
 
 doc_shift = pc.max(docs.column("doc_id")).as_py() + 1

@@ -6,7 +6,8 @@ row count / schema / values (rows and columns sorted) per query.
 
 Usage: python3 selfcheck.py [sfDir] [outDir] [--skip-verify]
 """
-import json, math, subprocess, sys
+import json
+import os, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -26,7 +27,9 @@ if "--skip-verify" not in sys.argv:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    path = f"{SF}/{t}.parquet"
+    src = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracles = json.loads((OUT / "oracle_sql.json").read_text())
 
