@@ -133,12 +133,27 @@ vec_shift = pc.max(emb.column("vec_id")).as_py() + 1
 mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
 dim = mat.shape[1]
 step = next(s for s in range(3, dim) if s % 2 == 1 and np.gcd(s, dim) == 1)
-assert K <= dim, f"replication {K} exceeds dim {dim}"
+
+# Copies beyond the dim distinct rolls (K > dim, e.g. sf10 at K=100) layer a
+# seeded per-copy sign involution on top of the wrapped roll: still
+# norm-preserving, still an orthogonal map, and the (roll, mask) pair is
+# asserted unique so no two copies are vector-identical.
+_seen_copy_maps = set()
 
 
 def mut_emb(t, i):
     perm = np.roll(np.arange(dim), -(step * i) % dim)
     rolled = mat[:, perm]
+    if i >= dim:
+        mask = np.random.default_rng(i).choice([1.0, -1.0], size=dim)
+        if (mask == 1.0).all():
+            mask[0] = -1.0
+        rolled = (rolled * mask).astype(np.float32)
+        key = ((step * i) % dim, mask.tobytes())
+    else:
+        key = ((step * i) % dim, None)
+    assert key not in _seen_copy_maps, f"embedding copy map collision at i={i}"
+    _seen_copy_maps.add(key)
     col = pa.array(list(rolled), type=pa.list_(pa.float32()))
     out = shifted(t, "vec_id", i * vec_shift)
     return out.set_column(out.column_names.index("embedding"), "embedding", col)
