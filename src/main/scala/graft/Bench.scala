@@ -276,6 +276,11 @@ object Bench {
     prewarm("ivf") {
       graft.operators.IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters); ()
     }
+    prewarm("ivf-dedup-block") { // near_dup_ivf's constant-block-size index;
+      // at gate scales this resolves to the serving key above (cache hit)
+      graft.operators.IvfIndex.forSfDir(spark, sfDir,
+        SparkEntry.dedupBlockClusters(spark, sfDir)); ()
+    }
     prewarm("pq") {
       graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
     }

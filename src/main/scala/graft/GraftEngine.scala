@@ -356,7 +356,12 @@ final class GraftEngine(val spark: SparkSession,
     TrainingMix.topQualityPerLang(documents, frac)
   /** Embedding near-dup pairs blocked by an [[IvfIndex]]'s cluster id —
     * candidate generation inside the inverted-file layout (the 100 TB form
-    * of [[similarityPairsFixedBlock]]'s attribute blocking). */
+    * of [[similarityPairsFixedBlock]]'s attribute blocking). Build the
+    * index at DEDUP granularity — nlist ≈ N / 128 for a constant target
+    * block size, [[graft.SparkEntry.dedupBlockClusters]] — not at serving
+    * granularity: within-block pair cost is quadratic in block population,
+    * so a fixed serving nlist grows it quadratically with the corpus
+    * (measured 2.2 s → 353 s at 10× under nlist=16). */
   def similarityPairsIndexed(index: IvfIndex, minSim: Double): DataFrame =
     Dedup.embeddingNearDupPairsBy(index.vectors, "cluster", minSim)
 
@@ -396,6 +401,14 @@ final class GraftEngine(val spark: SparkSession,
   def exportCorpus(df: DataFrame, outDir: String,
       partitionCols: Seq[String], sortCol: String): Unit =
     GraftEngine.exportCorpus(df, outDir, partitionCols, sortCol)
+
+  /** Scan-layout audit over an sfDir-shaped lake root: per table, file
+    * count / bytes / row groups / the effective scan-task bound under the
+    * current session conf, and a starvation flag with a rewrite suggestion.
+    * The r13 lake-shape lesson as a tool — the identical suite ran 6.2×
+    * slower over single-file tables ([[graft.sources.LayoutAudit]]). */
+  def layoutAudit(root: String): DataFrame =
+    graft.sources.LayoutAudit.audit(spark, root)
 }
 
 object GraftEngine {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -53,6 +55,28 @@ object SparkEntry {
     * same load-then-time protocol as the index builds. */
   def prewarmTunedProbe(s: SparkSession, sfDir: String): Int =
     IvfIndex.tunedProbeForSfDir(s, sfDir, NumClusters, TopK, TunedRecallFloor)
+
+  /** Dedup blocking target: ~this many vectors per block, so within-block
+    * pair generation costs N/[[DedupBlockSize]] × [[DedupBlockSize]]² ∝ N —
+    * LINEAR in corpus size. Serving nlist is a recall/latency knob; dedup
+    * blocking granularity is a COST knob, and a fixed nlist makes block
+    * population grow with the corpus and pair cost grow quadratically
+    * (measured: `near_dup_ivf` 2.2 s → 353 s from sf1 → sf10 under the
+    * fixed serving nlist=16; block size had grown 1,250 → 12,500). */
+  val DedupBlockSize = 128
+
+  private val dedupBlockK = TrieMap[String, Int]()
+
+  /** Blocking granularity for `near_dup_ivf`: constant target block size,
+    * floored at [[NumClusters]] — at the gate scales (≤2,000 vectors) this
+    * IS the serving index (same forSfDir cache key, same export), so the
+    * finer dedup clustering only materializes where it pays. Memoized per
+    * sfDir (one metadata-only count). */
+  def dedupBlockClusters(s: SparkSession, sfDir: String): Int =
+    dedupBlockK.getOrElseUpdate(sfDir, {
+      val n = s.read.parquet(s"$sfDir/embeddings.parquet").count()
+      math.max(NumClusters, math.ceil(n.toDouble / DedupBlockSize).toInt)
+    })
   /** Label predicate for the filtered-ANN query. */
   private val FilterLabel = 3
   /** BM25 / hybrid query terms: two mid-frequency tokens + one rare token
@@ -442,10 +466,12 @@ object SparkEntry {
     "near_dup_ivf"           -> ((s, d) =>
       // the 100 TB blocking key: the IVF cluster id — a co-partitioned
       // self-join inside the inverted file (the production variant of
-      // contrast_near_dup_fixed_block's label blocking; oracle replays the exported
-      // cluster assignment)
+      // contrast_near_dup_fixed_block's label blocking; oracle replays the
+      // exported cluster assignment). Granularity = dedupBlockClusters:
+      // constant target block size keeps pair cost LINEAR in corpus size
       Dedup.embeddingNearDupPairsBy(
-          IvfIndex.forSfDir(s, d, NumClusters).vectors, "cluster", 0.35)
+          IvfIndex.forSfDir(s, d, dedupBlockClusters(s, d)).vectors,
+          "cluster", 0.35)
         .orderBy(col("vec_a"), col("vec_b"))),
     // ---- LLM-data-pipeline: text analysis ----
     "text_quality"           -> ((s, d) =>
@@ -905,7 +931,7 @@ object SparkEntry {
     * — verdict r10 #2: the render no longer depends on which queries happened
     * to run first in this JVM. */
   private final case class OracleCtx(ivfExport: String, ivfMergeExport: String,
-      pqExport: String, tunedNProbe: Int)
+      ivfDedupExport: String, pqExport: String, tunedNProbe: Int)
 
   /** KEYED render for an explicit (sfDir, engine-config) pair: export paths
     * are pure functions of the config and the tuned probe is resolved (and
@@ -926,6 +952,7 @@ object SparkEntry {
     val m = oracleSqlCtx(OracleCtx(
       IvfIndex.exportPathFor(sfDir, NumClusters),
       IvfIndex.mergeExportPathFor(sfDir, NumClusters),
+      IvfIndex.exportPathFor(sfDir, dedupBlockClusters(spark, sfDir)),
       PqQuant.exportPathFor(sfDir),
       // 0 = the parseable-but-probes-nothing placeholder (LIMIT 0 parses in
       // DuckDB where -1 fails at bind); unreachable by the compare since the
@@ -1448,11 +1475,12 @@ object SparkEntry {
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) + 1e-8), 6) >= 0.35
          |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // cluster-blocked near-dup replay: blocks from the exported IVF
-    // assignment (like every IVF oracle — replay, never re-train)
+    // cluster-blocked near-dup replay: blocks from the exported
+    // dedup-granularity IVF assignment (like every IVF oracle — replay,
+    // never re-train; at gate scales the dedup export IS the serving export)
     "near_dup_ivf" ->
       s"""WITH a AS (SELECT vec_id, cluster
-         |  FROM read_parquet('${ctx.ivfExport}/assign/*.parquet')),
+         |  FROM read_parquet('${ctx.ivfDedupExport}/assign/*.parquet')),
          |e AS (SELECT e.vec_id, a.cluster, $EmbDouble AS v
          |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id)
          |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
