@@ -166,9 +166,17 @@ object Multimodal {
   /** Frame width (chars of the decoded stream) for the perceptual hashes. */
   val PhashStride = 64
   /** Cells per frame — one hash bit per cell, so 32 cells ⇒ a 32-bit hash
-    * (the [[graft.operators.Dedup.simhashPairs]] sketch width, letting the
-    * banded Hamming join reuse the identical 4-band × 8-bit pigeonhole). */
+    * (the [[graft.operators.Dedup.simhashPairs]] sketch width; the joint
+    * (aHash ‖ dHash) sketch the banded join keys on is then 64 bits). */
   val PhashCells = 32
+
+  /** Bands partitioning the joint sketch for the Hamming candidate join —
+    * [[bandSketches]] emits exactly this many; exactness requires
+    * `maxHamming < PhashBands` (pigeonhole — see [[bandSketches]]). Equals
+    * [[graft.operators.Dedup.SimhashBands]] by design, but pinned locally:
+    * the band LAYOUT here (4 × ⌈cells/2⌉-bit joint halves) is not the
+    * simhash one (4 × 8-bit of a 32-bit sketch). */
+  val PhashBands = 4
 
   /** Per-frame perceptual hashes (aHash + dHash) over the deterministic
     * frame samples — the MEDIA-payload member of the dedup family (text has
@@ -216,41 +224,160 @@ object Multimodal {
         col("ph.ahash").as("ahash"), col("ph.dhash").as("dhash")) ++ carried): _*)
   }
 
-  /** Banded frame-sketch table shared by the two near-dup consumers: each
-    * frame emits [[graft.operators.Dedup.SimhashBands]] (band, 8-bit value)
-    * keys from its 32-bit aHash — the simhashPairs pigeonhole machinery
-    * verbatim. The joint Hamming distance both consumers verify is over the
-    * 64-bit (aHash ‖ dHash) sketch, i.e. `bit_count(xor(ahash)) +
-    * bit_count(xor(dhash))`; since joint distance ≤ maxHamming implies
-    * aHash distance ≤ maxHamming, a qualifying pair differs in at most
-    * `maxHamming` aHash bands and so matches EXACTLY on ≥ 1 band for
-    * `maxHamming ≤ SimhashBands − 1` — banding is exact, never a recall
-    * loss. Candidates must also share `lang` (the text families' blocking
-    * key). */
+  /** The banded-join scheme shared by the near-dup consumers, r13 form —
+    * two composed changes over the r12 shape (4 × 8-bit aHash bands on
+    * frame rows), each fixing one measured scale defect:
+    *
+    * '''1. Joint 16-bit bands.''' Each row emits [[PhashBands]] = 4
+    * (band, value) keys that PARTITION the joint 2·`cells`-bit
+    * (aHash ‖ dHash) sketch — two ⌈cells/2⌉-bit halves per hash, 16-bit
+    * values at the default cells=32. Pigeonhole exactness is direct: the
+    * verified joint Hamming distance `bit_count(xor(ahash)) +
+    * bit_count(xor(dhash))` is summed over exactly the banded bits, so
+    * joint distance ≤ maxHamming < 4 bands forces ≥ 1 band with ZERO
+    * differing bits — an exact bucket match, never a recall loss.
+    * Candidates must also share `lang` (the text families' blocking key).
+    * 16-bit values give 256× more buckets than 8-bit for the same 4-band
+    * exactness; measured at sf0.1 the Σ pop² candidate work over
+    * (lang, band, bv) buckets drops 8.66M → 3.22M — only 2.7×, not 256×,
+    * because this corpus has a DENSE HAMMING BALL no data-independent
+    * banding can split (next point).
+    *
+    * '''2. Sketch-class quotient (share forms).''' Measured bucket census
+    * at sf0.1: the heavy buckets are the partial TAIL frames — cells past
+    * end-of-text hash the empty string to one constant intensity, so
+    * ~half of all docs' last frames land on `ahash ≈ 0xFFFFFFFE, dhash ≈
+    * 0x80000000` (the media analog of end-of-video black frames / audio
+    * silence). Those frames share every band value, their bucket
+    * population grows ∝ corpus, and within-bucket candidate cost is
+    * quadratic in population — THE sf10 quadratic (near_dup_frames
+    * 303.5 s in the r13 suite record at 500k docs). But the ball's
+    * variation is alphabet-bounded — intensity byte × partial-cell
+    * count, a few thousand distinct sketches REGARDLESS of corpus size —
+    * so running the banded join over distinct (lang, aHash, dHash)
+    * CLASSES instead of frames saturates the ball's pair work at a
+    * corpus-independent constant while frames only ever touch one linear
+    * class-key join. Globally classes ≈ frames at sf0.1 (25.7k → 24.8k,
+    * ratio 1.0) — the quotient wins exactly where it must: dup classes
+    * concentrate in the dense buckets. Measured Σ pop² census, sf0.1 →
+    * sf10 (100× docs): r12 scheme 8.66M → 132.6G (the quadratic);
+    * joint16 over frames 3.22M → 31.8G; joint16 over classes (this form)
+    * 1.88M → 1.32G — 100× less candidate work at sf10, growth law
+    * flattened by ball saturation (max bucket 17.5k classes vs 158k
+    * frames). A second, independent effect of the quotient: the old form
+    * CACHED the 4×-exploded per-frame band table (10.5M rows at sf10,
+    * the family's dominant storage bill); this form caches only the
+    * sketch table and its quotient (~4× fewer cached bytes) and never
+    * shuffles a matched-frames-sized distinct. */
+  /** Four (band, bv) struct columns partitioning the joint sketch of the
+    * current row — shared by the frame-level and class-level band
+    * explosions. `cells` must match the sketch's width (the
+    * history-artifact contract). */
+  private def jointBandCols(cells: Int): Seq[Column] = {
+    val loW = (cells + 1) / 2
+    val loMask = lit((1L << loW) - 1L)
+    Seq(
+      struct(lit(0).as("band"), col("ahash").bitwiseAND(loMask).as("bv")),
+      struct(lit(1).as("band"), shiftright(col("ahash"), loW).as("bv")),
+      struct(lit(2).as("band"), col("dhash").bitwiseAND(loMask).as("bv")),
+      struct(lit(3).as("band"), shiftright(col("dhash"), loW).as("bv")))
+  }
+
   /** Band explosion over an already-computed sketch table
     * `(doc_id, frame_no, ahash, dhash, lang)` — split out so the
     * incremental form can band a history ARTIFACT without re-sketching it
     * (the [[graft.operators.Dedup.lshBucketsFromSigs]] split). */
-  private def bandSketches(sketches: DataFrame): DataFrame = {
-    val bandCols = (0 until graft.operators.Dedup.SimhashBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("ahash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
-    }
+  private def bandSketches(sketches: DataFrame, cells: Int): DataFrame =
     sketches
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
-        col("dhash"), explode(array(bandCols: _*)).as("bb"))
+        col("dhash"), explode(array(jointBandCols(cells): _*)).as("bb"))
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
         col("dhash"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-  }
 
   private def bandedFrames(documents: DataFrame, stride: Int, cells: Int): DataFrame =
     graft.CacheRegistry.persist(
-      bandSketches(phashFrames(documents, stride, cells, carry = Seq("lang"))))
+      bandSketches(phashFrames(documents, stride, cells, carry = Seq("lang")), cells))
 
   /** Joint 64-bit sketch distance between the `a.`/`b.`-aliased frame rows. */
   private def jointHamming: Column =
     bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) +
       bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+
+  // ---------------------------------------- sketch-class quotient (share forms)
+
+  /** Distinct-sketch quotient of a frame-sketch table: one row per
+    * (lang, ahash, dhash) equivalence class with the doc statistics the
+    * duplicate predicate needs — `n_docs` (distinct docs holding the
+    * sketch) and `solo_doc` (THE doc, meaningful only when `n_docs == 1`).
+    * The Hamming predicate cannot distinguish frames with identical
+    * sketches, so the candidate join may run over classes — see
+    * [[jointBandCols]]'s dense-ball rationale; the class table is what
+    * bounds the tail-frame ball's pair work at a corpus-independent
+    * constant. Result-identity with the frame-level join is gated by
+    * PhashSpec's brute-force and incremental-parity tests. */
+  private def sketchClasses(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("lang"), col("ahash"), col("dhash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("solo_doc"))
+
+  /** Band explosion over a class table (same joint 16-bit partition as
+    * [[bandSketches]], minus the per-frame columns). */
+  private def bandClasses(classes: DataFrame, cells: Int): DataFrame =
+    classes
+      .withColumn("bb", explode(array(jointBandCols(cells): _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bv", col("bb.bv"))
+      .drop("bb")
+
+  /** Per-class duplicate verdict: for each probe-side class `a`, aggregate
+    * over every corpus class `b` within `maxHamming` joint bits (same
+    * lang; `a` always matches itself when it is part of the corpus):
+    *
+    *   - `any_multi` — some matching class spans ≥ 2 docs ⇒ EVERY frame of
+    *     `a` has a different-doc frame within range;
+    *   - `n_solo` / `solo_doc` — the distinct single-doc owners among
+    *     matching solo classes: a frame of doc `d` is duplicated iff some
+    *     matching class is owned by a doc ≠ `d`.
+    *
+    * All three aggregates are duplicate-insensitive (max / countDistinct /
+    * min), so class pairs matching on several bands need no pre-distinct —
+    * the r12 frame-level form paid a matched-frames-sized shuffle for
+    * exactly that dedup. */
+  private def classVerdicts(probeClasses: DataFrame, corpusClasses: DataFrame,
+      maxHamming: Int, cells: Int): DataFrame =
+    bandClasses(probeClasses.select(col("lang"), col("ahash"), col("dhash")),
+        cells).as("a")
+      .join(bandClasses(corpusClasses, cells).as("b"),
+        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+          col("a.bv") === col("b.bv"))
+      .where(jointHamming <= maxHamming)
+      .groupBy(col("a.lang").as("lang"), col("a.ahash").as("ahash"),
+        col("a.dhash").as("dhash"))
+      .agg(
+        max(when(col("b.n_docs") > 1, lit(1)).otherwise(lit(0))).as("any_multi"),
+        countDistinct(when(col("b.n_docs") === 1, col("b.solo_doc")))
+          .as("n_solo"),
+        min(when(col("b.n_docs") === 1, col("b.solo_doc"))).as("solo_doc"))
+
+  /** Expand class verdicts back to the per-doc share rollup: one linear
+    * equi-join on the class key (the verdict table is O(classes) — AQE
+    * broadcasts it), then the O(docs) aggregate. */
+  private def shareFromVerdicts(frameSketches: DataFrame,
+      verdicts: DataFrame): DataFrame =
+    frameSketches
+      .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
+        col("dhash"))
+      .join(verdicts, Seq("lang", "ahash", "dhash"), "left")
+      .withColumn("dup",
+        when(col("any_multi") === 1 || col("n_solo") >= 2 ||
+          (col("n_solo") === 1 && col("solo_doc") =!= col("doc_id")), lit(1)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        count(col("dup")).as("n_dup_frames"))
+      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
+        round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
+          .as("dup_frame_share"))
 
   /** Frame-level near-duplicate pairs — the INVESTIGATION form, pair output:
     * `(doc_a, doc_b, frame_a, frame_b, hamming)` for cross-doc same-lang
@@ -266,8 +393,8 @@ object Multimodal {
     * is for bounded drill-downs — PhashSpec gates its banding exactness. */
   def nearDupFramePairs(documents: DataFrame, maxHamming: Int = 3,
       stride: Int = PhashStride, cells: Int = PhashCells): DataFrame = {
-    require(maxHamming < graft.operators.Dedup.SimhashBands,
-      s"banding is only exact for maxHamming < ${graft.operators.Dedup.SimhashBands}")
+    require(maxHamming < PhashBands,
+      s"banding is only exact for maxHamming < $PhashBands")
     val banded = bandedFrames(documents, stride, cells)
     banded.as("a")
       .join(banded.as("b"),
@@ -293,33 +420,22 @@ object Multimodal {
     * why the pair form ([[nearDupFramePairs]]) is the drill-down, not the
     * signal.
     *
-    * Scale shape: banded candidate join (never all-pairs) → distinct
-    * duplicated (doc, frame) set — shuffle ∝ matched frames — → per-doc
-    * rollup against the sketch table, shuffle ∝ frames. All bounded by
-    * corpus size, not pair count. */
+    * Scale shape (r13, joint bands + sketch-class quotient — see
+    * [[jointBandCols]]): the banded candidate join runs over DISTINCT
+    * (lang, aHash, dHash) classes, never frames — which saturates the
+    * tail-frame dense ball's pair work at a corpus-independent constant
+    * (the ball is what measured quadratic at sf10) — with
+    * duplicate-insensitive per-class verdict aggregates (no
+    * matched-frames-sized distinct), then ONE linear equi-join on the
+    * class key expands back to frames for the O(docs) rollup. */
   def frameDupShare(documents: DataFrame, maxHamming: Int = 3,
       stride: Int = PhashStride, cells: Int = PhashCells): DataFrame = {
-    require(maxHamming < graft.operators.Dedup.SimhashBands,
-      s"banding is only exact for maxHamming < ${graft.operators.Dedup.SimhashBands}")
-    val banded = bandedFrames(documents, stride, cells)
-    val dup = banded.as("a")
-      .join(banded.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.bv") === col("b.bv") && col("a.doc_id") =!= col("b.doc_id"))
-      .where(jointHamming <= maxHamming)
-      .select(col("a.doc_id").as("doc_id"), col("a.frame_no").as("frame_no"))
-      .distinct()
-      .withColumn("dup", lit(1))
-    banded.where(col("band") === 0) // one row per frame
-      .select(col("doc_id"), col("frame_no"))
-      .join(dup, Seq("doc_id", "frame_no"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_frames"),
-        count(col("dup")).as("n_dup_frames"))
-      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
-        round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
-          .as("dup_frame_share"))
+    require(maxHamming < PhashBands,
+      s"banding is only exact for maxHamming < $PhashBands")
+    val sketches = graft.CacheRegistry.persist(
+      phashFrames(documents, stride, cells, carry = Seq("lang")))
+    val classes = graft.CacheRegistry.persist(sketchClasses(sketches))
+    shareFromVerdicts(sketches, classVerdicts(classes, classes, maxHamming, cells))
   }
 
   /** Incremental [[frameDupShare]] — the daily-ingest media-dedup signal,
@@ -335,39 +451,29 @@ object Multimodal {
     * restricted to batch docs (PhashSpec asserts exactly that). Appending
     * the batch's sketches to the artifact completes the cycle.
     *
-    * Scale shape: the banded probe's build side is the batch's band table —
-    * AQE broadcasts it and the history artifact streams through on a
-    * bucketed equi-join (in production additionally bucketed by (band, bv),
-    * the lshCandidatePairsIncremental posture); the rollup shuffle is
+    * Scale shape: the probe side is the batch's sketch-class quotient
+    * (O(batch) classes — AQE broadcasts it); the history artifact
+    * contributes only its distinct-sketch quotient (partial aggregation
+    * collapses identical sketches map-side, so the exchange carries
+    * per-partition distinct classes, not frames — and the tail-frame ball
+    * collapses before it can meet the probe), and the rollup shuffle is
     * ∝ batch frames only. */
   def frameDupShareIncremental(newDocs: DataFrame, historySketches: DataFrame,
       maxHamming: Int = 3, stride: Int = PhashStride,
       cells: Int = PhashCells): DataFrame = {
-    require(maxHamming < graft.operators.Dedup.SimhashBands,
-      s"banding is only exact for maxHamming < ${graft.operators.Dedup.SimhashBands}")
-    // persist the batch sketches: they feed the banded probe AND the rollup
+    require(maxHamming < PhashBands,
+      s"banding is only exact for maxHamming < $PhashBands")
+    // persist the batch sketches: they feed the class quotient AND the rollup
     val newSk = graft.CacheRegistry.persist(
       phashFrames(newDocs, stride, cells, carry = Seq("lang")))
-    val newBanded = bandSketches(newSk)
-    val all = newBanded.unionByName(bandSketches(historySketches
+    // corpus classes span history ∪ batch (the "another doc" universe); the
+    // probe side is the batch's own classes — O(batch) regardless of
+    // history size
+    val corpusClasses = sketchClasses(newSk.unionByName(historySketches
       .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
         col("lang"))))
-    val dup = newBanded.as("a")
-      .join(all.as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.bv") === col("b.bv") && col("a.doc_id") =!= col("b.doc_id"))
-      .where(jointHamming <= maxHamming)
-      .select(col("a.doc_id").as("doc_id"), col("a.frame_no").as("frame_no"))
-      .distinct()
-      .withColumn("dup", lit(1))
-    newSk.select(col("doc_id"), col("frame_no"))
-      .join(dup, Seq("doc_id", "frame_no"), "left")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_frames"),
-        count(col("dup")).as("n_dup_frames"))
-      .select(col("doc_id"), col("n_frames"), col("n_dup_frames"),
-        round(col("n_dup_frames").cast("double") / col("n_frames"), 6)
-          .as("dup_frame_share"))
+    val probeClasses = graft.CacheRegistry.persist(sketchClasses(newSk))
+    shareFromVerdicts(newSk,
+      classVerdicts(probeClasses, corpusClasses, maxHamming, cells))
   }
 }
