@@ -23,6 +23,11 @@ object SparkEntry {
   private def tbl(s: SparkSession, sfDir: String, name: String): DataFrame =
     s.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The split_assign* queries' declared spec + salt (one place — the Spark
+    * side and the DuckDB oracles both render from these). */
+  private val SplitSpec = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val SplitAssignSalt = "r13"
+
   /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the reference's
     * entire online path — embed-free exact k-NN (nProbe=128 ≡ exact,
     * README.md:24) + doc fetch join (IVF.cpp:694-699) + projection with
@@ -431,6 +436,24 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
     "near_dup_clusters"      -> ((s, d) =>
       Dedup.nearDupClusters(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+    "split_assign_param"     -> ((s, d) =>
+      // parameterized producer of train/val/test assignments — zero-shuffle
+      // hash split, stable under corpus growth (Splits scaladoc); the
+      // frozen 80/10/10 detector split is the separate split_assign row
+      Splits.splitAssign(tbl(s, d, "documents"), SplitSpec, SplitAssignSalt)
+        .orderBy(col("doc_id"))),
+    "split_assign_strat"     -> ((s, d) =>
+      // exact per-(source,lang) quotas via integer rank boundaries
+      Splits.splitAssignStratified(tbl(s, d, "documents"), SplitSpec,
+        SplitAssignSalt).orderBy(col("doc_id"))),
+    "split_assign_leakfree"  -> ((s, d) => {
+      // leakage-consistent assignment: near-dup clusters hash their rep, so
+      // no verified near-dup pair can straddle splits (SplitsSpec proves
+      // zero leak pairs by construction on this corpus)
+      val docs = tbl(s, d, "documents")
+      Splits.splitAssignLeakFree(docs, Dedup.nearDupClusters(docs, 0.5),
+        SplitSpec, SplitAssignSalt).orderBy(col("doc_id"))
+    }),
     "near_dup_clusters_inc"  -> ((s, d) => {
       // daily-ingest clustering: the batch shingles only itself, probes the
       // history posting/size artifacts (never re-tokenized), and merges into
@@ -617,6 +640,7 @@ object SparkEntry {
     "dedup_survivors"     -> "shingle",
     "split_leak_pairs"    -> "shingle",
     "near_dup_clusters"   -> "shingle",
+    "split_assign_leakfree" -> "shingle",
     "contamination_flags" -> "shingle",
     "corpus_curate"       -> "shingle",
     "ngram_novelty"       -> "shingle",
@@ -1690,6 +1714,36 @@ object SparkEntry {
          |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach)
          |SELECT doc_id, MIN(reach) AS cluster_rep
          |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "split_assign_param" ->
+      Splits.splitAssignOracleSql(SplitSpec, SplitAssignSalt),
+
+    "split_assign_strat" ->
+      Splits.splitAssignStratifiedOracleSql(SplitSpec, SplitAssignSalt),
+
+    // leak-free assignment: the near_dup_clusters recursive-CTE labeling,
+    // then the split CASE over COALESCE(cluster_rep, doc_id) — the same
+    // integer thresholds splitAssignOracleSql renders
+    "split_assign_leakfree" -> {
+      val key = "COALESCE(l.cluster_rep, d.doc_id)"
+      s"""${NgramCte.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |pairs AS (
+         |  SELECT da, db
+         |  FROM c JOIN dsz sa ON sa.doc_id = da JOIN dsz sb ON sb.doc_id = db
+         |  WHERE round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) >= 0.5),
+         |edges AS (SELECT da AS src, db AS dst FROM pairs
+         |  UNION SELECT db, da FROM pairs),
+         |walk(doc_id, reach) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach),
+         |labels AS (SELECT doc_id, MIN(reach) AS cluster_rep
+         |  FROM walk GROUP BY doc_id)
+         |SELECT d.doc_id, $key AS split_key,
+         |  ${Splits.splitCaseSql(SplitSpec, SplitAssignSalt, key)} AS split
+         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // the incremental path's declared contract IS result-equality with the
     // full recompute over history ∪ batch, so its oracle is the full
