@@ -354,6 +354,23 @@ final class GraftEngine(val spark: SparkSession,
     TrainingMix.shuffleShards(documents, nShards)
   def keepTopQualityPerLang(documents: DataFrame, frac: Double): DataFrame =
     TrainingMix.topQualityPerLang(documents, frac)
+  /** Parameterized train/val/test assignment (zero-shuffle hash split) —
+    * see [[graft.operators.Splits]]; the stratified and leak-free forms
+    * follow. */
+  def assignSplits(documents: DataFrame, fracs: Seq[(String, Double)],
+      salt: String): DataFrame =
+    graft.operators.Splits.splitAssign(documents, fracs, salt)
+  def assignSplitsStratified(documents: DataFrame,
+      fracs: Seq[(String, Double)], salt: String,
+      strata: Seq[String] = Seq("source", "lang")): DataFrame =
+    graft.operators.Splits.splitAssignStratified(documents, fracs, salt, strata)
+  /** Leakage-consistent split assignment: near-dup clusters (from
+    * [[nearDupClusters]])
+    * land in one split — the producer that makes [[splitLeaks]] come
+    * back empty by construction. */
+  def assignSplitsLeakFree(documents: DataFrame, clusterLabels: DataFrame,
+      fracs: Seq[(String, Double)], salt: String): DataFrame =
+    graft.operators.Splits.splitAssignLeakFree(documents, clusterLabels, fracs, salt)
   /** Embedding near-dup pairs blocked by an [[IvfIndex]]'s cluster id —
     * candidate generation inside the inverted-file layout (the 100 TB form
     * of [[similarityPairsFixedBlock]]'s attribute blocking). Build the
