@@ -55,8 +55,12 @@ object Splits {
 
   /** Millionths-resolution cumulative thresholds for a fraction spec.
     * Requires: nonempty, positive fractions, distinct names, sum within
-    * 1e-6 of 1. The LAST split absorbs the rounding remainder (its
-    * threshold is pinned to exactly 1e6). */
+    * 1e-6 of 1, and every ROUNDED threshold strictly above its
+    * predecessor — a fraction below ~5e-7 rounds to a zero-width
+    * millionths band (and accumulated rounding can make thresholds
+    * non-increasing), silently declaring a split no row can ever be
+    * assigned; fail fast instead (ADVICE r13). The LAST split absorbs the
+    * rounding remainder (its threshold is pinned to exactly 1e6). */
   private def cumMillionths(fracs: Seq[(String, Double)]): Seq[(String, Long)] = {
     require(fracs.nonEmpty, "at least one split")
     require(fracs.forall(_._2 > 0), s"fractions must be positive: $fracs")
@@ -65,14 +69,25 @@ object Splits {
     require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-6,
       s"fractions must sum to 1: ${fracs.map(_._2).sum}")
     val cums = fracs.scanLeft(0.0)(_ + _._2).tail
-    fracs.map(_._1).zip(cums.map(c => math.round(c * 1e6)))
+    val out = fracs.map(_._1).zip(cums.map(c => math.round(c * 1e6)))
       .init :+ (fracs.last._1 -> 1000000L)
+    (0L +: out.map(_._2)).zip(out).foreach { case (prev, (name, cum)) =>
+      require(cum > prev,
+        s"split '$name' rounds to a zero-width millionths band " +
+          s"(threshold $cum after $prev) — every split needs >= 1 millionth")
+    }
+    out
   }
 
   /** `h60(salt:key) mod 1e6` — the assignment bucket (h60 is 60-bit
-    * nonnegative, so `%` needs no pmod). */
+    * nonnegative, so `%` needs no pmod). `concat`, not `concat_ws`: the
+    * key must NULL-PROPAGATE so a NULL key yields a NULL bucket, every
+    * CASE arm evaluates false, and both engines fall through to the last
+    * split — `concat_ws` would silently hash just the salt on the Spark
+    * side while the oracle's `||` propagates (ADVICE r13). Byte-identical
+    * to the old rendering for non-NULL keys. */
   private def bucket(salt: String, key: Column): Column =
-    h60(concat_ws("#", lit(salt), key.cast("string"))) % 1000000L
+    h60(concat(lit(salt), lit("#"), key.cast("string"))) % 1000000L
 
   private def caseOver(b: Column, cums: Seq[(String, Long)]): Column =
     cums.init.foldRight(lit(cums.last._1)) { case ((name, cum), rest) =>
@@ -93,9 +108,15 @@ object Splits {
       key: String): String = {
     val b = s"(${h60Sql(s"'$salt' || '#' || CAST($key AS VARCHAR)")} % 1000000)"
     val cums = cumMillionths(fracs)
-    val cases = cums.init.map { case (n, c) => s"WHEN $b < $c THEN '$n'" }
-      .mkString(" ")
-    s"CASE $cases ELSE '${cums.last._1}' END"
+    // single-split spec: `CASE ELSE 'x' END` (no WHEN arm) is invalid
+    // DuckDB while the Column-side caseOver degenerates fine — render the
+    // bare literal so both engines accept the same spec (ADVICE r13)
+    if (cums.size == 1) s"'${cums.last._1}'"
+    else {
+      val cases = cums.init.map { case (n, c) => s"WHEN $b < $c THEN '$n'" }
+        .mkString(" ")
+      s"CASE $cases ELSE '${cums.last._1}' END"
+    }
   }
 
   /** DuckDB replay of [[splitAssign]] over table `t` (same integer

@@ -40,6 +40,33 @@ class SplitsSpec extends SparkSpec {
       Splits.splitAssign(docs, Seq("a" -> 0.5, "a" -> 0.5), "s"))
     intercept[IllegalArgumentException](
       Splits.splitAssign(docs, Seq("a" -> 0.5, "b" -> 0.4), "s"))
+    // ADVICE r13: a fraction below millionths resolution rounds to a
+    // zero-width band — a declared split no row could ever reach
+    intercept[IllegalArgumentException](
+      Splits.splitAssign(docs, Seq("a" -> 1e-9, "b" -> (1.0 - 1e-9)), "s"))
+  }
+
+  test("single-split spec: engine assigns it and the SQL renderer is valid") {
+    val one = Seq("all" -> 1.0)
+    val out = Splits.splitAssign(docs, one, "s1")
+    assert(out.where(col("split") =!= "all").count() == 0)
+    assert(out.count() == docs.count())
+    // ADVICE r13: the renderer used to emit `CASE ELSE 'all' END` (no WHEN
+    // arm), which DuckDB rejects — a single split must render as a literal
+    assert(Splits.splitCaseSql(one, "s1", "doc_id") == "'all'")
+  }
+
+  test("NULL key falls through to the last split, matching the SQL `||` semantics") {
+    import spark.implicits._
+    val df = Seq((1L, Some("k1")), (2L, None: Option[String]), (3L, Some("k3")))
+      .toDF("doc_id", "k")
+    val out = Splits.splitAssign(df, spec, "s1", keyCol = "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ADVICE r13: concat_ws skipped the NULL and hashed just the salt; the
+    // oracle's `||` propagates NULL so its CASE falls through to the last
+    // split — the engine now does the same (NULL bucket, every arm false)
+    assert(out(2L) == "test", s"NULL key assigned ${out(2L)}, not the last split")
+    assert(Set("train", "val", "test").contains(out(1L)))
   }
 
   test("stratified split: exact quotas per stratum (integer boundaries)") {
