@@ -29,7 +29,16 @@ object ConnectedComponents {
     * sound as a convergence test at any realistic edge cardinality, and it
     * replaces the former two full-shuffle `exceptAll` jobs per star round
     * with ONE map-side-partial aggregate (xor never overflows, so it is
-    * safe under ANSI mode where `sum` of hashes would throw). */
+    * safe under ANSI mode where `sum` of hashes would throw).
+    *
+    * Caveat stated plainly: xor-of-hashes is NOT collision-resistant
+    * against crafted inputs (an adversary can pick four edges whose hashes
+    * xor to zero). That threat model does not apply here — both edge sets
+    * are derived from the same star contraction, not attacker-supplied —
+    * so the ~2⁻⁶⁴ random-collision bound is the operative one
+    * (ConnectedComponentsSpec carries the empirical property: random
+    * same-count distinct sets, including minimal one-edge swaps, never
+    * fingerprint-equal across hundreds of trials). */
   private def fingerprint(edges: DataFrame): (Long, Long) = {
     val r = edges
       .agg(count(lit(1)).as("c"),

@@ -51,4 +51,54 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(Seq((5L, 9L), (9L, 7L), (20L, 21L)))
     assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("fingerprint property: distinct same-count edge sets never collide (incl. one-edge swaps)") {
+    // Convergence detection rests on (count, bit_xor(xxhash64(u, v)))
+    // equality (ConnectedComponents.fingerprint). The xor construction is
+    // NOT collision-resistant against crafted inputs (documented caveat);
+    // this property pins the operative RANDOM-collision claim: across many
+    // trial pairs of distinct same-count sets — half fully random, half
+    // differing by a single swapped edge (the minimal symmetric
+    // difference, exactly what a non-converged star round produces) — no
+    // pair fingerprints equal. One Spark job for all trials.
+    val rnd = new scala.util.Random(42)
+    val nTrials = 200
+    def randSet(k: Int): Set[(Long, Long)] = {
+      val s = scala.collection.mutable.Set.empty[(Long, Long)]
+      while (s.size < k) {
+        val (a, b) = (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong)
+        if (a != b) s += ((math.max(a, b), math.min(a, b)))
+      }
+      s.toSet
+    }
+    val rows = (0 until nTrials).flatMap { t =>
+      val a = randSet(50)
+      val b =
+        if (t % 2 == 0) {
+          var cand = randSet(50)
+          while (cand == a) cand = randSet(50)
+          cand
+        } else {
+          // minimal difference: swap one edge for one not in the set
+          var e = (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong)
+          while (e._1 == e._2 ||
+            a.contains((math.max(e._1, e._2), math.min(e._1, e._2))))
+            e = (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong)
+          a - a.head + ((math.max(e._1, e._2), math.min(e._1, e._2)))
+        }
+      a.toSeq.map { case (u, v) => (t, 0, u, v) } ++
+        b.toSeq.map { case (u, v) => (t, 1, u, v) }
+    }
+    val fps = rows.toDF("trial", "side", "u", "v")
+      .groupBy($"trial", $"side")
+      .agg(org.apache.spark.sql.functions.expr("count(1) as c"),
+        org.apache.spark.sql.functions.expr("bit_xor(xxhash64(u, v)) as h"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    (0 until nTrials).foreach { t =>
+      assert(fps((t, 0)) != fps((t, 1)),
+        s"trial $t: distinct edge sets fingerprint-collided: ${fps((t, 0))}")
+    }
+  }
 }
