@@ -133,7 +133,6 @@ object PortableHash {
     var f = 0
     while (f < nFrames) {
       var c = 0
-      var total = 0L
       while (c < cells) {
         // 1-based char position, exactly Column.substr's Substring semantics
         val slice = text.substringSQL(f * stride + c * cellw + 1, cellw)
@@ -142,22 +141,37 @@ object PortableHash {
         val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
         iv(c) = h % 256
-        total += iv(c)
         c += 1
       }
-      var ahash = 0L
-      var dhash = 0L
-      c = 0
-      while (c < cells) {
-        if (cells * iv(c) > total) ahash |= 1L << c
-        if (iv(c) > iv((c + 1) % cells)) dhash |= 1L << c
-        c += 1
-      }
+      val (ahash, dhash) = packPhash(iv)
       rows(f) = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(Array[Any](ahash, dhash))
       f += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** The production aHash/dHash thresholding + LSB-first bit packing over a
+    * strip of cell intensities — shared by the text-stub sketch path above
+    * and the real-codec path ([[graft.multimodal.ImageIoDecoder]]), so a
+    * real decoder swaps ONLY the intensity source, never the algorithm:
+    * aHash bit c = `cells·iv(c) > Σiv` (integer mean test, no division);
+    * dHash bit c = `iv(c) > iv((c+1) mod cells)` (circular gradient sign). */
+  def packPhash(iv: Array[Long]): (Long, Long) = {
+    val cells = iv.length
+    require(cells > 0 && cells <= 62, s"cells=$cells must be in [1, 62]")
+    var total = 0L
+    var c = 0
+    while (c < cells) { total += iv(c); c += 1 }
+    var ahash = 0L
+    var dhash = 0L
+    c = 0
+    while (c < cells) {
+      if (cells * iv(c) > total) ahash |= 1L << c
+      if (iv(c) > iv((c + 1) % cells)) dhash |= 1L << c
+      c += 1
+    }
+    (ahash, dhash)
   }
 
   // MinHash universal-hash family params (mirrored in GraftFunctions and the

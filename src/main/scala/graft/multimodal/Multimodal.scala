@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.{h32, h32Sql}
 
 /** Multimodal-column plumbing: image/audio/video payloads as opaque BINARY
-  * columns with typed metadata, per the builder brief. The container has no
-  * image/audio codecs, so the DECODE step is a clearly-marked deterministic
-  * stub ([[FakeDecoder]]) — the Spark-side plumbing (schema, batch shape,
-  * partition-parallel decode boundary) is real and tested.
+  * columns with typed metadata, per the builder brief. The DECODE step is a
+  * declared seam ([[Decoder]]): hermetic deterministic default
+  * ([[FakeDecoder]] — testdata payloads are text bytes) plus a REAL
+  * `javax.imageio` arm ([[ImageIoDecoder]], exercised unconditionally in
+  * the suite since it needs no external jar); the Spark-side plumbing
+  * (schema, batch shape, partition-parallel decode boundary) is shared and
+  * tested across both.
   *
   * At 100 TB: payloads live in Parquet BINARY columns (or object-store paths
   * for >? MB blobs), metadata in sibling struct columns so filters prune on
@@ -24,18 +27,17 @@ object Multimodal {
       n_bytes: Long, checksum: Long)
 
   /** Deterministic fake decoder standing in for libjpeg/ffmpeg: derives
-    * plausible dimensions + a checksum from the payload bytes alone.
-    * Replace `decode` with a real codec call at the `???`-boundary; signature
-    * and batch shape stay fixed.
+    * plausible dimensions + a checksum from the payload bytes alone. The
+    * hermetic DEFAULT of the [[Decoder]] seam ([[ImageIoDecoder]] is the
+    * real-codec arm; [[Decoder.forEnv]] selects).
     *
     * The stub's formulas are the PORTABLE hashes ([[graft.functions
     * .PortableHash]], md5-derived) so (a) a decoded [[Frame]] is bit-identical
     * to the columnar [[metadata]] projection (consistency is tested), and
     * (b) the composed decode→embed→kNN query (`multimodal_knn`) is
     * reproducible in the DuckDB oracle down to the hash. */
-  object FakeDecoder {
-    def decode(docId: Long, payload: Array[Byte]): Frame = {
-      // real implementation would be e.g.: ImageIO.read(new ByteArrayInputStream(payload))
+  object FakeDecoder extends Decoder {
+    override def decode(docId: Long, payload: Array[Byte]): Frame = {
       val h32 = graft.functions.PortableHash.h32(payload)
       Frame(docId,
         width = 16 + (h32 % 240).toInt,
@@ -82,13 +84,17 @@ object Multimodal {
 
   /** Partition-parallel decode over the payload column: the real-codec
     * boundary. One JVM call per row inside mapPartitions — batched, no
-    * driver involvement, no shuffle. */
-  def decodeFrames(spark: SparkSession, withPayloads: DataFrame): Dataset[Frame] = {
+    * driver involvement, no shuffle. The decoder is resolved ONCE on the
+    * driver ([[Decoder.forEnv]]: hermetic [[FakeDecoder]] unless the
+    * deployment declares image payloads) and ships in the task closure;
+    * per-partition decoder init would go inside the mapPartitions. */
+  def decodeFrames(spark: SparkSession, withPayloads: DataFrame,
+      decoder: Decoder = Decoder.forEnv): Dataset[Frame] = {
     import spark.implicits._
     withPayloads
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => FakeDecoder.decode(id, payload) })
+      .mapPartitions(_.map { case (id, payload) => decoder.decode(id, payload) })
   }
 
   /** Frame feature extraction — the vision-encoder boundary: decoded frame →
@@ -107,9 +113,9 @@ object Multimodal {
     * the L2 norm folds `d_i²` in index order from a 0.0 seed; each component
     * casts to FLOAT only once, after the double-precision divide. */
   def frameEmbeddings(spark: SparkSession, withPayloads: DataFrame,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, decoder: Decoder = Decoder.forEnv): DataFrame = {
     import spark.implicits._
-    decodeFrames(spark, withPayloads)
+    decodeFrames(spark, withPayloads, decoder)
       .mapPartitions(_.map { f =>
         // encoder init would happen here, once per partition
         val d = new Array[Double](dim)
