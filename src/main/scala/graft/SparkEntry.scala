@@ -629,11 +629,15 @@ object SparkEntry {
       // daily-ingest media dedup: the batch sketches only itself and probes
       // the append-only per-frame sketch artifact (IncrementalHistory,
       // Bench-prewarmed) — media is the fifth incremental modality; equals
-      // the full-corpus frameDupShare restricted to batch docs
+      // the full-corpus frameDupShare restricted to batch docs. The history
+      // side contributes its PRECOMPUTED class quotient (deterministic per
+      // history version) so the probe never re-derives the history groupBy
       val docs = tbl(s, d, "documents")
       Multimodal.frameDupShareIncremental(
         graft.sources.IncrementalHistory.batchDocs(docs),
-        graft.sources.IncrementalHistory.phashSketches(s, d))
+        graft.sources.IncrementalHistory.phashSketches(s, d),
+        historyClasses =
+          Some(graft.sources.IncrementalHistory.phashClasses(s, d)))
         .orderBy(col("doc_id"))
     })
   )

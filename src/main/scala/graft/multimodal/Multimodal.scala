@@ -321,10 +321,25 @@ object Multimodal {
     * bounds the tail-frame ball's pair work at a corpus-independent
     * constant. Result-identity with the frame-level join is gated by
     * PhashSpec's brute-force and incremental-parity tests. */
-  private def sketchClasses(sketches: DataFrame): DataFrame =
+  private[graft] def sketchClasses(sketches: DataFrame): DataFrame =
     sketches.groupBy(col("lang"), col("ahash"), col("dhash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("solo_doc"))
+
+  /** Merge two class-quotient tables whose underlying DOC SETS ARE
+    * DISJOINT (the daily-ingest contract: history and batch never share a
+    * doc_id — overlapping docs would double-count `n_docs`): distinct
+    * counts add, solo mins combine. Lets the history side contribute a
+    * PRECOMPUTED quotient artifact ([[graft.sources.IncrementalHistory
+    * .phashClasses]]) instead of re-deriving its (lang, aHash, dHash)
+    * groupBy per query — the quotient is deterministic per history
+    * version, so re-deriving it was pure repeated work (verdict r13 #4:
+    * the 0.74 → 1.12 s gate-scale trade this buys back while keeping the
+    * sf10 candidate-work win). */
+  private def mergeDisjointClasses(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("lang"), col("ahash"), col("dhash"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("solo_doc")).as("solo_doc"))
 
   /** Band explosion over a class table (same joint 16-bit partition as
     * [[bandSketches]], minus the per-frame columns). */
@@ -463,10 +478,18 @@ object Multimodal {
     * collapses identical sketches map-side, so the exchange carries
     * per-partition distinct classes, not frames — and the tail-frame ball
     * collapses before it can meet the probe), and the rollup shuffle is
-    * ∝ batch frames only. */
+    * ∝ batch frames only.
+    *
+    * `historyClasses`: optionally pass the history side's PRECOMPUTED
+    * class quotient (the [[graft.sources.IncrementalHistory.phashClasses]]
+    * artifact — deterministic per history version, so deriving it per
+    * query was repeated work). The merge assumes the daily-ingest
+    * disjointness contract (see [[mergeDisjointClasses]]); omitted, the
+    * quotient is derived from `historySketches` as before. */
   def frameDupShareIncremental(newDocs: DataFrame, historySketches: DataFrame,
       maxHamming: Int = 3, stride: Int = PhashStride,
-      cells: Int = PhashCells): DataFrame = {
+      cells: Int = PhashCells,
+      historyClasses: Option[DataFrame] = None): DataFrame = {
     require(maxHamming < PhashBands,
       s"banding is only exact for maxHamming < $PhashBands")
     // persist the batch sketches: they feed the class quotient AND the rollup
@@ -475,10 +498,13 @@ object Multimodal {
     // corpus classes span history ∪ batch (the "another doc" universe); the
     // probe side is the batch's own classes — O(batch) regardless of
     // history size
-    val corpusClasses = sketchClasses(newSk.unionByName(historySketches
-      .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
-        col("lang"))))
     val probeClasses = graft.CacheRegistry.persist(sketchClasses(newSk))
+    val corpusClasses = historyClasses match {
+      case Some(hc) => mergeDisjointClasses(probeClasses, hc)
+      case None => sketchClasses(newSk.unionByName(historySketches
+        .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
+          col("lang"))))
+    }
     shareFromVerdicts(newSk,
       classVerdicts(probeClasses, corpusClasses, maxHamming, cells))
   }

@@ -237,7 +237,12 @@ object EventStreams {
     * in the sketch-table sink (one codegen expression per row, no state
     * store, restart-safe), and the accumulated sink IS the append-only
     * per-frame sketch history artifact — payloads are decoded and hashed
-    * exactly once, at ingest. `docs` needs (doc_id, text, lang). */
+    * exactly once, at ingest. `docs` needs (doc_id, text, lang). The
+    * probe-side class QUOTIENT ([[graft.sources.IncrementalHistory
+    * .phashClasses]]) is a compaction view over this sink, refreshed when
+    * the artifact version rolls — distinct-count aggregates aren't
+    * streaming-incremental, and the quotient is deterministic per version,
+    * so it belongs to the refresh step, not the per-row ingest. */
   def frameSketchStream(docs: DataFrame): DataFrame =
     graft.multimodal.Multimodal.phashFrames(docs, carry = Seq("lang"))
 

@@ -198,6 +198,16 @@ class PhashSpec extends SparkSpec {
     graft.CacheRegistry.release()
     assert(got == want, s"incremental diverged: ${got.size} vs ${want.size} docs")
     assert(got.nonEmpty)
+    // the PRECOMPUTED-quotient path (history classes materialized per
+    // version, merged disjointly with the batch quotient) must be
+    // result-identical to both the derive-per-query form and the full
+    // recompute — the r14 artifact the serving query now reads
+    val histClasses = Multimodal.sketchClasses(histSketches)
+    val gotPre = key(Multimodal.frameDupShareIncremental(batch, histSketches,
+      historyClasses = Some(histClasses)))
+    graft.CacheRegistry.release()
+    assert(gotPre == want,
+      s"precomputed-quotient path diverged: ${gotPre.size} vs ${want.size} docs")
     // edges: empty batch -> no rows; empty history -> batch-only signal
     assert(Multimodal.frameDupShareIncremental(batch.limit(0), histSketches)
       .count() == 0, "an empty ingest batch must produce no signal rows")
