@@ -77,6 +77,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(Bench.streamingJson(Nil) == "{}")
   }
 
+  test("layout section renders strict JSON; starved tables flag; empty stays valid") {
+    import graft.sources.LayoutAudit.TableLayout
+    val s = Bench.layoutJson(Seq(
+      TableLayout("lineitem", 40, 123456789L, 40, 40, 32, starved = false, "ok"),
+      TableLayout("documents", 1, 9000000L, 1, 1, 32, starved = true,
+        "scan-task starved: rewrite as ~32 part files")))
+    assert(s == "{\"lineitem\":{\"files\":40,\"bytes\":123456789," +
+      "\"row_groups\":40,\"est_scan_tasks\":40,\"starved\":false}," +
+      "\"documents\":{\"files\":1,\"bytes\":9000000,\"row_groups\":1," +
+      "\"est_scan_tasks\":1,\"starved\":true}}")
+    assert(Bench.layoutJson(Nil) == "{}")
+    // the flags-field form the summary line carries for a starved table
+    val flagged = Bench.summaryLine(1.0, 2.0, 1, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("layout_starved:documents"))
+    assert(flagged.contains("\"flags\":[\"layout_starved:documents\"]"))
+  }
+
   test("env-sourced values cannot break the parse target (cpus=*, odd paths)") {
     val wild = Bench.summaryLine(1.0, 2.0, 1, Nil,
       sfDir = "/tmp/we\"ird\\dir", sparkVersion = "4.1.2", cpus = "*",
