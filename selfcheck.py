@@ -4,7 +4,11 @@ part of the shipped library): run graft.Verify at a given SF, then execute each
 oracle_sql.json query in DuckDB over the same parquet tables and compare
 row count / schema / values (rows and columns sorted) per query.
 
-Usage: python3 selfcheck.py [sfDir] [outDir] [--skip-verify]
+Usage: python3 selfcheck.py [sfDir] [outDir] [--skip-verify] [--json FILE]
+
+--json FILE: additionally record per-query results in the driver's
+CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/rows/err)
+— used to persist the r14 sf10 oracle pass as a first-class artifact.
 """
 import json
 import os, math, subprocess, sys
@@ -15,6 +19,8 @@ import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out")
+JSON_OUT = (sys.argv[sys.argv.index("--json") + 1]
+            if "--json" in sys.argv else None)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 if "--skip-verify" not in sys.argv:
@@ -47,10 +53,21 @@ def canon(rows, names):
     return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
 
 fails = []
+record = {}
+
+
+def rec(name, rows_match=False, schema_match=False, hash_match=False,
+        spark_rows=None, oracle_rows=None, err=None):
+    record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
+
+
 for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if p.is_dir()}):
     d = OUT / name
     if not d.is_dir():
-        print(f"MISSING-RESULT {name} (query did not write output)"); fails.append(name); continue
+        print(f"MISSING-RESULT {name} (query did not write output)"); fails.append(name)
+        rec(name, err="missing result"); continue
     tbl = pq.read_table(d)
     snames = tbl.column_names
     cols = [c.to_pylist() for c in tbl.columns]
@@ -72,20 +89,30 @@ for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if
         if bad_types:
             print(f"TYPE-LINT    {name}: non-Spark-representable oracle output "
                   f"columns {bad_types} — add explicit CASTs in the oracle SQL")
-            fails.append(name); continue
+            fails.append(name); rec(name, err=f"type lint: {bad_types}"); continue
         drows = res.fetchall()
     except Exception as e:
-        print(f"ORACLE-ERR   {name}: {str(e).splitlines()[0][:160]}"); fails.append(name); continue
+        print(f"ORACLE-ERR   {name}: {str(e).splitlines()[0][:160]}"); fails.append(name)
+        rec(name, err=str(e).splitlines()[0][:200]); continue
     if sorted(snames) != sorted(dnames):
-        print(f"SCHEMA-MISM  {name}: spark={sorted(snames)} duck={sorted(dnames)}"); fails.append(name); continue
+        print(f"SCHEMA-MISM  {name}: spark={sorted(snames)} duck={sorted(dnames)}"); fails.append(name)
+        rec(name, spark_rows=len(srows), oracle_rows=len(drows)); continue
     if len(srows) != len(drows):
-        print(f"ROWS-MISM    {name}: spark={len(srows)} duck={len(drows)}"); fails.append(name); continue
+        print(f"ROWS-MISM    {name}: spark={len(srows)} duck={len(drows)}"); fails.append(name)
+        rec(name, schema_match=True, spark_rows=len(srows), oracle_rows=len(drows)); continue
     cs, cd = canon(srows, snames), canon(drows, dnames)
     if cs != cd:
         bad = next(i for i, (a, b) in enumerate(zip(cs, cd)) if a != b)
         print(f"VALUE-MISM   {name}: first diff row {bad}:\n  spark={cs[bad]}\n  duck ={cd[bad]}")
-        fails.append(name); continue
+        fails.append(name)
+        rec(name, rows_match=True, schema_match=True,
+            spark_rows=len(srows), oracle_rows=len(drows)); continue
     print(f"OK           {name}: rows={len(srows)}")
+    rec(name, rows_match=True, schema_match=True, hash_match=True,
+        spark_rows=len(srows), oracle_rows=len(drows))
 
+if JSON_OUT:
+    Path(JSON_OUT).write_text(json.dumps(record, indent=2, sort_keys=True))
+    print(f"wrote {JSON_OUT}")
 print(f"\n{'FAIL' if fails else 'PASS'}: {len(oracles) - len(fails)}/{len(oracles)} oracle-checked queries match", f"failures: {fails}" if fails else "")
 sys.exit(1 if fails else 0)
