@@ -71,6 +71,36 @@ def replicate(table, mut):
     return pa.concat_tables([table] + [mut(table, i) for i in range(1, K)])
 
 
+# Streaming mode (K >= 200, e.g. sf100 at K=1000): concatenating K Arrow
+# copies of lineitem/events before writing would hold tens of GB; instead
+# each copy is mutated and written as its own part file(s) immediately, so
+# peak memory is ONE copy. Same decorrelation recipes, same lake shape —
+# just `K` part files per big table instead of `4*K` slices of one table.
+STREAM = K >= 200
+
+
+def write_streamed(name, table, mut):
+    d = OUT / f"{name}.parquet"
+    if d.is_file():
+        d.unlink()
+    if d.is_dir():
+        shutil.rmtree(d)
+    d.mkdir(parents=True)
+    for i in range(K):
+        t = table if i == 0 else mut(table, i)
+        pq.write_table(t, d / f"part-{i:05d}.parquet")
+        if i % 100 == 0:
+            print(f"  {name}: copy {i}/{K}", flush=True)
+    print(f"  {name}: {table.num_rows * K} rows ({K} files)", flush=True)
+
+
+def write_replicated(name, table, mut):
+    if STREAM:
+        write_streamed(name, table, mut)
+    else:
+        write(name, replicate(table, mut))
+
+
 def shifted(table, col, delta):
     i = table.column_names.index(col)
     return table.set_column(i, col, pc.add(table.column(col), delta))
@@ -91,16 +121,16 @@ docs = pq.read_table(SRC / "documents.parquet")
 emb = pq.read_table(SRC / "embeddings.parquet")
 
 ok_shift = pc.max(orders.column("o_orderkey")).as_py() + 1
-write("orders", replicate(orders, lambda t, i: perturbed(
-    shifted(t, "o_orderkey", i * ok_shift), "o_totalprice", i * 0.017)))
-write("lineitem", replicate(lineitem, lambda t, i: perturbed(
-    shifted(t, "l_orderkey", i * ok_shift), "l_extendedprice", i * 0.013)))
+write_replicated("orders", orders, lambda t, i: perturbed(
+    shifted(t, "o_orderkey", i * ok_shift), "o_totalprice", i * 0.017))
+write_replicated("lineitem", lineitem, lambda t, i: perturbed(
+    shifted(t, "l_orderkey", i * ok_shift), "l_extendedprice", i * 0.013))
 
 eid_shift = pc.max(events.column("event_id")).as_py() + 1
 uid_shift = pc.max(events.column("user_id")).as_py() + 1
-write("events", replicate(events, lambda t, i: perturbed(
+write_replicated("events", events, lambda t, i: perturbed(
     shifted(shifted(t, "event_id", i * eid_shift), "user_id", i * uid_shift),
-    "value", i * 0.011)))
+    "value", i * 0.011))
 # ts must pass through BIT-IDENTICAL at the source's own physical type (the
 # driver's generator switched ns -> us in round 9; the engine reads both via
 # the type-adaptive Relational.tsSecExpr, but a silent precision change HERE
@@ -127,7 +157,7 @@ def mut_docs(t, i):
     return out.set_column(out.column_names.index("n_chars"), "n_chars", n_chars)
 
 
-write("documents", replicate(docs, mut_docs))
+write_replicated("documents", docs, mut_docs)
 
 vec_shift = pc.max(emb.column("vec_id")).as_py() + 1
 mat = np.array(emb.column("embedding").to_pylist(), dtype=np.float32)
@@ -159,5 +189,5 @@ def mut_emb(t, i):
     return out.set_column(out.column_names.index("embedding"), "embedding", col)
 
 
-write("embeddings", replicate(emb, mut_emb))
+write_replicated("embeddings", emb, mut_emb)
 print(f"done: {OUT} at {K}x {SRC}")
