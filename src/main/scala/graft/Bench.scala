@@ -250,6 +250,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ONLY: comma-separated query-name subset for TARGETED scaled
+    // diagnostics (e.g. the sf100 serving/media/dedup families, where the
+    // untargeted rest would cost hours of wall for no additional signal).
+    // The record is marked partial via a `subset:<n>_of_<total>` flag so it
+    // can never masquerade as a full-suite number; unknown names fail loudly
+    // (a typo must not silently time nothing); the streaming arm is skipped
+    // (a partial record is a batch diagnostic). Prewarms run only for the
+    // families the subset touches — a missed prewarm is visible (the first
+    // query of the family pays the build inside its own timing), never wrong.
+    val onlySubset: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_ONLY").map { s =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, "SPARK_GRAFT_ONLY names not in " +
+          s"SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        names
+      }
+    def subsetNeeds(p: String => Boolean): Boolean = onlySubset.forall(_.exists(p))
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .master(s"local[$cpus]")
@@ -303,36 +321,45 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] $what prewarm failed: ${e.getMessage}")
       }
-    prewarm("ivf") {
+    val ivfFamilies = (n: String) => n.startsWith("knn_") || n.startsWith("ann_") ||
+      n.startsWith("ivf_") || n.startsWith("multimodal_") || n == "near_dup_ivf" ||
+      n == "contrast_near_dup_fixed_block" || n == "hybrid_rrf" || n == "rerank_cosine"
+    if (subsetNeeds(ivfFamilies)) prewarm("ivf") {
       graft.operators.IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters); ()
     }
-    prewarm("ivf-dedup-block") { // near_dup_ivf's constant-block-size index;
-      // at gate scales this resolves to the serving key above (cache hit)
-      graft.operators.IvfIndex.forSfDir(spark, sfDir,
-        SparkEntry.dedupBlockClusters(spark, sfDir)); ()
+    if (subsetNeeds(_ == "near_dup_ivf"))
+      prewarm("ivf-dedup-block") { // near_dup_ivf's constant-block-size index;
+        // at gate scales this resolves to the serving key above (cache hit)
+        graft.operators.IvfIndex.forSfDir(spark, sfDir,
+          SparkEntry.dedupBlockClusters(spark, sfDir)); ()
+      }
+    if (subsetNeeds(_.contains("pq"))) {
+      prewarm("pq") {
+        graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
+      }
+      prewarm("pq-ivf") { // separate block: a pq failure must not skip this build
+        graft.operators.PqQuant.forSfDirIvf(
+          spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
+      }
     }
-    prewarm("pq") {
-      graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
-    }
-    prewarm("pq-ivf") { // separate block: a pq failure must not skip this build
-      graft.operators.PqQuant.forSfDirIvf(
-        spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
-    }
-    prewarm("ivf-tune") { // tuner = offline experiment phase, not query time
-      SparkEntry.prewarmTunedProbe(spark, sfDir); ()
-    }
-    prewarm("sq8") {
+    if (subsetNeeds(_ == "ivf_tuned_probe"))
+      prewarm("ivf-tune") { // tuner = offline experiment phase, not query time
+        SparkEntry.prewarmTunedProbe(spark, sfDir); ()
+      }
+    if (subsetNeeds(_.contains("sq8"))) prewarm("sq8") {
       graft.operators.SqQuant.statsForSfDir(spark, sfDir, SparkEntry.EmbDim); ()
     }
-    prewarm("lsh") {
+    if (subsetNeeds(_.contains("lsh"))) prewarm("lsh") {
       graft.operators.LshAnn.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
     }
-    prewarm("inc-history") { // daily-ingest history artifacts (hash table,
-      // band table, span-window set): the once-per-refresh build, outside
-      // query timing like the index builds — the incremental rows then time
-      // only their O(batch) probe (verdict r11 #2)
-      graft.sources.IncrementalHistory.buildAll(spark, sfDir)
-    }
+    if (subsetNeeds(n => n.contains("_inc") || n == "dedup_incremental" ||
+        n == "dedup_bloom"))
+      prewarm("inc-history") { // daily-ingest history artifacts (hash table,
+        // band table, span-window set): the once-per-refresh build, outside
+        // query timing like the index builds — the incremental rows then time
+        // only their O(batch) probe (verdict r11 #2)
+        graft.sources.IncrementalHistory.buildAll(spark, sfDir)
+      }
 
     // cache-storage high-water across the run (bytes): with family-scoped
     // release this stays bounded by the largest single family's working set —
@@ -406,7 +433,7 @@ object Bench {
     val calBase = (1 to 3).map(i => sentinel(s"cal$i")).min
     def timedPass(label: String): (Seq[(String, Double)], List[String], Double) = {
       val pre = sentinel(s"${label}_pre")
-      val (rs, errs) = runPass()
+      val (rs, errs) = runPass(onlySubset)
       val post = sentinel(s"${label}_post")
       (rs, errs, math.max(pre, post))
     }
@@ -495,11 +522,15 @@ object Bench {
 
     // ---- streaming arm: measured after every batch pass (its own wall is
     // separate; a failure degrades to an empty section, never a dead bench)
-    val streaming = try streamBench(spark, sfDir) catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] streaming arm failed: ${e.getMessage}")
+    val streaming =
+      if (onlySubset.isDefined) {
+        System.err.println("[bench] subset run: streaming arm skipped")
         Seq.empty[(String, Seq[(String, Double)])]
-    }
+      } else try streamBench(spark, sfDir) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] streaming arm failed: ${e.getMessage}")
+          Seq.empty[(String, Seq[(String, Double)])]
+      }
 
     def total(rs: Seq[(String, Double)]) = rs.collect { case (_, v) if v >= 0 => v }.sum
     val (coldTotal, warmTotal) = (total(cold), total(warmFinal))
@@ -515,6 +546,7 @@ object Bench {
     val sentVals = sentinels.map(_._2)
     val sentinelSpread = if (sentVals.nonEmpty) sentVals.max / sentVals.min else 1.0
     val flags =
+      onlySubset.map(s => s"subset:${s.size}_of_${SparkEntry.queries.size}").toList ++
       layoutFlags.toList ++
       (if (loadSuspect(coldWorst)) List("cold_load") else Nil) ++
       (if (warm1Sus) List("warm1_load") else Nil) ++

@@ -94,6 +94,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(flagged.contains("\"flags\":[\"layout_starved:documents\"]"))
   }
 
+  test("a subset run is marked partial in flags (SPARK_GRAFT_ONLY contract)") {
+    // the flag a targeted scaled run carries (e.g. the sf100 families):
+    // `subset:<n>_of_<total>` must render as a plain flags entry so a
+    // partial record can never masquerade as a full-suite number
+    val partial = Bench.summaryLine(1.0, 2.0, 18, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("subset:18_of_127"))
+    assert(partial.contains("\"flags\":[\"subset:18_of_127\"]"))
+    assert(partial.contains("\"n_queries\":18"))
+  }
+
   test("env-sourced values cannot break the parse target (cpus=*, odd paths)") {
     val wild = Bench.summaryLine(1.0, 2.0, 1, Nil,
       sfDir = "/tmp/we\"ird\\dir", sparkVersion = "4.1.2", cpus = "*",
