@@ -237,6 +237,19 @@ object GraftFunctions {
       markers: Seq[(String, Seq[String])] = langMarkers): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(words), markers))
 
+  /** Corpus text normalization (lowercase, strip non-[a-z0-9 ], collapse
+    * runs, trim) as one single-pass codegen expression — the composed
+    * three-copy / two-regex chain it replaced was the most expensive row of
+    * the sf10 suite ([[NormalizeTextExpr]] has the equivalence argument). */
+  def normalizeText(text: Column): Column =
+    ExpressionUtils.column(NormalizeTextExpr(ExpressionUtils.expression(text)))
+
+  /** The composed formulation (pre-r14 implementation) — retained as the
+    * executable spec [[normalizeText]] is parity-tested against; also the
+    * exact shape the DuckDB oracle replays. */
+  private[graft] def normalizeTextComposed(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "  +", " "))
+
   /** The composed Column formulation (pre-r10 implementation) — retained as
     * the executable spec [[langId]] is parity-tested against, at any
     * injected marker table. */

@@ -90,10 +90,13 @@ object TextAnalysis {
     * non-alphanumerics to spaces, collapse runs, trim. Exported as a 60-bit
     * content hash + length + preview so the result parquet stays narrow at
     * 100 TB while remaining value-comparable. Pure per-row expressions: runs
-    * at scan speed, zero shuffle. */
+    * at scan speed, zero shuffle. The normalization itself is the one-pass
+    * [[graft.functions.NormalizeTextExpr]] (r14 — the composed two-regex
+    * chain was the most expensive row of the sf10 suite at 51.9 s; the
+    * explode-through-struct keeps it evaluated ONCE for the three derived
+    * columns). */
   def normalize(documents: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "  +", " "))
+    val norm = graft.functions.GraftFunctions.normalizeText(col("text"))
     documents.select(
       col("doc_id"),
       explode(array(struct(norm.as("t")))).as("c"))
