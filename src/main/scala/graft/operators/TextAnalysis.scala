@@ -65,7 +65,11 @@ object TextAnalysis {
       col("doc_id"),
       explode(array(struct(
         size(tokens(col("text"))).as("ws"),
-        size(regexp_extract_all(col("text"), lit(BpeTokenRegex), lit(0))).as("bpe")))).as("c"))
+        // regexp_count, not size(regexp_extract_all(...)): identical count
+        // (same Matcher.find loop), but extract_all MATERIALIZES every match
+        // as a string in an array that is immediately discarded — at sf10
+        // that allocation was most of the row's cost
+        regexp_count(col("text"), lit(BpeTokenRegex)).as("bpe")))).as("c"))
     staged.select(
       col("doc_id"),
       col("c.ws").as("n_ws"),
