@@ -10,6 +10,7 @@ Usage: python3 selfcheck.py [sfDir] [outDir] [--skip-verify] [--json FILE]
 CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/rows/err)
 — used to persist the r14 sf10 oracle pass as a first-class artifact.
 """
+import argparse
 import json
 import os, math, subprocess, sys
 from pathlib import Path
@@ -17,13 +18,23 @@ from pathlib import Path
 import duckdb
 import pyarrow.parquet as pq
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out")
-JSON_OUT = (sys.argv[sys.argv.index("--json") + 1]
-            if "--json" in sys.argv else None)
+# argparse (ADVICE r14): the hand-rolled sys.argv parsing raised IndexError
+# when --json was the last arg and mis-bound SF when flags preceded the
+# positionals ('selfcheck.py --json f' set SF="--json").
+_ap = argparse.ArgumentParser(description=__doc__)
+_ap.add_argument("sfDir", nargs="?", default="/root/testdata/sf0.01")
+_ap.add_argument("outDir", nargs="?", default="/root/repo/target/verify_out")
+_ap.add_argument("--skip-verify", action="store_true")
+_ap.add_argument("--json", metavar="FILE", default=None,
+                 help="also record per-query results in the driver's "
+                      "CORRECTNESS_r{N}.json shape")
+_args = _ap.parse_args()
+SF = _args.sfDir
+OUT = Path(_args.outDir)
+JSON_OUT = _args.json
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-if "--skip-verify" not in sys.argv:
+if not _args.skip_verify:
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", capture_output=True, text=True, timeout=3600)

@@ -247,6 +247,46 @@ object Bench {
       "janino_mean_ms" -> janino.getSnapshot.getMean)
   }
 
+  /** Sentinel-spread flag threshold (verdict r14 #3): r7's documented rule
+    * is that a burst-free long-running JVM drifts sentinels to ~2× the
+    * pristine floor while genuine scheduling interference reads ≫2× — 3×
+    * separates the two. The r14 driver record shipped spread 5.77 with
+    * clean `flags`, so every reader had to cross-reference a buried detail
+    * field to discount it; above this threshold the record now carries
+    * `sentinel_drift:<spread>` and self-identifies. */
+  private[graft] val SentinelDriftSpread = 3.0
+
+  /** Build (once) a lake-shaped mirror of `sfDir` under target/: starved
+    * tables rewritten as part-file directories (the make_sf.py write shape),
+    * healthy tables symlinked. Reused if already built — delete the mirror
+    * dir to force a rebuild. Runs entirely outside the timed region. */
+  private def relayoutMirror(spark: SparkSession, sfDir: String,
+      layout: Seq[graft.sources.LayoutAudit.TableLayout]): String = {
+    import java.nio.file.{Files, Paths}
+    val mirror = s"target/relayout/${graft.SfPath.safe(sfDir)}"
+    Files.createDirectories(Paths.get(mirror))
+    val byTable = layout.map(l => l.table -> l).toMap
+    graft.sources.LayoutAudit.DefaultTables.foreach { t =>
+      val src = Paths.get(s"$sfDir/$t.parquet").toAbsolutePath
+      val dst = Paths.get(s"$mirror/$t.parquet")
+      val l = byTable.get(t)
+      if (!Files.exists(src, java.nio.file.LinkOption.NOFOLLOW_LINKS)) ()
+      else if (l.exists(_.starved)) {
+        if (!Files.exists(dst.resolve("_SUCCESS"))) {
+          val parts = graft.sources.LayoutAudit.suggestedFiles(
+            l.map(_.bytes).getOrElse(0L), spark.sparkContext.defaultParallelism)
+          System.err.println(s"[bench] relayout: rewriting starved table $t " +
+            s"as $parts part files under $mirror")
+          spark.read.parquet(src.toString).repartition(parts)
+            .write.mode("overwrite").parquet(dst.toString)
+        }
+      } else if (!Files.exists(dst, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+        Files.createSymbolicLink(dst, src)
+      }
+    }
+    mirror
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -267,7 +307,13 @@ object Bench {
           s"SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
         names
       }
-    def subsetNeeds(p: String => Boolean): Boolean = onlySubset.forall(_.exists(p))
+    // prewarm membership comes from the explicit query→artifact map next to
+    // SparkEntry.queries (ADVICE r14: the old name-substring heuristics
+    // silently un-prewarmed any renamed query; PrewarmMapSpec pins the map
+    // against both the heuristics and the query set)
+    def subsetNeeds(family: String): Boolean =
+      onlySubset.forall(_.exists(
+        SparkEntry.prewarmQueries.getOrElse(family, Set.empty)))
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .master(s"local[$cpus]")
@@ -300,16 +346,36 @@ object Bench {
     graft.functions.GraftFunctions.register(spark)
 
     // ---- lake-shape preamble: audit the sfDir BEFORE any timing (see
-    // [[layoutJson]]); a failed audit degrades to an empty section + flag,
-    // never a dead bench
-    val layout: Seq[graft.sources.LayoutAudit.TableLayout] =
-      try graft.sources.LayoutAudit.DefaultTables.map(t =>
-        graft.sources.LayoutAudit.auditTable(spark, s"$sfDir/$t.parquet", t))
+    // [[layoutJson]]); a failed audit degrades to an empty section + a
+    // `layout_audit_failed` flag (ADVICE r14: an empty section with clean
+    // flags was indistinguishable from a healthy lake), never a dead bench
+    def auditDir(dir: String): (Seq[graft.sources.LayoutAudit.TableLayout], Boolean) =
+      try (graft.sources.LayoutAudit.DefaultTables.map(t =>
+        graft.sources.LayoutAudit.auditTable(spark, s"$dir/$t.parquet", t)), true)
       catch { case e: Throwable =>
         System.err.println(s"[bench] layout audit failed: ${e.getMessage}")
-        Nil
+        (Nil, false)
       }
-    val layoutFlags = layout.filter(_.starved).map(l => s"layout_starved:${l.table}")
+    val (rawLayout, rawAuditOk) = auditDir(sfDir)
+    // Opt-in relayout (verdict r14 #6): the driver-generated gate dirs ship
+    // big tables as ONE file = one scan task, so `layout_starved:lineitem`
+    // fires on every raw sf0.1 record forever and the relational rows time
+    // the lake shape, not the engine. SPARK_GRAFT_RELAYOUT=1 mirrors the
+    // sfDir once under target/ (starved tables rewritten as part files —
+    // exactly what make_sf.py does for sf1+ — healthy tables symlinked) and
+    // benches the mirror; raw-dir runs keep the flag. /root/testdata stays
+    // untouched either way.
+    val relayoutOn = sys.env.get("SPARK_GRAFT_RELAYOUT").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+    val (benchDir, layout, layoutAuditOk) =
+      if (relayoutOn && rawLayout.exists(_.starved)) {
+        val mirror = relayoutMirror(spark, sfDir, rawLayout)
+        val (ml, mok) = auditDir(mirror)
+        (mirror, ml, mok && rawAuditOk)
+      } else (sfDir, rawLayout, rawAuditOk)
+    val layoutFlags =
+      layout.filter(_.starved).map(l => s"layout_starved:${l.table}") ++
+        (if (layoutAuditOk) Nil else Seq("layout_audit_failed"))
     if (layoutFlags.nonEmpty)
       System.err.println(s"[bench] LAYOUT: ${layoutFlags.mkString(", ")} — " +
         "scan-task-starved tables; timings below measure the lake shape, " +
@@ -321,44 +387,40 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] $what prewarm failed: ${e.getMessage}")
       }
-    val ivfFamilies = (n: String) => n.startsWith("knn_") || n.startsWith("ann_") ||
-      n.startsWith("ivf_") || n.startsWith("multimodal_") || n == "near_dup_ivf" ||
-      n == "contrast_near_dup_fixed_block" || n == "hybrid_rrf" || n == "rerank_cosine"
-    if (subsetNeeds(ivfFamilies)) prewarm("ivf") {
-      graft.operators.IvfIndex.forSfDir(spark, sfDir, SparkEntry.NumClusters); ()
+    if (subsetNeeds("ivf")) prewarm("ivf") {
+      graft.operators.IvfIndex.forSfDir(spark, benchDir, SparkEntry.NumClusters); ()
     }
-    if (subsetNeeds(_ == "near_dup_ivf"))
+    if (subsetNeeds("ivf-dedup-block"))
       prewarm("ivf-dedup-block") { // near_dup_ivf's constant-block-size index;
         // at gate scales this resolves to the serving key above (cache hit)
-        graft.operators.IvfIndex.forSfDir(spark, sfDir,
-          SparkEntry.dedupBlockClusters(spark, sfDir)); ()
+        graft.operators.IvfIndex.forSfDir(spark, benchDir,
+          SparkEntry.dedupBlockClusters(spark, benchDir)); ()
       }
-    if (subsetNeeds(_.contains("pq"))) {
+    if (subsetNeeds("pq")) {
       prewarm("pq") {
-        graft.operators.PqQuant.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
+        graft.operators.PqQuant.forSfDir(spark, benchDir, SparkEntry.EmbDim); ()
       }
       prewarm("pq-ivf") { // separate block: a pq failure must not skip this build
         graft.operators.PqQuant.forSfDirIvf(
-          spark, sfDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
+          spark, benchDir, SparkEntry.EmbDim, SparkEntry.NumClusters); ()
       }
     }
-    if (subsetNeeds(_ == "ivf_tuned_probe"))
+    if (subsetNeeds("ivf-tune"))
       prewarm("ivf-tune") { // tuner = offline experiment phase, not query time
-        SparkEntry.prewarmTunedProbe(spark, sfDir); ()
+        SparkEntry.prewarmTunedProbe(spark, benchDir); ()
       }
-    if (subsetNeeds(_.contains("sq8"))) prewarm("sq8") {
-      graft.operators.SqQuant.statsForSfDir(spark, sfDir, SparkEntry.EmbDim); ()
+    if (subsetNeeds("sq8")) prewarm("sq8") {
+      graft.operators.SqQuant.statsForSfDir(spark, benchDir, SparkEntry.EmbDim); ()
     }
-    if (subsetNeeds(_.contains("lsh"))) prewarm("lsh") {
-      graft.operators.LshAnn.forSfDir(spark, sfDir, SparkEntry.EmbDim); ()
+    if (subsetNeeds("lsh")) prewarm("lsh") {
+      graft.operators.LshAnn.forSfDir(spark, benchDir, SparkEntry.EmbDim); ()
     }
-    if (subsetNeeds(n => n.contains("_inc") || n == "dedup_incremental" ||
-        n == "dedup_bloom"))
+    if (subsetNeeds("inc-history"))
       prewarm("inc-history") { // daily-ingest history artifacts (hash table,
         // band table, span-window set): the once-per-refresh build, outside
         // query timing like the index builds — the incremental rows then time
         // only their O(batch) probe (verdict r11 #2)
-        graft.sources.IncrementalHistory.buildAll(spark, sfDir)
+        graft.sources.IncrementalHistory.buildAll(spark, benchDir)
       }
 
     // cache-storage high-water across the run (bytes): with family-scoped
@@ -381,7 +443,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok =
           try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            fn(spark, benchDir).write.format("noop").mode("overwrite").save()
             true
           } catch {
             case e: Throwable =>
@@ -526,7 +588,7 @@ object Bench {
       if (onlySubset.isDefined) {
         System.err.println("[bench] subset run: streaming arm skipped")
         Seq.empty[(String, Seq[(String, Double)])]
-      } else try streamBench(spark, sfDir) catch {
+      } else try streamBench(spark, benchDir) catch {
         case e: Throwable =>
           System.err.println(s"[bench] streaming arm failed: ${e.getMessage}")
           Seq.empty[(String, Seq[(String, Double)])]
@@ -551,14 +613,19 @@ object Bench {
       (if (loadSuspect(coldWorst)) List("cold_load") else Nil) ++
       (if (warm1Sus) List("warm1_load") else Nil) ++
       (if (warm2Sus) List("warm2_load") else Nil) ++
-      (if (inversions > 3) List("warm_cold_inversion") else Nil)
+      (if (inversions > 3) List("warm_cold_inversion") else Nil) ++
+      // verdict r14 #3: boundary-sentinel drift above the r7-documented 3×
+      // line rides the record's flags — a drifted record self-identifies
+      // instead of hiding the one discounting field in the detail JSON
+      (if (sentinelSpread > SentinelDriftSpread)
+        List(s"sentinel_drift:${n3(sentinelSpread)}") else Nil)
     if (flags.nonEmpty)
       System.err.println(s"[bench] LOAD FLAGS: ${flags.mkString(", ")} — " +
         s"treat this record's timings as environment-contaminated")
 
     // full-precision artifact for offline analysis (not part of the contract)
     val detail =
-      s"""{"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,
+      s"""{"sf":"$benchDir","cold_total":$coldTotal,"warm_total":$warmTotal,
          |"warm_total_prerepair":$warmTotalPreRepair,
          |"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warmFinal.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
@@ -587,7 +654,7 @@ object Bench {
     println(s"""{"streaming":${streamingJson(streaming)}}""")
     println(s"""{"layout":${layoutJson(layout)}}""")
     println(summaryLine(warmTotal, coldTotal, warmFinal.size,
-      (coldErrs ++ warmErrs).distinct, sfDir, spark.version, cpus, cacheHighWater,
+      (coldErrs ++ warmErrs).distinct, benchDir, spark.version, cpus, cacheHighWater,
       flags, inversions, sentinelSpread))
     spark.stop()
   }

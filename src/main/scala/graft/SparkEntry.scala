@@ -618,6 +618,12 @@ object SparkEntry {
       // dedup sketch, zero-shuffle map-side computation
       Multimodal.phashFrames(tbl(s, d, "documents"))
         .orderBy(col("doc_id"), col("frame_no"))),
+    "phash_imageio"          -> ((s, d) =>
+      // the REAL-codec arm end-to-end (verdict r14 #8): deterministic
+      // synthetic PNGs through the JDK encoder, decoded by ImageIoDecoder's
+      // production path into the shared packPhash — lossless round-trip, so
+      // the oracle replays the painted recipe closed-form
+      Multimodal.imagePhash(s, tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "near_dup_frames"        -> ((s, d) =>
       // per-doc duplicated-frame share via the banded Hamming join — the
       // simhashPairs pigeonhole machinery applied to the payload sketches,
@@ -636,7 +642,7 @@ object SparkEntry {
       Multimodal.frameDupShareIncremental(
         graft.sources.IncrementalHistory.batchDocs(docs),
         graft.sources.IncrementalHistory.phashSketches(s, d),
-        historyClasses =
+        disjointHistoryClasses =
           Some(graft.sources.IncrementalHistory.phashClasses(s, d)))
         .orderBy(col("doc_id"))
     })
@@ -716,6 +722,40 @@ object SparkEntry {
     "q28_funnel"          -> "funnel",
     // (user, week) presence pairs ([[Relational.cohortRetention]])
     "q29_retention"       -> "retention")
+
+  /** Prewarm-artifact membership for Bench's subset mode (ADVICE r14: the
+    * old name-substring gating — `_.contains("pq")` etc — silently skipped
+    * the prewarm for any query whose name stopped matching its family's
+    * pattern, making the first timed query of the family pay the offline
+    * build). Key = prewarm name as Bench spells it; value = every query
+    * that depends on that offline artifact. Absent queries need no prewarm.
+    * PrewarmMapSpec pins each set against both [[queries]] (no phantom
+    * names) and the legacy heuristics (no silently dropped member). */
+  val prewarmQueries: Map[String, Set[String]] = {
+    val ivfServing = Set(
+      "knn_exact", "knn_batch", "knn_ivf_full", "knn_rule_probe",
+      "ann_ivf_probe", "ann_ivf_batch", "ann_filtered",
+      "ann_sq8", "ann_pq", "ann_bq",
+      "ann_lsh", "ann_lsh_bucket", "ann_lsh_indexed",
+      "ivf_cluster_counts", "ivf_merge_counts", "ivf_assign_new",
+      "ivf_balance", "ivf_purity", "ivf_recall", "ivf_tuned_probe",
+      "ivf_sq8_probe", "ivf_pq_probe",
+      "multimodal_meta", "multimodal_frames", "multimodal_knn",
+      "multimodal_ann",
+      "near_dup_ivf", "contrast_near_dup_fixed_block",
+      "hybrid_rrf", "rerank_cosine")
+    Map(
+      "ivf"             -> ivfServing,
+      "ivf-dedup-block" -> Set("near_dup_ivf"),
+      "pq"              -> Set("ann_pq", "ivf_pq_probe", "pq_codes"),
+      "ivf-tune"        -> Set("ivf_tuned_probe"),
+      "sq8"             -> Set("ann_sq8", "ivf_sq8_probe", "sq8_codebook"),
+      "lsh"             -> Set("ann_lsh", "ann_lsh_bucket", "ann_lsh_indexed",
+        "lsh_candidates", "lsh_candidates_inc", "lsh_candidates_inc_bloom"),
+      "inc-history"     -> Set("lsh_candidates_inc", "lsh_candidates_inc_bloom",
+        "dup_span_share_inc", "frame_dup_share_inc", "near_dup_clusters_inc",
+        "dedup_incremental", "dedup_bloom"))
+  }
 
   /** Harness run order: deterministic, with family members adjacent (each
     * family sorts at its name's alphabetical position) so one release point
@@ -2012,6 +2052,27 @@ object SparkEntry {
       s"""$PhashCte
          |SELECT doc_id, frame_no, ahash, dhash FROM ph
          |ORDER BY doc_id, frame_no""".stripMargin,
+
+    // real-codec arm replay (verdict r14 #8): the engine paints column c of
+    // doc's PNG gray h32("{doc_id}:{c}") % 256, and PNG round-trip + BT.601
+    // integer luma of gray v = v make the decoded strip EQUAL the recipe —
+    // so the oracle replays paint → threshold/pack (the shared packPhash
+    // semantics) without any codec. CASTs per the DuckDB HUGEINT lint.
+    "phash_imageio" -> {
+      val cells = Multimodal.PhashCells
+      s"""WITH cell AS (SELECT doc_id, g.c,
+         |    ${h32Sql(s"CAST(doc_id AS VARCHAR) || ':' || CAST(g.c AS VARCHAR)")} % 256 AS iv
+         |  FROM documents, generate_series(0, ${cells - 1}) g(c)),
+         |tot AS (SELECT doc_id, SUM(iv) AS total FROM cell GROUP BY 1),
+         |ph AS (SELECT a.doc_id,
+         |    CAST(SUM(CASE WHEN $cells * a.iv > t.total THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS ahash,
+         |    CAST(SUM(CASE WHEN a.iv > n.iv THEN (CAST(1 AS BIGINT) << a.c) ELSE 0 END) AS BIGINT) AS dhash
+         |  FROM cell a
+         |  JOIN cell n ON n.doc_id = a.doc_id AND n.c = (a.c + 1) % $cells
+         |  JOIN tot t ON t.doc_id = a.doc_id
+         |  GROUP BY 1)
+         |SELECT doc_id, ahash, dhash FROM ph ORDER BY doc_id""".stripMargin
+    },
 
     // banded Hamming over the frame sketches — same pigeonhole replay as
     // simhash_pairs (4 bands × 8 bits of the aHash, lang-blocked), joint

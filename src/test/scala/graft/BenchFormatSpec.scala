@@ -94,6 +94,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(flagged.contains("\"flags\":[\"layout_starved:documents\"]"))
   }
 
+  test("sentinel drift above the r7 3x rule rides flags (verdict r14 #3)") {
+    // the r14 driver record shipped sentinel_spread 5.77 with clean flags —
+    // the one field discounting the record was buried in the detail JSON.
+    // Above Bench.SentinelDriftSpread the summary now carries the spread as
+    // a first-class flags entry, 3-dp fixed-point like the spread field.
+    assert(Bench.SentinelDriftSpread == 3.0) // r7's documented drift line
+    val drifted = Bench.summaryLine(1.0, 2.0, 1, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("sentinel_drift:5.770"), sentinelSpread = 5.77)
+    assert(drifted.contains("\"flags\":[\"sentinel_drift:5.770\"]"))
+    assert(drifted.contains("\"sentinel_spread\":5.770"))
+  }
+
+  test("a failed layout audit is flagged, not silently empty (ADVICE r14)") {
+    // layout:{} with clean flags was indistinguishable from a healthy
+    // un-starved lake; the catch path now emits layout_audit_failed
+    val failed = Bench.summaryLine(1.0, 2.0, 1, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("layout_audit_failed"))
+    assert(failed.contains("\"flags\":[\"layout_audit_failed\"]"))
+  }
+
   test("a subset run is marked partial in flags (SPARK_GRAFT_ONLY contract)") {
     // the flag a targeted scaled run carries (e.g. the sf100 families):
     // `subset:<n>_of_<total>` must render as a plain flags entry so a

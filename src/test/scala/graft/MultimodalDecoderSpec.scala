@@ -62,19 +62,47 @@ class MultimodalDecoderSpec extends SparkSpec {
   }
 
   test("decoder selection: hermetic default, system-property opt-in, bad value fails") {
-    assert(Decoder.forEnv eq Multimodal.FakeDecoder)
+    // ADVICE r14: the default-assertions only hold when the test
+    // environment itself doesn't set GRAFT_MEDIA_DECODER — guard them so a
+    // deployment-configured box doesn't fail spuriously. The property
+    // mutation below stays valid either way (property beats env), but note
+    // it mutates GLOBAL state: this suite assumes sbt's default sequential
+    // suite execution (no forked-parallel tests in this build).
+    val envClean = sys.env.get(Decoder.EnvVar).forall(_.isEmpty)
+    if (envClean) assert(Decoder.forEnv eq Multimodal.FakeDecoder)
     try {
       System.setProperty(Decoder.EnvVar, "imageio")
       assert(Decoder.forEnv eq ImageIoDecoder)
       System.setProperty(Decoder.EnvVar, "bogus")
       intercept[IllegalArgumentException](Decoder.forEnv)
+      System.setProperty(Decoder.EnvVar, "fake")
+      assert(Decoder.forEnv eq Multimodal.FakeDecoder)
     } finally System.clearProperty(Decoder.EnvVar)
-    assert(Decoder.forEnv eq Multimodal.FakeDecoder)
+    if (envClean) assert(Decoder.forEnv eq Multimodal.FakeDecoder)
   }
 
   test("non-image payload is rejected, not silently faked") {
     intercept[IllegalArgumentException](
       ImageIoDecoder.decode(1L, "not an image".getBytes("UTF-8")))
+  }
+
+  test("imagePhash: real PNG encode→decode round-trip equals the painted recipe") {
+    // the phash_imageio oracle row's premise, asserted directly: a genuine
+    // PNG encode (JDK writer) then ImageIoDecoder's production decode path
+    // recovers EXACTLY the painted per-column intensities (PNG lossless +
+    // BT.601 luma of gray v = v), so the sketch equals packPhash of the
+    // recipe — which is what the DuckDB oracle computes closed-form
+    import spark.implicits._
+    val docs = Seq(5L, 6L, 7L).toDF("doc_id")
+    val out = Multimodal.imagePhash(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val expected = Seq(5L, 6L, 7L).map { id =>
+      val iv = Array.tabulate(Multimodal.PhashCells)(c =>
+        PortableHash.h32(s"$id:$c".getBytes("UTF-8")) % 256L)
+      val (a, d) = PortableHash.packPhash(iv)
+      (id, a, d)
+    }
+    assert(out == expected)
   }
 
   test("Spark plumbing: decodeFrames runs the real decoder distributed") {

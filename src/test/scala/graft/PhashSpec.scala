@@ -204,7 +204,7 @@ class PhashSpec extends SparkSpec {
     // recompute — the r14 artifact the serving query now reads
     val histClasses = Multimodal.sketchClasses(histSketches)
     val gotPre = key(Multimodal.frameDupShareIncremental(batch, histSketches,
-      historyClasses = Some(histClasses)))
+      disjointHistoryClasses = Some(histClasses)))
     graft.CacheRegistry.release()
     assert(gotPre == want,
       s"precomputed-quotient path diverged: ${gotPre.size} vs ${want.size} docs")
