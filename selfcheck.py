@@ -43,6 +43,17 @@ if not _args.skip_verify:
         print("VERIFY FAILED:\n", tail); sys.exit(1)
 
 con = duckdb.connect()
+# Scaled-dir compares (sf10: 60M lineitem / 500k docs) push the heavy text
+# oracles past RAM without a spill path — DuckDB then dies with a bad_alloc
+# (observed on bigram_logprob at sf10, r15). Give it an explicit disk spill
+# directory and a memory ceiling below the box total so it spills instead
+# of aborting; both are harmless at gate scale.
+_tmp = OUT / "duck_tmp"
+_tmp.mkdir(parents=True, exist_ok=True)
+con.sql(f"SET temp_directory='{_tmp}'")
+con.sql(f"SET memory_limit='{os.environ.get('DUCK_MEM', '96GB')}'")
+if os.environ.get("DUCK_THREADS"):
+    con.sql(f"SET threads={int(os.environ['DUCK_THREADS'])}")
 for t in TABLES:
     path = f"{SF}/{t}.parquet"
     src = f"{path}/*.parquet" if os.path.isdir(path) else path
@@ -74,7 +85,8 @@ def rec(name, rows_match=False, schema_match=False, hash_match=False,
                     "oracle_rows": oracle_rows, "err": err}
 
 
-for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir() if p.is_dir()}):
+for name in sorted(set(list(oracles.keys())) | {p.name for p in OUT.iterdir()
+                                                if p.is_dir() and p.name != "duck_tmp"}):
     d = OUT / name
     if not d.is_dir():
         print(f"MISSING-RESULT {name} (query did not write output)"); fails.append(name)

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 import graft.operators.{IvfIndex, KnnBatch}
 
-/** THROWAWAY same-JVM alternating A/B (verdict r14 #2, not committed):
-  * settle whether the r14 `multimodal_knn` 0.31 → 0.71 s driver reading was
-  * the `Decoder` seam or ambience. Form A = the shipped seam path
+/** Same-JVM alternating A/B harness (verdict r14 #2; kept in-tree as the
+  * reusable drift-settlement protocol, not part of the library surface):
+  * settles whether the r14 `multimodal_knn` 0.31 → 0.71 s driver reading was
+  * the `Decoder` seam or ambience. r15 outcome (BASELINE.md CURRENT STATE):
+  * flat — knn seam 0.343/0.402 min/med vs inline 0.310/0.369, ann
+  * 0.368/0.448 vs 0.369/0.438 — the reading was box drift. Form A = the shipped seam path
   * (`Multimodal.frameEmbeddings`, decoder resolved once on the driver);
   * form B = the r13 inline path (static `FakeDecoder.decode` in the
   * mapPartitions lambda, no seam indirection) reconstructed verbatim.
