@@ -250,6 +250,19 @@ object GraftFunctions {
   private[graft] def normalizeTextComposed(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), "  +", " "))
 
+  /** Both token counts of `tok_count_bpe` — `STRUCT<n_ws, n_bpe>` — in one
+    * byte pass (no split-array materialization, no regex engine;
+    * [[BpeCountsExpr]] has the equivalence argument). */
+  def bpeCounts(text: Column): Column =
+    ExpressionUtils.column(BpeCountsExpr(ExpressionUtils.expression(text)))
+
+  /** Every quality-family token statistic — `STRUCT<n_tokens, n_uniq,
+    * mode_count, sum_len, stop_count>` — in one byte pass with a reused
+    * per-thread count table (no split array, no interpreted HOF folds;
+    * [[TokenStatsExpr]] has the equivalence argument per field). */
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(text), stopwords))
+
   /** The composed Column formulation (pre-r10 implementation) — retained as
     * the executable spec [[langId]] is parity-tested against, at any
     * injected marker table. */

@@ -24,6 +24,26 @@ object TextAnalysis {
     * Ratios rounded to 6 dp for oracle-stable output.
     */
   def quality(documents: DataFrame): DataFrame = {
+    // one single-pass codegen expression behind a Generate barrier (r15:
+    // [[graft.functions.TokenStatsExpr]] replaces the split array + three
+    // interpreted HOF folds; the composed form below is the executable spec)
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(tokenStats(col("text"), Stopwords))).as("t"))
+    val n = col("t.n_tokens")
+    staged.select(
+      col("doc_id"),
+      n.as("n_tokens"),
+      col("t.n_uniq").as("n_uniq"),
+      round(col("t.n_uniq").cast("double") / n, 6).as("uniq_ratio"),
+      round(col("t.sum_len").cast("double") / n, 6).as("avg_token_len"),
+      round(col("t.stop_count").cast("double") / n, 6).as("stop_ratio"))
+  }
+
+  /** The composed formulation (pre-r15) — retained as the executable spec
+    * [[quality]] is parity-tested against (TokenStatsSpec); also the shape
+    * the DuckDB oracle replays. */
+  private[graft] def qualityComposed(documents: DataFrame): DataFrame = {
     // materialize the token array once behind a Generate barrier (same CSE
     // rationale as Dedup.minhashSignatures: HOF-bearing columns re-inline
     // their subtrees, so without the barrier split(text) runs ~6x per row)
@@ -57,10 +77,27 @@ object TextAnalysis {
 
   /** Dual token count per doc: whitespace tokens and BPE-ish pre-tokenizer
     * segments (the unit an LLM tokenizer would then BPE-merge — counting the
-    * segments bounds token cost without a vocab). Both counts are staged once
-    * behind a Generate barrier (CollapseProject would otherwise re-inline the
-    * regex scan per output column — see [[quality]]). */
+    * segments bounds token cost without a vocab). Both counts come from ONE
+    * single-pass codegen expression ([[graft.functions.BpeCountsExpr]] —
+    * r15: replaces the split-array materialization AND the java.util.regex
+    * find loop; 13.9 → ~2 s at sf10), staged once behind a Generate barrier
+    * (CollapseProject would otherwise re-inline the scan per output column —
+    * see [[quality]]). */
   def tokenCountsBpe(documents: DataFrame): DataFrame = {
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(bpeCounts(col("text")))).as("c"))
+    staged.select(
+      col("doc_id"),
+      col("c.n_ws").as("n_ws"),
+      col("c.n_bpe").as("n_bpe"),
+      round(col("c.n_bpe").cast("double") / col("c.n_ws"), 6).as("bpe_per_ws"))
+  }
+
+  /** The composed formulation (pre-r15) — retained as the executable spec
+    * [[tokenCountsBpe]] is parity-tested against (BpeCountsSpec); also the
+    * shape the DuckDB oracle replays. */
+  private[graft] def tokenCountsBpeComposed(documents: DataFrame): DataFrame = {
     val staged = documents.select(
       col("doc_id"),
       explode(array(struct(
@@ -68,7 +105,7 @@ object TextAnalysis {
         // regexp_count, not size(regexp_extract_all(...)): identical count
         // (same Matcher.find loop), but extract_all MATERIALIZES every match
         // as a string in an array that is immediately discarded — at sf10
-        // that allocation was most of the row's cost
+        // that allocation was most of the row's cost (r14)
         regexp_count(col("text"), lit(BpeTokenRegex)).as("bpe")))).as("c"))
     staged.select(
       col("doc_id"),
@@ -162,6 +199,30 @@ object TextAnalysis {
     * which shuffles one count row per distinct (doc, token), never the text.
     */
   def repetition(documents: DataFrame): DataFrame = {
+    // r15: `max_c` IS [[graft.functions.TokenStatsExpr]]'s mode_count and
+    // `n_tokens` its token count, so the explode→groupBy→groupBy→join of
+    // the composed form (one shuffled row per (doc, distinct token) — a
+    // corpus-sized exchange at 100 TB) collapses to a single zero-shuffle
+    // projection; only the shingle ratio still folds over an array
+    val staged = documents.select(
+      col("doc_id"),
+      explode(array(struct(
+        shingles3Raw(tokens(col("text"))).as("sh"),
+        tokenStats(col("text"), Stopwords).as("ts")))).as("c"))
+    staged.select(
+      col("doc_id"),
+      col("c.ts.n_tokens").cast("long").as("n_tokens"),
+      round(col("c.ts.mode_count").cast("double") /
+        col("c.ts.n_tokens"), 6).as("top_tok_ratio"),
+      when(size(col("c.sh")) > 0,
+        round(size(array_distinct(col("c.sh"))).cast("double") / size(col("c.sh")), 6))
+        .as("uniq_shingle_ratio"))
+  }
+
+  /** The composed formulation (pre-r15) — retained as the executable spec
+    * [[repetition]] is parity-tested against (TokenStatsSpec); also the
+    * shape the DuckDB oracle replays (explode → per-token tf → rollup). */
+  private[graft] def repetitionComposed(documents: DataFrame): DataFrame = {
     val perRow = documents.select(
       col("doc_id"),
       explode(array(struct(shingles3Raw(tokens(col("text"))).as("sh")))).as("c"))
@@ -221,20 +282,35 @@ object TextAnalysis {
     * batch filter, the composed pipeline, and the streaming ingest. `w` must
     * be a bound attribute (staged behind a Generate barrier), not a raw
     * expression — see [[quality]]. */
-  def qualityReason(w: Column): Column = {
-    val n = size(w)
+  def qualityReason(w: Column): Column =
+    reasonFromCounts(size(w), tokenModeCount(w), size(array_distinct(w)))
+
+  /** The keep/drop rule over the three counts — the ONE rule definition
+    * both [[qualityReason]] (array form, streaming ingest) and the stats
+    * form ([[corpusFilter]]) evaluate. */
+  private def reasonFromCounts(n: Column, mode: Column, uniq: Column): Column =
     when(n < MinTokens, "too_short")
-      .when(round(tokenModeCount(w).cast("double") / n, 6) > MaxTopTokRatio,
-        "repeated_token")
-      .when(round(size(array_distinct(w)).cast("double") / n, 6) < MinUniqRatio,
-        "low_diversity")
-  }
+      .when(round(mode.cast("double") / n, 6) > MaxTopTokRatio, "repeated_token")
+      .when(round(uniq.cast("double") / n, 6) < MinUniqRatio, "low_diversity")
 
   def corpusFilter(documents: DataFrame): DataFrame = {
-    // all three signals are per-row HOFs over ONE staged token array (see
-    // [[quality]] for the Generate-barrier rationale): token floor, mode
-    // ratio ([[tokenModeCount]]), distinct ratio — the keep/drop decision
-    // runs at scan speed with zero shuffle
+    // all three signals come from ONE single-pass codegen expression (r15:
+    // [[graft.functions.TokenStatsExpr]] — token floor, mode ratio,
+    // distinct ratio; the keep/drop decision runs at scan speed with zero
+    // shuffle; the pre-r15 HOF form is the executable spec below)
+    documents.select(
+      col("doc_id"),
+      explode(array(tokenStats(col("text"), Stopwords))).as("c"))
+      .select(col("doc_id"),
+        col("c.n_tokens").cast("long").as("n_tokens"),
+        reasonFromCounts(col("c.n_tokens"), col("c.mode_count"),
+          col("c.n_uniq")).as("reason"))
+      .withColumn("keep", col("reason").isNull)
+  }
+
+  /** The composed formulation (pre-r15) — retained as the executable spec
+    * [[corpusFilter]] is parity-tested against (TokenStatsSpec). */
+  private[graft] def corpusFilterComposed(documents: DataFrame): DataFrame = {
     documents.select(
       col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("c"))

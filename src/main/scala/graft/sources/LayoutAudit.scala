@@ -53,10 +53,15 @@ object LayoutAudit {
   val TargetBytesPerFile: Long = 32L << 20
 
   /** Suggested part-file count for a rewrite: enough files to feed every
-    * core, but never smaller than [[TargetBytesPerFile]] slices. */
+    * core, but never smaller than [[TargetBytesPerFile]] slices. The small-
+    * file floor is 512 KB — it must stay at or below `minBytes / (cores/2)`
+    * (8 MB / 16), or the suggestion can't satisfy the audit's own
+    * `est >= cores/2` threshold for tables in the 8–32 MB band: the r15
+    * relayout mirror rewrote a 10.8 MB table to 11 × 1 MB files and the
+    * re-audit correctly kept flagging it starved (11 < 16 scan tasks). */
   def suggestedFiles(bytes: Long, cores: Int): Int = {
     val bySize = math.ceil(bytes.toDouble / TargetBytesPerFile).toInt
-    math.max(math.min(cores, math.max(1, math.ceil(bytes.toDouble / (1L << 20)).toInt)), bySize)
+    math.max(math.min(cores, math.max(1, math.ceil(bytes.toDouble / (512L << 10)).toInt)), bySize)
   }
 
   /** Audit every table under `root` (each either a single `name.parquet`

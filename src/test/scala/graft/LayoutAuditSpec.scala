@@ -68,4 +68,15 @@ class LayoutAuditSpec extends SparkSpec {
     val hundredMb = LayoutAudit.suggestedFiles(100L << 20, cores)
     assert(hundredMb >= 4 && hundredMb <= cores)
   }
+
+  test("suggestion satisfies the audit's own starvation threshold (r15 fix)") {
+    val cores = 32
+    // every auditable size (>= the 8 MB minBytes gate) must suggest at
+    // least cores/2 files, or the prescribed rewrite re-flags itself —
+    // the 10.8 MB lineitem case that kept layout_starved on the mirror
+    Seq(8L << 20, (108L << 20) / 10, 16L << 20, 31L << 20).foreach { bytes =>
+      assert(LayoutAudit.suggestedFiles(bytes, cores) >= cores / 2,
+        s"suggestion for $bytes bytes starves the audit's own threshold")
+    }
+  }
 }
