@@ -288,7 +288,7 @@ object TextAnalysis {
   /** The keep/drop rule over the three counts — the ONE rule definition
     * both [[qualityReason]] (array form, streaming ingest) and the stats
     * form ([[corpusFilter]]) evaluate. */
-  private def reasonFromCounts(n: Column, mode: Column, uniq: Column): Column =
+  private[graft] def reasonFromCounts(n: Column, mode: Column, uniq: Column): Column =
     when(n < MinTokens, "too_short")
       .when(round(mode.cast("double") / n, 6) > MaxTopTokRatio, "repeated_token")
       .when(round(uniq.cast("double") / n, 6) < MinUniqRatio, "low_diversity")

@@ -326,14 +326,18 @@ object EventStreams {
     * [[graft.operators.Dedup]] batch pass — the standard lambda split.
     * `docs` must carry (doc_id, text, ts). */
   def curateDocStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame = {
-    import graft.functions.GraftFunctions.tokens
+    import graft.functions.GraftFunctions.tokenStats
     import graft.operators.TextAnalysis
+    // r15: the same single-pass TokenStatsExpr + reasonFromCounts rule the
+    // batch corpusFilter evaluates — ingest and batch share ONE plan shape
+    // AND one rule definition (the composed HOF form stays the spec)
     docs.select(
       col("doc_id"), col("text"), col("ts"),
-      explode(array(struct(tokens(col("text")).as("w")))).as("c"))
+      explode(array(tokenStats(col("text"), TextAnalysis.Stopwords))).as("c"))
       .select(col("doc_id"), col("text"), col("ts"),
-        size(col("c.w")).cast("long").as("n_tokens"),
-        TextAnalysis.qualityReason(col("c.w")).as("reason"))
+        col("c.n_tokens").cast("long").as("n_tokens"),
+        TextAnalysis.reasonFromCounts(col("c.n_tokens"), col("c.mode_count"),
+          col("c.n_uniq")).as("reason"))
       .where(col("reason").isNull)
       .withWatermark("ts", horizon)
       .withColumn("text_md5", contentHash(col("text")))
