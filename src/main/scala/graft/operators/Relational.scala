@@ -409,14 +409,36 @@ object Relational {
 
   /** Exact interpolated percentiles per group (order statistics — the general
     * form of the reference's top-k order statistic). percentile() is exact
-    * (sorts within group); at 100 TB one would switch to approx_percentile
-    * sketches — declared trade-off, same API shape. */
+    * (sorts within group) and is the hash-oracled report; the 100 TB serving
+    * form is [[eventPercentilesApprox]] — declared trade-off, same API
+    * shape. */
   def eventPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+      .orderBy(col("event_type"))
+
+  /** Bounded-memory production twin of [[eventPercentiles]] — the
+    * [[graft.operators.TextAnalysis.qualityPercentilesApprox]] pattern
+    * applied to the event stream: `percentile_approx` (Greenwald–Khanna
+    * summaries) holds O(accuracy·log n) sketch state per group where the
+    * exact form buffers the group's ENTIRE value list in one final-merge
+    * task — at sf10 that is 12M doubles per event_type (the q14 9.3 s row),
+    * and at 100 TB a hot event type concentrates the corpus into one
+    * aggregation buffer. Returned values are actual data points (no
+    * interpolation), so the twin is closeness-gated in QualitySpec, not
+    * hash-oracled. min/max are exact either way. */
+  def eventPercentilesApprox(spark: SparkSession, sfDir: String,
+      accuracy: Int = 10000): DataFrame =
+    events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.95), lit(accuracy)).as("p95"),
         round(min(col("value")), 6).as("min_v"),
         round(max(col("value")), 6).as("max_v"))
       .orderBy(col("event_type"))

@@ -40,6 +40,37 @@ class QualitySpec extends SparkSpec {
       "approx variant must not buffer the group's ratio list:\n" + plan.take(600))
   }
 
+  test("event-percentile approx twin tracks the exact q14 report (r15)") {
+    val exact = graft.operators.Relational.eventPercentiles(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.operators.Relational
+      .eventPercentilesApprox(spark, sf0001, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    // GK's actual guarantee is on RANK, not value (a sparse tail can put
+    // adjacent ranks units apart): at accuracy=10000 and sf0.001 group
+    // sizes the rank error is < 1, so the returned data point must be one
+    // of the target rank's neighbors in the group's sorted value list
+    val valsByType = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    exact.foreach { case (et, e) =>
+      val a = approx(et)
+      val vs = valsByType(et)
+      def inRankWindow(got: Double, q: Double): Boolean = {
+        val r = ((vs.length - 1) * q).toInt
+        val lo = vs(math.max(0, r - 1))
+        val hi = vs(math.min(vs.length - 1, r + 2))
+        got >= lo && got <= hi
+      }
+      assert(inRankWindow(a.getDouble(1), 0.5), s"$et p50 ${a.getDouble(1)}")
+      assert(inRankWindow(a.getDouble(2), 0.95), s"$et p95 ${a.getDouble(2)}")
+      // min/max are exact in both forms
+      assert(a.getDouble(3) == e.getDouble(3) && a.getDouble(4) == e.getDouble(4), et)
+    }
+  }
+
   test("HLL vocab twin tracks the exact per-language type counts within bound") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val exact = TextAnalysis.vocabSizeByLang(docs).collect()
