@@ -530,8 +530,7 @@ object Dedup {
     // shingle pipeline evaluates 3×. Same write-then-read posture as
     // [[lshCandidatePairs]].
     val docs = shingledDocs(documents)
-    jaccardPairsFrom(shinglePostings(docs),
-      docs.select(col("doc_id"), size(col("sh")).as("n")), minJaccard)
+    jaccardPairsFrom(shinglePostings(docs), docs, minJaccard)
   }
 
   /** [[ngramJaccardPairs]] restricted to the docs in `ids` WITHOUT
@@ -551,14 +550,81 @@ object Dedup {
     val keep = ids.select(col("doc_id"))
     jaccardPairsFrom(
       shinglePostings(docs).join(keep, Seq("doc_id"), "left_semi"),
-      docs.select(col("doc_id"), size(col("sh")).as("n")), minJaccard)
+      docs, minJaccard)
   }
 
-  /** Shared tail of the set-similarity join: postings self-join on
-    * (block, shingle-hash) → common counts → Jaccard threshold. `sizes` may
-    * cover a superset of the posting docs (it only joins by pair endpoint). */
-  private def jaccardPairsFrom(postings: DataFrame, sizes: DataFrame,
+  /** Shared tail of the set-similarity join, prefix-filtered (the SSJoin /
+    * PPJoin candidate rule — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08;
+    * public technique, reference computes none of this):
+    *
+    *   1. df per (lang, shingle-hash) — a map-combinable aggregate.
+    *   2. Per doc, order shingles by (df ASC, hash ASC) — a global total
+    *      order within each lang — and keep only the PREFIX of length
+    *      `n − ⌈t·n⌉ + 1`. Soundness: J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥
+    *      ⌈t·|x|⌉ (and ≥ ⌈t·|y|⌉); if the prefixes were disjoint, order the
+    *      prefix maxima b_x ≤ b_y — no common element fits in x's prefix
+    *      (it would be ≤ b_x ≤ b_y, hence forced into y's suffix, whose
+    *      elements all exceed b_y), yet x's suffix holds at most ⌈t·|x|⌉−1
+    *      of the ≥⌈t·|x|⌉ common elements. Contradiction.
+    *   3. Self-join PREFIX postings on (lang, hash) with the length filter
+    *      `t·max(n_a,n_b) ≤ min(n_a,n_b)` (J ≥ t ⟹ |∩| ≥ t·|∪| and
+    *      |∩| ≤ min, |∪| ≥ max) → distinct candidate pairs.
+    *   4. Verify each candidate EXACTLY from the persisted shingle arrays:
+    *      `|∩|` via `array_intersect` on the distinct-hash arrays — so the
+    *      output (pairs + exact Jaccard) is bit-identical to the naive
+    *      all-postings self-join ([[jaccardPairsAllPairs]], the retained
+    *      parity reference; DedupPrefixJoinSpec pins equality).
+    *
+    * Why this is the 100 TB shape: the naive self-join explodes every hot
+    * shingle quadratically — one boilerplate 3-gram shared by 1M docs makes
+    * 5·10¹¹ join rows BEFORE the pair-level groupBy, independent of how few
+    * pairs survive. df-ascending ordering pushes exactly those shingles
+    * into suffixes, so they never enter the join; candidates are generated
+    * only from each doc's RAREST ~(1−t)·n shingles, and the pair-level
+    * groupBy disappears entirely (verification is per-candidate, one row
+    * each). `postings` may be a semi-joined subset ([[ngramJaccardPairsAmong]]);
+    * df over the subset is still a valid total order — ANY consistent order
+    * is sound, df-ascending is the selectivity choice. `docs` may cover a
+    * superset (verification joins by candidate endpoint only). */
+  private def jaccardPairsFrom(postings: DataFrame, docs: DataFrame,
       minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = postings.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val pref = postings.join(df, Seq("lang", "s"))
+      .withColumn("rk",
+        row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
+      .select(col("doc_id"), col("lang"), col("s"), col("n"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") >= col("b.n") * minJaccard &&
+          col("b.n") >= col("a.n") * minJaccard)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The pre-r15 naive tail — every posting on both sides of the self-join,
+    * common counts via a pair-level groupBy. Retained as the parity
+    * reference for [[jaccardPairsFrom]]'s prefix filter (DedupPrefixJoinSpec
+    * asserts identical output on fixtures the prefix rule must not drop:
+    * hot shingles, borderline-⌈t·n⌉ sizes, single-shingle docs). */
+  private[operators] def jaccardPairsAllPairs(postings: DataFrame,
+      sizes: DataFrame, minJaccard: Double): DataFrame = {
     val common = postings.as("a")
       .join(postings.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
@@ -689,7 +755,7 @@ object Dedup {
     val docs = shingledDocs(newDocs)
     val np = shinglePostings(docs)
     val ns = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val newNew = jaccardPairsFrom(np, ns, minJaccard)
+    val newNew = jaccardPairsFrom(np, docs, minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val keys = np.select(col("lang"), col("s")).distinct()
     val hp = historyPostings.select(col("doc_id"), col("lang"), col("s"))
