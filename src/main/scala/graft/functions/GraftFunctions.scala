@@ -81,6 +81,22 @@ object GraftFunctions {
     ExpressionUtils.column(
       SpanWindowHashes(ExpressionUtils.expression(toks), window))
 
+  /** CMS frequency estimate of a BIGINT column against captured sketch
+    * bytes ([[CmsEstimate]]) — the rare-first ordering key of the
+    * prefix-filtered set-similarity join. */
+  def cmsEstimate(key: Column, sketchBytes: Array[Byte]): Column =
+    ExpressionUtils.column(
+      CmsEstimate(ExpressionUtils.expression(key), sketchBytes))
+
+  /** `|a ∩ b|` of two ASCENDING-SORTED duplicate-free ARRAY<LONG> columns
+    * ([[SortedIntersectCount]]) — value-identical to
+    * `size(array_intersect(a, b))` on that shape (SortedIntersectSpec pins
+    * it) without the built-in's per-row hash-set allocation. The
+    * set-similarity verify kernel. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Every frame's perceptual (ahash, dhash) struct over a STRING column,
     * one pass ([[PhashFrames]]) — value-identical to the compositional
     * substr/h32/threshold chain (PhashSpec pins the identity). The media

@@ -476,9 +476,14 @@ object Dedup {
     // per-shingle string materialization (two zip_with string builds +
     // string array_distinct + per-posting re-hash) from the family's one
     // shared materialization.
+    // sort_array: the arrays are consumed as SETS everywhere (explode,
+    // size), so ordering is free to choose — ascending-sorted is the
+    // precondition [[graft.functions.SortedIntersectCount]] (the verify
+    // kernel of [[jaccardPairsFrom]]) stakes its two-pointer merge on.
     documents
       .select(col("doc_id"), col("lang"),
-        array_distinct(spanWindowHashes(tokens(col("text")), 3)).as("sh"))
+        sort_array(array_distinct(spanWindowHashes(tokens(col("text")), 3)))
+          .as("sh"))
       .where(size(col("sh")) > 0)
 
   private[operators] def shingledDocs(documents: DataFrame): DataFrame =
@@ -530,7 +535,7 @@ object Dedup {
     // shingle pipeline evaluates 3×. Same write-then-read posture as
     // [[lshCandidatePairs]].
     val docs = shingledDocs(documents)
-    jaccardPairsFrom(shinglePostings(docs), docs, minJaccard)
+    jaccardPairsFrom(docs, shinglePostings(docs), minJaccard)
   }
 
   /** [[ngramJaccardPairs]] restricted to the docs in `ids` WITHOUT
@@ -548,69 +553,132 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val docs = shingledDocs(documents)
     val keep = ids.select(col("doc_id"))
+    // the CMS ordering key comes from the FULL family postings (any total
+    // order is sound; the full-corpus sketch is the one already memoized)
     jaccardPairsFrom(
-      shinglePostings(docs).join(keep, Seq("doc_id"), "left_semi"),
-      docs, minJaccard)
+      docs.join(keep, Seq("doc_id"), "left_semi"),
+      shinglePostings(docs), minJaccard)
   }
 
+  /** Serialized Count-Min sketches of a posting table's shingle column,
+    * memoized per analyzed plan (one ~1 MB sketch per corpus — the family
+    * materialization is immutable per sfDir, so the sketch is too). eps
+    * 1e-4 / confidence 0.99 ⇒ width 27,183 × depth 5 ≈ 1.1 MB shipped once
+    * per stage; expected additive noise ≈ |postings|/width (≈950 at the
+    * 26M postings of the sf10 gate). Measured eps sweep at sf10: 1e-5
+    * (11 MB, noise ≈95) bought nothing — 5.3M → 5.1M candidates — because
+    * this corpus's typical df is single-digit, under ANY affordable
+    * sketch's noise floor; candidate selectivity between rare shingles is
+    * an exact-df property (and exact per-posting df delivery costs a
+    * 26M-row join + window sort, measured 13-23 s — the thing this
+    * per-row form exists to avoid). What the sketch DOES guarantee, at
+    * any eps, is the one property the 100 TB design needs: df ≫ noise
+    * boilerplate can never order as rare, so hot shingles never enter a
+    * prefix. */
+  private val cmsMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Byte]]
+
+  private def cmsBytesFor(postings: DataFrame): Array[Byte] = {
+    val key = postings.queryExecution.analyzed.semanticHash()
+    cmsMemo.getOrElseUpdate(key, {
+      val row = postings
+        .agg(count_min_sketch(col("s"), lit(1e-4d), lit(0.99d), lit(42))
+          .as("cms")).head()
+      if (row.isNullAt(0)) {
+        // zero-posting corpus: a fresh empty sketch (estimate 0 for all)
+        val empty = org.apache.spark.util.sketch.CountMinSketch
+          .create(1e-4d, 0.99d, 42)
+        val bos = new java.io.ByteArrayOutputStream()
+        empty.writeTo(bos); bos.toByteArray
+      } else row.getAs[Array[Byte]](0)
+    })
+  }
+
+  /** For tests: drop memoized sketches (they are tiny and deterministic —
+    * this only exists so suites can assert rebuild behavior). */
+  private[operators] def clearCmsMemo(): Unit = cmsMemo.clear()
+
   /** Shared tail of the set-similarity join, prefix-filtered (the SSJoin /
-    * PPJoin candidate rule — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08;
-    * public technique, reference computes none of this):
+    * PPJoin candidate rules — Chaudhuri et al. ICDE'06, Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08; public techniques, the reference computes
+    * none of this):
     *
-    *   1. df per (lang, shingle-hash) — a map-combinable aggregate.
-    *   2. Per doc, order shingles by (df ASC, hash ASC) — a global total
-    *      order within each lang — and keep only the PREFIX of length
-    *      `n − ⌈t·n⌉ + 1`. Soundness: J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥
+    *   1. A global rare-first shingle order: (CMS-estimated df ASC, hash
+    *      ASC), from ONE memoized ~1 MB sketch ([[cmsBytesFor]]). Any total
+    *      order is sound for the prefix rule (next point), so the sketch's
+    *      error only costs selectivity; its one-sided guarantee (never
+    *      underestimates) is what matters — genuinely hot shingles can
+    *      never order as rare.
+    *   2. Per doc, keep only the PREFIX of length `n − ⌈t·n⌉ + 1` in that
+    *      order — built PER ROW off the cached sorted arrays
+    *      (transform→array_sort→slice→posexplode): no df join, no window,
+    *      no extra shuffle. Soundness: J(x,y) ≥ t ⟹ |x∩y| ≥ t·|x∪y| ≥
     *      ⌈t·|x|⌉ (and ≥ ⌈t·|y|⌉); if the prefixes were disjoint, order the
     *      prefix maxima b_x ≤ b_y — no common element fits in x's prefix
     *      (it would be ≤ b_x ≤ b_y, hence forced into y's suffix, whose
     *      elements all exceed b_y), yet x's suffix holds at most ⌈t·|x|⌉−1
     *      of the ≥⌈t·|x|⌉ common elements. Contradiction.
-    *   3. Self-join PREFIX postings on (lang, hash) with the length filter
-    *      `t·max(n_a,n_b) ≤ min(n_a,n_b)` (J ≥ t ⟹ |∩| ≥ t·|∪| and
-    *      |∩| ≤ min, |∪| ≥ max) → distinct candidate pairs.
-    *   4. Verify each candidate EXACTLY from the persisted shingle arrays:
-    *      `|∩|` via `array_intersect` on the distinct-hash arrays — so the
-    *      output (pairs + exact Jaccard) is bit-identical to the naive
-    *      all-postings self-join ([[jaccardPairsAllPairs]], the retained
-    *      parity reference; DedupPrefixJoinSpec pins equality).
+    *   3. Self-join PREFIX postings on (lang, hash) with (a) the length
+    *      filter `t·max(n_a,n_b) ≤ min(n_a,n_b)` (J ≥ t ⟹ |∩| ≥ t·|∪|,
+    *      |∩| ≤ min, |∪| ≥ max) and (b) the POSITIONAL filter: a true
+    *      pair's globally-smallest common element sits at ranks (i, j)
+    *      with every other common element ranked after it in BOTH docs, so
+    *      overlap ≤ 1 + min(n_a−i, n_b−j); requiring that bound ≥
+    *      t/(1+t)·(n_a+n_b) (the J≥t overlap minimum, real-valued so no
+    *      ceiling subtlety) keeps at least that one matching row of every
+    *      true pair — the distinct() then revives the pair.
+    *   4. Verify each candidate EXACTLY from the cached sorted shingle
+    *      arrays: `|∩|` via the zero-allocation merge kernel
+    *      ([[graft.functions.SortedIntersectCount]]), sets joined under a
+    *      SHUFFLE_HASH hint (the build side is the O(docs) array table —
+    *      partition-sized on any cluster; SMJ would re-sort the fat
+    *      candidate stream twice). Output (pairs + exact Jaccard) is
+    *      bit-identical to the naive all-postings self-join
+    *      ([[jaccardPairsAllPairs]], the retained parity reference;
+    *      DedupPrefixJoinSpec pins equality).
     *
     * Why this is the 100 TB shape: the naive self-join explodes every hot
     * shingle quadratically — one boilerplate 3-gram shared by 1M docs makes
     * 5·10¹¹ join rows BEFORE the pair-level groupBy, independent of how few
-    * pairs survive. df-ascending ordering pushes exactly those shingles
-    * into suffixes, so they never enter the join; candidates are generated
-    * only from each doc's RAREST ~(1−t)·n shingles, and the pair-level
-    * groupBy disappears entirely (verification is per-candidate, one row
-    * each). `postings` may be a semi-joined subset ([[ngramJaccardPairsAmong]]);
-    * df over the subset is still a valid total order — ANY consistent order
-    * is sound, df-ascending is the selectivity choice. `docs` may cover a
-    * superset (verification joins by candidate endpoint only). */
-  private def jaccardPairsFrom(postings: DataFrame, docs: DataFrame,
+    * pairs survive. Rare-first ordering pushes exactly those shingles into
+    * suffixes, so they never enter the join; candidates are generated only
+    * from each doc's RAREST ~(1−t)·n shingles, and the pair-level groupBy
+    * disappears entirely (verification is per-candidate, one row each).
+    *
+    * `docs` is the (possibly restricted — [[ngramJaccardPairsAmong]]) doc
+    * set whose pairs are wanted; `postings` feeds only the ordering sketch
+    * and may cover a superset (a superset's order is still total). */
+  private def jaccardPairsFrom(docs: DataFrame, postings: DataFrame,
       minJaccard: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val df = postings.groupBy(col("lang"), col("s")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val pref = postings.join(df, Seq("lang", "s"))
-      .withColumn("rk",
-        row_number().over(byDoc.orderBy(col("df"), col("s"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .where(col("rk") <= col("n") - ceil(col("n") * minJaccard) + 1)
-      .select(col("doc_id"), col("lang"), col("s"), col("n"))
+    import graft.functions.GraftFunctions.{cmsEstimate, sortedIntersectCount}
+    val cms = cmsBytesFor(postings)
+    val plen = (size(col("sh")) - ceil(size(col("sh")) * minJaccard) + 1)
+      .cast("int")
+    val pref = docs
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+        posexplode(slice(array_sort(transform(col("sh"),
+          x => struct(cmsEstimate(x, cms).as("e"), x.as("s")))),
+          lit(1), plen)))
+      .select(col("doc_id"), col("lang"), col("n"),
+        (col("pos") + 1).as("rk"), col("col.s").as("s"))
+    val tt = minJaccard / (1.0 + minJaccard)
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") >= col("b.n") * minJaccard &&
-          col("b.n") >= col("a.n") * minJaccard)
+          col("b.n") >= col("a.n") * minJaccard &&
+          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
+            >= (col("a.n") + col("b.n")) * tt)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"), col("sh"))
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("common",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long"))
+      .join(sets.as("sa").hint("shuffle_hash"),
+        col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb").hint("shuffle_hash"),
+        col("doc_b") === col("sb.doc_id"))
+      .withColumn("common", sortedIntersectCount(col("sa.sh"), col("sb.sh")))
       .withColumn("jaccard",
         round(col("common").cast("double") /
           (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
@@ -755,7 +823,7 @@ object Dedup {
     val docs = shingledDocs(newDocs)
     val np = shinglePostings(docs)
     val ns = docs.select(col("doc_id"), size(col("sh")).as("n"))
-    val newNew = jaccardPairsFrom(np, docs, minJaccard)
+    val newNew = jaccardPairsFrom(docs, np, minJaccard)
       .select(col("doc_a"), col("doc_b"))
     val keys = np.select(col("lang"), col("s")).distinct()
     val hp = historyPostings.select(col("doc_id"), col("lang"), col("s"))
