@@ -615,8 +615,12 @@ object SparkEntry {
     }),
     "phash_docs"             -> ((s, d) =>
       // per-frame perceptual hashes (aHash + dHash) — the media-payload
-      // dedup sketch, zero-shuffle map-side computation
-      Multimodal.phashFrames(tbl(s, d, "documents"))
+      // dedup sketch, zero-shuffle map-side computation. Sketched WITH the
+      // lang carry so the subtree is plan-identical to the table
+      // frameDupShare persists (same family, runs just before this): the
+      // projection on top cache-hits instead of re-running the kernel.
+      Multimodal.phashFrames(tbl(s, d, "documents"), carry = Seq("lang"))
+        .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"))
         .orderBy(col("doc_id"), col("frame_no"))),
     "phash_imageio"          -> ((s, d) =>
       // the REAL-codec arm end-to-end (verdict r14 #8): deterministic

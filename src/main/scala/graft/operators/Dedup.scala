@@ -534,8 +534,18 @@ object Dedup {
     // feeds both sides of the self-join — without materialization the
     // shingle pipeline evaluates 3×. Same write-then-read posture as
     // [[lshCandidatePairs]].
+    //
+    // The VERIFIED pair table is persisted too: five same-family consumers
+    // (the pairs query itself, survivor selection, leak-pair audit, CC
+    // clustering, and the leak-free split producer) all re-derive this exact
+    // plan at the same threshold, and without materialization each pays the
+    // candidate join + verify again (~11 s each at sf10 — the family's
+    // dominant cost). The table is O(verified pairs) — the duplicate
+    // fraction of the corpus, orders of magnitude below the posting table —
+    // so it is the cheapest-per-saved-second entry in the family cache.
     val docs = shingledDocs(documents)
-    jaccardPairsFrom(docs, shinglePostings(docs), minJaccard)
+    graft.CacheRegistry.persist(
+      jaccardPairsFrom(docs, shinglePostings(docs), minJaccard))
   }
 
   /** [[ngramJaccardPairs]] restricted to the docs in `ids` WITHOUT
