@@ -278,15 +278,15 @@ final class GraftEngine(val spark: SparkSession,
   def nearDupClusters(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.nearDupClusters(documents, minJaccard)
   /** Daily-ingest clustering (the sixth incremental modality): batch-only
-    * shingling against the posting/size history artifacts, quotient-graph
-    * merge into yesterday's labeling — result ≡ [[nearDupClusters]] over
-    * history ∪ batch. Artifact builders: [[Dedup.shinglePostingsOf]] /
-    * [[Dedup.shingleSizesOf]] (append per batch; labels are rewritten). */
-  def nearDupClustersIncremental(newDocs: DataFrame, historyPostings: DataFrame,
-      historySizes: DataFrame, historyLabels: DataFrame,
-      minJaccard: Double = 0.5): DataFrame =
+    * shingling against the per-doc shingle-set history artifact,
+    * prefix-filtered batch×history probe, quotient-graph merge into
+    * yesterday's labeling — result ≡ [[nearDupClusters]] over history ∪
+    * batch. Artifact builder: [[Dedup.shingleSetsOf]] (append per batch;
+    * labels are rewritten). */
+  def nearDupClustersIncremental(newDocs: DataFrame, historySets: DataFrame,
+      historyLabels: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.nearDupClustersIncremental(
-      newDocs, historyPostings, historySizes, historyLabels, minJaccard)
+      newDocs, historySets, historyLabels, minJaccard)
   def splitLeaks(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.splitLeakPairs(documents, minJaccard)
   def sampleByLanguage(documents: DataFrame, rates: Map[String, Double],

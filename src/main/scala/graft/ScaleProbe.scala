@@ -208,25 +208,22 @@ object ScaleProbe {
       "dup_span_share_inc" -> (() => noop(Dedup.dupSpanShareIncremental(
         docs.where(col("doc_id") % 10 === 9),
         spark.read.parquet(spanArtDir)))),
-      // clustering family's incremental pair (r13, sixth modality): the
-      // per-refresh artifact build (postings + sizes + labels — labels pay
-      // a full CC over history, the once-per-bootstrap cost), then the
-      // daily probe whose cost must stay ∝ batch tokens + (batch-key-
-      // matching history postings) + star edges — the inc-vs-full delta
+      // clustering family's incremental pair (r13, sixth modality; sets
+      // artifact since r15): the per-refresh artifact build (sets + labels
+      // — labels pay a full CC over history, the once-per-bootstrap cost),
+      // then the daily probe whose cost must stay ∝ batch tokens +
+      // prefix-candidate work + star edges — the inc-vs-full delta
       // against near_dup_clusters is the O(batch) claim, measured
       "clust_art_build" -> (() => {
         val hist = docs.where(col("doc_id") % 10 =!= 9)
-        Dedup.shinglePostingsOf(hist)
-          .write.mode("overwrite").parquet(s"$spanArtDir-clustpost")
-        Dedup.shingleSizesOf(hist)
-          .write.mode("overwrite").parquet(s"$spanArtDir-clustsize")
+        Dedup.shingleSetsOf(hist)
+          .write.mode("overwrite").parquet(s"$spanArtDir-clustsets")
         Dedup.nearDupClusters(hist, 0.5)
           .write.mode("overwrite").parquet(s"$spanArtDir-clustlabel")
       }),
       "near_dup_clusters_inc" -> (() => noop(Dedup.nearDupClustersIncremental(
         docs.where(col("doc_id") % 10 === 9),
-        spark.read.parquet(s"$spanArtDir-clustpost"),
-        spark.read.parquet(s"$spanArtDir-clustsize"),
+        spark.read.parquet(s"$spanArtDir-clustsets"),
         spark.read.parquet(s"$spanArtDir-clustlabel"), 0.5))),
       // media dedup family: the sketch stage must scale ∝ corpus payload
       // bytes (one codegen pass per row, zero shuffle) and the share

@@ -468,8 +468,7 @@ object SparkEntry {
       val docs = tbl(s, d, "documents")
       Dedup.nearDupClustersIncremental(
         graft.sources.IncrementalHistory.batchDocs(docs),
-        graft.sources.IncrementalHistory.shinglePostings(s, d),
-        graft.sources.IncrementalHistory.shingleSizes(s, d),
+        graft.sources.IncrementalHistory.shingleSets(s, d),
         graft.sources.IncrementalHistory.nearDupLabels(s, d),
         0.5).orderBy(col("doc_id"))
     }),

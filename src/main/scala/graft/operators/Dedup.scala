@@ -660,26 +660,11 @@ object Dedup {
     * and may cover a superset (a superset's order is still total). */
   private def jaccardPairsFrom(docs: DataFrame, postings: DataFrame,
       minJaccard: Double): DataFrame = {
-    import graft.functions.GraftFunctions.{cmsEstimate, sortedIntersectCount}
-    val cms = cmsBytesFor(postings)
-    val plen = (size(col("sh")) - ceil(size(col("sh")) * minJaccard) + 1)
-      .cast("int")
-    val pref = docs
-      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
-        posexplode(slice(array_sort(transform(col("sh"),
-          x => struct(cmsEstimate(x, cms).as("e"), x.as("s")))),
-          lit(1), plen)))
-      .select(col("doc_id"), col("lang"), col("n"),
-        (col("pos") + 1).as("rk"), col("col.s").as("s"))
-    val tt = minJaccard / (1.0 + minJaccard)
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    val pref = prefixPostings(docs, cmsBytesFor(postings), minJaccard)
     val cand = pref.as("a")
       .join(pref.as("b"),
-        col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") >= col("b.n") * minJaccard &&
-          col("b.n") >= col("a.n") * minJaccard &&
-          (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")))
-            >= (col("a.n") + col("b.n")) * tt)
+        prefixCandidateCond(minJaccard) && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"), col("sh"))
@@ -694,6 +679,86 @@ object Dedup {
           (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
       .where(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** The per-row prefix build of [[jaccardPairsFrom]] step 2, shared with
+    * the cross-relation form: per doc, the rarest-first (CMS-estimated df
+    * ASC, hash ASC) prefix of length `n − ⌈t·n⌉ + 1`, exploded to
+    * `(doc_id, lang, n, rk, s)` posting rows. Pure projection — no join, no
+    * window, no shuffle. */
+  private def prefixPostings(docs: DataFrame, cms: Array[Byte],
+      minJaccard: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cmsEstimate
+    val plen = (size(col("sh")) - ceil(size(col("sh")) * minJaccard) + 1)
+      .cast("int")
+    docs
+      .select(col("doc_id"), col("lang"), size(col("sh")).as("n"),
+        posexplode(slice(array_sort(transform(col("sh"),
+          x => struct(cmsEstimate(x, cms).as("e"), x.as("s")))),
+          lit(1), plen)))
+      .select(col("doc_id"), col("lang"), col("n"),
+        (col("pos") + 1).as("rk"), col("col.s").as("s"))
+  }
+
+  /** The SSJoin candidate condition over two `a.`/`b.`-aliased
+    * [[prefixPostings]] streams: shared key, the length filter, and the
+    * positional filter (see [[jaccardPairsFrom]] step 3 for the soundness
+    * argument — none of it assumes the two sides come from one relation). */
+  private def prefixCandidateCond(minJaccard: Double): Column = {
+    val tt = minJaccard / (1.0 + minJaccard)
+    col("a.lang") === col("b.lang") && col("a.s") === col("b.s") &&
+      col("a.n") >= col("b.n") * minJaccard &&
+      col("b.n") >= col("a.n") * minJaccard &&
+      (lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk"))) >=
+        (col("a.n") + col("b.n")) * tt
+  }
+
+  /** Cross-relation set-similarity join — [[jaccardPairsFrom]] for pairs
+    * that STRADDLE two shingled-doc frames with DISJOINT doc_id sets (the
+    * daily-ingest batch × history shape). Same three candidate rules + exact
+    * verification; the one structural difference is that the global
+    * rare-first order comes from ONE sketch over the UNION of both sides'
+    * postings — the prefix rule needs a single total order shared by both
+    * sides, and union hotness is the right exclusion signal (candidate cost
+    * at a shingle is the PRODUCT of its two prefix populations, so a
+    * shingle hot on either side must order late on both).
+    *
+    * Why this exists (the 100 TB hazard the r15 self-join fix left open):
+    * the previous new×history form joined ALL batch postings to history
+    * postings semi-joined down to the batch's shingle keys — a defense that
+    * evaporates exactly when it matters, because a boilerplate shingle in
+    * today's batch IS in the batch's key set, and then every history doc
+    * carrying it (∝ corpus) enters the exchange per batch doc. Prefixes are
+    * immune: a hot shingle orders last and never leaves either side's
+    * suffix. Output (doc_a = smaller id, doc_b, exact jaccard) is
+    * bit-identical to the all-postings cross form on the union corpus
+    * restricted to straddling pairs (DedupPrefixJoinSpec pins parity). */
+  private[operators] def jaccardPairsAcross(docsA: DataFrame, docsB: DataFrame,
+      minJaccard: Double): DataFrame = {
+    import graft.functions.GraftFunctions.sortedIntersectCount
+    val unionPosts = docsA.select(col("doc_id"), col("lang"), col("sh"))
+      .unionByName(docsB.select(col("doc_id"), col("lang"), col("sh")))
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val cms = cmsBytesFor(unionPosts)
+    val cand = prefixPostings(docsA, cms, minJaccard).as("a")
+      .join(prefixPostings(docsB, cms, minJaccard).as("b"),
+        prefixCandidateCond(minJaccard))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val setsA = docsA.select(col("doc_id"), col("sh"))
+    val setsB = docsB.select(col("doc_id"), col("sh"))
+    cand
+      .join(setsA.as("sa").hint("shuffle_hash"),
+        col("id_a") === col("sa.doc_id"))
+      .join(setsB.as("sb").hint("shuffle_hash"),
+        col("id_b") === col("sb.doc_id"))
+      .withColumn("common", sortedIntersectCount(col("sa.sh"), col("sb.sh")))
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
   }
 
   /** The pre-r15 naive tail — every posting on both sides of the self-join,
@@ -775,45 +840,46 @@ object Dedup {
         .select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("doc_id"), col("label").as("cluster_rep"))
 
-  /** The shingle family's history artifacts in their lake shape — what a
+  /** The shingle family's history artifact in its lake shape — what a
     * daily pipeline appends per ingested batch so [[nearDupClustersIncremental]]
-    * never re-shingles history: the hash postings (doc_id, lang, s) and the
-    * per-doc shingle-set sizes (doc_id, n). Deterministic functions of the
-    * documents table (the IncrementalHistory replay contract). */
-  def shinglePostingsOf(documents: DataFrame): DataFrame =
-    shinglePostings(shingledDocs(documents))
+    * never re-shingles history: per doc, the SORTED distinct 3-shingle h60
+    * array `(doc_id, lang, sh)`. One table subsumes the old postings+sizes
+    * pair (postings = `explode(sh)`, size = `size(sh)` — per-row
+    * projections, no shuffle), and keeping the per-doc ARRAY is what lets
+    * the incremental probe run the same prefix-filtered candidate rule +
+    * zero-allocation merge verification as the batch family
+    * ([[jaccardPairsAcross]]) instead of a posting×posting join.
+    * Deterministic function of the documents table (the IncrementalHistory
+    * replay contract). */
+  def shingleSetsOf(documents: DataFrame): DataFrame =
+    shingledDocs(documents)
 
-  /** See [[shinglePostingsOf]] — the sizes half of the artifact pair. */
-  def shingleSizesOf(documents: DataFrame): DataFrame =
-    shingledDocs(documents).select(col("doc_id"), size(col("sh")).as("n"))
-
-  /** Streaming-safe (unpersisted) twin of [[shinglePostingsOf]] — one
-    * stateless projection per arriving doc, value-identical by
-    * construction (same expression tree minus the cache registration). */
-  def shinglePostingRows(documents: DataFrame): DataFrame =
+  /** Streaming-safe (unpersisted) twin of [[shingleSetsOf]] — one stateless
+    * projection per arriving doc (the per-doc distinct + sort happen INSIDE
+    * the row), value-identical by construction (same expression tree minus
+    * the cache registration). */
+  def shingleSetRows(documents: DataFrame): DataFrame =
     shingledDocsRaw(documents)
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-
-  /** Streaming-safe twin of [[shingleSizesOf]]. */
-  def shingleSizeRows(documents: DataFrame): DataFrame =
-    shingledDocsRaw(documents).select(col("doc_id"), size(col("sh")).as("n"))
 
   /** Incremental near-dup CLUSTERING — the clustering family's daily-ingest
     * form, completing the set (exact / banding / span / media / embedding
-    * already have O(batch) incremental twins). History enters as three
-    * artifacts: its shingle postings + sizes ([[shinglePostingsOf]] /
-    * [[shingleSizesOf]] — history text is never re-tokenized) and
-    * yesterday's labeling ([[nearDupClusters]] output). Today's work is:
+    * already have O(batch) incremental twins). History enters as two
+    * artifacts: its per-doc shingle-set table ([[shingleSetsOf]] — history
+    * text is never re-tokenized) and yesterday's labeling
+    * ([[nearDupClusters]] output). Today's work is:
     *
     *  1. shingle ONLY the batch (O(batch) — the one tokenize pass);
-    *  2. verified new×new pairs: the standard set-similarity self-join over
-    *     the batch's own postings;
-    *  3. verified new×history pairs: history postings are first semi-joined
-    *     down to the batch's OWN shingle keys — the posting-family analog of
-    *     the bloom-prefiltered banding probe — so only history rows sharing
-    *     a shingle with today's batch reach any exchange (∝ batch vocabulary
-    *     × document frequency, never corpus-sized), then the same
-    *     common-count / Jaccard-threshold tail with sizes from both sides;
+    *  2. verified new×new pairs: the standard prefix-filtered
+    *     set-similarity self-join over the batch's own postings;
+    *  3. verified new×history pairs: the CROSS-relation prefix join
+    *     ([[jaccardPairsAcross]]) — candidates only where a batch prefix
+    *     meets a history prefix under the shared rare-first order, exact
+    *     verification from the two sides' sorted arrays. Hot-shingle
+    *     immune: the r13–r15a form semi-joined history postings to the
+    *     batch's shingle KEYS, a defense that evaporates when a
+    *     boilerplate shingle is in today's batch (every history doc
+    *     carrying it entered the exchange, ∝ corpus); prefixes exclude
+    *     union-hot shingles on both sides by construction;
     *  4. connected components over (new pairs) ∪ (yesterday's labeling as
     *     STAR edges member→rep) — the star preserves yesterday's
     *     connectivity exactly at O(clustered docs) rows, so history×history
@@ -828,28 +894,13 @@ object Dedup {
     * non-append artifact of the six incremental modalities — O(clustered
     * docs), rewritten after each day's run). */
   def nearDupClustersIncremental(newDocs: DataFrame,
-      historyPostings: DataFrame, historySizes: DataFrame,
-      historyLabels: DataFrame, minJaccard: Double): DataFrame = {
+      historySets: DataFrame, historyLabels: DataFrame,
+      minJaccard: Double): DataFrame = {
     val docs = shingledDocs(newDocs)
     val np = shinglePostings(docs)
-    val ns = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val newNew = jaccardPairsFrom(docs, np, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val keys = np.select(col("lang"), col("s")).distinct()
-    val hp = historyPostings.select(col("doc_id"), col("lang"), col("s"))
-      .join(keys, Seq("lang", "s"), "left_semi")
-    val common = np.as("a")
-      .join(hp.as("b"),
-        col("a.lang") === col("b.lang") && col("a.s") === col("b.s"))
-      .groupBy(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    val sizes = ns.unionByName(historySizes.select(col("doc_id"), col("n")))
-    val newHist = common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .where(round(col("common").cast("double") /
-        (col("sa.n") + col("sb.n") - col("common")), 6) >= minJaccard)
+    val newHist = jaccardPairsAcross(docs, historySets, minJaccard)
       .select(col("doc_a"), col("doc_b"))
     // The CC merge runs on the QUOTIENT graph: each new pair's endpoints are
     // first contracted through yesterday's labeling (member → its component

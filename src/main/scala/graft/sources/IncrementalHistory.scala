@@ -99,19 +99,15 @@ object IncrementalHistory {
         graft.multimodal.Multimodal.phashFrames(h, carry = Seq("lang")))
     })
 
-  /** History shingle postings — the clustering family's never-re-tokenize
-    * artifact ([[graft.operators.Dedup.shinglePostingsOf]] of the history
-    * split): (doc_id, lang, s) one row per distinct 3-shingle h60 per doc. */
-  def shinglePostings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(build(spark, sfDir, "shingle_postings") { h =>
-      graft.operators.Dedup.shinglePostingsOf(h)
-    })
-
-  /** History per-doc shingle-set sizes — the Jaccard denominator half of
-    * the [[shinglePostings]] artifact pair. */
-  def shingleSizes(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(build(spark, sfDir, "shingle_sizes") { h =>
-      graft.operators.Dedup.shingleSizesOf(h)
+  /** History per-doc shingle-set table — the clustering family's
+    * never-re-tokenize artifact ([[graft.operators.Dedup.shingleSetsOf]] of
+    * the history split): (doc_id, lang, sh) with sh the SORTED distinct
+    * 3-shingle h60 array. Subsumes the pre-r15 postings+sizes artifact
+    * pair (explode/size are per-row projections) and feeds the
+    * prefix-filtered incremental probe's exact verification directly. */
+  def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "shingle_sets") { h =>
+      graft.operators.Dedup.shingleSetsOf(h)
     })
 
   /** Yesterday's near-dup labeling — the clustering family's REWRITE
@@ -131,8 +127,7 @@ object IncrementalHistory {
     spanWindows(spark, sfDir)
     phashSketches(spark, sfDir)
     phashClasses(spark, sfDir)
-    shinglePostings(spark, sfDir)
-    shingleSizes(spark, sfDir)
+    shingleSets(spark, sfDir)
     nearDupLabels(spark, sfDir)
     // the shingle-family builds persist their shared subtree — release it so
     // the prewarm leaves no cache pinned into the timed passes

@@ -210,25 +210,22 @@ object EventStreams {
   def spanWindowStream(docs: DataFrame): DataFrame =
     graft.operators.Dedup.spanWindowSet(docs)
 
-  /** Streaming shingle-posting assignment — the ingest half of
+  /** Streaming shingle-set assignment — the ingest half of
     * [[graft.operators.Dedup.nearDupClustersIncremental]]'s cycle (the
-    * SIXTH incremental modality, r13): each arriving doc's distinct
-    * 3-shingle h60 postings land statelessly in the posting-table sink (no
-    * state store, restart-safe), and the accumulated sink IS the
-    * append-only shingle-posting history artifact the incremental
-    * clustering probes — documents are shingled exactly once, at ingest.
-    * [[shingleSizeStream]] is the Jaccard-denominator half; the daily
+    * SIXTH incremental modality, r13; sets artifact since r15): each
+    * arriving doc's SORTED distinct 3-shingle h60 array lands statelessly
+    * in the set-table sink (the per-doc distinct + sort happen INSIDE the
+    * row — no state store, restart-safe), and the accumulated sink IS the
+    * append-only shingle-set history artifact the incremental clustering
+    * probes — documents are shingled exactly once, at ingest. The daily
     * labeling itself stays a batch job (labels are the one REWRITE
     * artifact of the six modalities — a stream cannot retract yesterday's
-    * published representative). Streaming-safe (unpersisted) projections,
-    * value-identical to the batch artifact builders. `docs` needs
+    * published representative). Streaming-safe (unpersisted) projection,
+    * value-identical to the batch artifact builder
+    * ([[graft.operators.Dedup.shingleSetsOf]]). `docs` needs
     * (doc_id, text, lang). */
-  def shinglePostingStream(docs: DataFrame): DataFrame =
-    graft.operators.Dedup.shinglePostingRows(docs)
-
-  /** See [[shinglePostingStream]] — per-doc shingle-set sizes. */
-  def shingleSizeStream(docs: DataFrame): DataFrame =
-    graft.operators.Dedup.shingleSizeRows(docs)
+  def shingleSetStream(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.shingleSetRows(docs)
 
   /** Streaming perceptual-sketch assignment — the ingest half of
     * [[graft.multimodal.Multimodal.frameDupShareIncremental]]'s cycle, and

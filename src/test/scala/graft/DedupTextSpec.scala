@@ -448,13 +448,12 @@ class DedupTextSpec extends SparkSpec {
     val hist = docs.where(col("doc_id") % 5 =!= 4)
     val batch = docs.where(col("doc_id") % 5 === 4)
     val histLabels = Dedup.nearDupClusters(hist, 0.5)
-    val histPost = Dedup.shinglePostingsOf(hist)
-    val histSizes = Dedup.shingleSizesOf(hist)
+    val histSets = Dedup.shingleSetsOf(hist)
     graft.CacheRegistry.release()
     def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val got = labels(Dedup.nearDupClustersIncremental(
-      batch, histPost, histSizes, histLabels, 0.5))
+      batch, histSets, histLabels, 0.5))
     graft.CacheRegistry.release()
     val want = labels(Dedup.nearDupClusters(docs, 0.5))
     graft.CacheRegistry.release()
@@ -483,7 +482,7 @@ class DedupTextSpec extends SparkSpec {
     assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
     val got = Dedup.nearDupClustersIncremental(batch,
-        Dedup.shinglePostingsOf(hist), Dedup.shingleSizesOf(hist), labels, 0.5)
+        Dedup.shingleSetsOf(hist), labels, 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(4L -> 4L, 10L -> 4L, 11L -> 4L, 20L -> 20L, 21L -> 20L),
       s"re-election/untouched split diverged: $got")

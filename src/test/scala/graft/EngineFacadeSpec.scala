@@ -332,8 +332,7 @@ class EngineFacadeSpec extends SparkSpec {
     val batch = docs.where(col("doc_id") % 5 === 4)
     // sixth incremental modality through the facade ≡ full recompute
     val inc = engine.nearDupClustersIncremental(batch,
-        graft.operators.Dedup.shinglePostingsOf(hist),
-        graft.operators.Dedup.shingleSizesOf(hist),
+        graft.operators.Dedup.shingleSetsOf(hist),
         engine.nearDupClusters(hist))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     engine.releaseCaches()

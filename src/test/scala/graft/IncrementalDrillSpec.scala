@@ -71,8 +71,7 @@ class IncrementalDrillSpec extends SparkSpec {
     val bandDir = s"$artRoot/bands"    // (doc_id, band, bucket) append-only
     val winDir = s"$artRoot/windows"   // (doc_id, wh) append-only
     val skDir = s"$artRoot/sketches"   // per-frame phash sketches, append-only
-    val postDir = s"$artRoot/shingle-postings" // (doc_id, lang, s) append-only
-    val sizeDir = s"$artRoot/shingle-sizes"    // (doc_id, n) append-only
+    val setDir = s"$artRoot/shingle-sets"      // (doc_id, lang, sh) append-only
     def labelDir(day: Int) = s"$artRoot/labels-day$day" // REWRITE artifact, versioned per day
     val ivfRoot = s"$artRoot/ivf"      // versioned index root with LATEST pointer
 
@@ -87,8 +86,7 @@ class IncrementalDrillSpec extends SparkSpec {
     Dedup.spanWindowSet(d0).write.mode("overwrite").parquet(winDir)
     Multimodal.phashFrames(d0, carry = Seq("lang"))
       .write.mode("overwrite").parquet(skDir)
-    Dedup.shinglePostingsOf(d0).write.mode("overwrite").parquet(postDir)
-    Dedup.shingleSizesOf(d0).write.mode("overwrite").parquet(sizeDir)
+    Dedup.shingleSetsOf(d0).write.mode("overwrite").parquet(setDir)
     Dedup.nearDupClusters(d0, 0.5).write.mode("overwrite").parquet(labelDir(0))
     // day-0 candidate pairs: new×new = the full banding of slice 0
     var pairsSoFar = pairSet(Dedup.lshCandidatePairs(d0))
@@ -204,16 +202,15 @@ class IncrementalDrillSpec extends SparkSpec {
       assert(skArt == skFull, s"day $day: sketch artifact diverged " +
         s"(${skArt.size} vs ${skFull.size})")
 
-      // ---------------- near-dup clustering: probe the posting/size
-      // artifacts + yesterday's labeling (the SIXTH modality, r13 — and the
+      // ---------------- near-dup clustering: probe the shingle-set
+      // artifact + yesterday's labeling (the SIXTH modality, r13 — and the
       // one REWRITE artifact: labels are versioned per day, never appended),
-      // then append the batch's postings/sizes and publish today's labels
+      // then append the batch's sets and publish today's labels
       val labelsGot = Dedup.nearDupClustersIncremental(batch,
-          spark.read.parquet(postDir), spark.read.parquet(sizeDir),
+          spark.read.parquet(setDir),
           spark.read.parquet(labelDir(day - 1)), 0.5)
       labelsGot.write.mode("overwrite").parquet(labelDir(day))
-      Dedup.shinglePostingsOf(batch).write.mode("append").parquet(postDir)
-      Dedup.shingleSizesOf(batch).write.mode("append").parquet(sizeDir)
+      Dedup.shingleSetsOf(batch).write.mode("append").parquet(setDir)
       graft.CacheRegistry.release()
       // twin: today's labeling equals the full clustering recompute over
       // everything ingested so far — including boundary-straddling merges

@@ -119,62 +119,53 @@ class StreamingSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
-  test("streaming shingle-posting ingest feeds incremental clustering across a restart") {
+  test("streaming shingle-set ingest feeds incremental clustering across a restart") {
     import graft.operators.Dedup
     // the clustering twin of the band-assignment cycle (sixth modality,
-    // r13): day-1 docs' shingle postings + sizes land statelessly in two
-    // sinks, a restarted query ingests day 2 through the SAME checkpoints,
-    // and the accumulated sinks ARE the posting/size history artifacts the
-    // incremental clustering probes — equal to the batch artifact builders
-    // over the full corpus, and feeding nearDupClustersIncremental from the
-    // day-1 slices reproduces the recomputed-history result exactly
+    // r13; ONE sets sink since r15): day-1 docs' sorted shingle-set rows
+    // land statelessly in the sink, a restarted query ingests day 2 through
+    // the SAME checkpoint, and the accumulated sink IS the shingle-set
+    // history artifact the incremental clustering probes — equal to the
+    // batch artifact builder over the full corpus, and feeding
+    // nearDupClustersIncremental from the day-1 slice reproduces the
+    // recomputed-history result exactly
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     val hist = docs.where(col("doc_id") % 5 =!= 4)
     val batch = docs.where(col("doc_id") % 5 === 4)
-    val srcDir = Files.createTempDirectory(Paths.get("target"), "shpost-src").toString
-    val postSink = Files.createTempDirectory(Paths.get("target"), "shpost-sink").toString
-    val postCk = Files.createTempDirectory(Paths.get("target"), "shpost-ckpt").toString
-    val sizeSink = Files.createTempDirectory(Paths.get("target"), "shsize-sink").toString
-    val sizeCk = Files.createTempDirectory(Paths.get("target"), "shsize-ckpt").toString
+    val srcDir = Files.createTempDirectory(Paths.get("target"), "shset-src").toString
+    val setSink = Files.createTempDirectory(Paths.get("target"), "shset-sink").toString
+    val setCk = Files.createTempDirectory(Paths.get("target"), "shset-ckpt").toString
     def ingestOnce(): Unit = {
       def src = spark.readStream
         .schema("doc_id LONG, text STRING, lang STRING").parquet(srcDir)
       EventStreams.runToParquet(
-        spark, EventStreams.shinglePostingStream(src), postSink, postCk)
-      EventStreams.runToParquet(
-        spark, EventStreams.shingleSizeStream(src), sizeSink, sizeCk)
+        spark, EventStreams.shingleSetStream(src), setSink, setCk)
     }
     hist.coalesce(2).write.mode("append").parquet(srcDir)
     ingestOnce()
     batch.coalesce(1).write.mode("append").parquet(srcDir)
-    ingestOnce() // the restart leg, same checkpoints
-    // accumulated sinks == the batch artifact builders over the full corpus
-    val sunkPost = spark.read.parquet(postSink).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    val wantPost = Dedup.shinglePostingsOf(docs).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(sunkPost == wantPost,
-      s"posting sink diverged: ${sunkPost.size} vs ${wantPost.size}")
-    val sunkSize = spark.read.parquet(sizeSink).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    val wantSize = Dedup.shingleSizesOf(docs).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(sunkSize == wantSize,
-      s"size sink diverged: ${sunkSize.size} vs ${wantSize.size}")
+    ingestOnce() // the restart leg, same checkpoint
+    // accumulated sink == the batch artifact builder over the full corpus
+    def setRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2))).toSet
+    val sunk = setRows(spark.read.parquet(setSink)
+      .select(col("doc_id"), col("lang"), col("sh")))
+    val want = setRows(Dedup.shingleSetsOf(docs)
+      .select(col("doc_id"), col("lang"), col("sh")))
+    assert(sunk == want, s"set sink diverged: ${sunk.size} vs ${want.size}")
     graft.CacheRegistry.release()
-    // the sinks' day-1 slices ARE the clustering history artifacts
+    // the sink's day-1 slice IS the clustering history artifact
     val labels = Dedup.nearDupClusters(hist, 0.5)
     val viaSink = Dedup.nearDupClustersIncremental(batch,
-        spark.read.parquet(postSink).where(col("doc_id") % 5 =!= 4),
-        spark.read.parquet(sizeSink).where(col("doc_id") % 5 =!= 4),
+        spark.read.parquet(setSink).where(col("doc_id") % 5 =!= 4),
         labels, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     graft.CacheRegistry.release()
     val viaFull = Dedup.nearDupClusters(docs, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaSink == viaFull,
-      s"clustering off the sinks diverged: ${viaSink.size} vs ${viaFull.size}")
+      s"clustering off the sink diverged: ${viaSink.size} vs ${viaFull.size}")
     graft.CacheRegistry.release()
   }
 

@@ -92,6 +92,55 @@ class DedupPrefixJoinSpec extends graft.SparkSpec {
     assertParity(docs, Seq(0.1, 0.3, 0.5, 0.7, 0.9))
   }
 
+  /** Cross-relation parity: [[Dedup.jaccardPairsAcross]] over a disjoint
+    * history/batch split must emit exactly the STRADDLING pairs of the
+    * full-corpus join — on the same failure-mode fixtures (hot shingles,
+    * borderline sizes, randomized sweep). */
+  private def assertCrossParity(docs: DataFrame, thresholds: Seq[Double]): Unit =
+    thresholds.foreach { t =>
+      val batch = docs.where(col("doc_id") % 5 === 4)
+      val hist = docs.where(col("doc_id") % 5 =!= 4)
+      val across = Dedup.jaccardPairsAcross(
+          Dedup.shingledDocs(batch), Dedup.shingledDocs(hist), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val (naive, _) = bothTails(docs, t)
+      val straddling = naive.filter(p => (p._1 % 5 == 4) != (p._2 % 5 == 4))
+      graft.CacheRegistry.release()
+      assert(across == straddling, s"t=$t: cross-prefix != naive-straddling; " +
+        s"missing=${straddling -- across} extra=${across -- straddling}")
+    }
+
+  test("cross-relation prefix join: hot-shingle and borderline parity") {
+    val boiler = "subscribe to our newsletter for updates every single day"
+    val rows = (0L until 20L).map { i =>
+      val tail = i match {
+        // 4 % 5 == 4 -> doc 4 is a BATCH doc whose true partner 0 is history
+        case 0 | 4 => "alpha beta gamma delta epsilon zeta eta theta"
+        case 2 | 9 => "iota kappa lambda mu nu xi omicron pi"
+        case _ => s"unique$i tokens$i only$i here$i now$i word$i more$i fin$i"
+      }
+      (i, s"$boiler $tail", "en")
+    }
+    assertCrossParity(mkDocs(rows), Seq(0.05, 0.3, 0.5, 0.8))
+    // borderline/single-shingle docs with a straddling exact dup (4 vs 1)
+    assertCrossParity(mkDocs(Seq(
+      (0L, "a b c", "en"), (1L, "a b c", "en"), (4L, "a b c", "en"),
+      (2L, "a b c d", "en"), (9L, "a b c d e f", "en"),
+      (14L, "x y z w v", "en"), (19L, "a b c", "fr"))),
+      Seq(0.2, 0.5, 1.0))
+  }
+
+  test("cross-relation prefix join: seeded random corpus across thresholds") {
+    val rnd = new scala.util.Random(1337)
+    val pool = Vector.tabulate(25)(i => s"w$i")
+    val rows = (0L until 40L).map { i =>
+      val n = 4 + rnd.nextInt(12)
+      val text = Seq.fill(n)(pool(rnd.nextInt(pool.size))).mkString(" ")
+      (i, text, if (rnd.nextBoolean()) "en" else "de")
+    }
+    assertCrossParity(mkDocs(rows), Seq(0.1, 0.3, 0.5, 0.7, 0.9))
+  }
+
   test("ngramJaccardPairsAmong parity on the restricted posting set") {
     val rnd = new scala.util.Random(7)
     val pool = Vector.tabulate(20)(i => s"t$i")
