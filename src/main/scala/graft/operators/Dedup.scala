@@ -794,20 +794,30 @@ object Dedup {
     * ([[shingledDocs]] → [[shinglePostings]]) — run inside the family, the
     * document-frequency rollup is the only new work.
     *
-    * Scale shape: df is a map-side-combinable aggregate on the (lang, hash)
-    * posting key; the join back is the same key — one shuffle each, never
-    * a self-join; output is one row per shingled doc. */
+    * Scale shape (r15): ONE map-side-combinable aggregate on the
+    * (lang, hash) posting key — and nothing else posting-sized. A df=1
+    * shingle has exactly ONE owner, so `min(doc_id)` on the df rollup IS
+    * the doc it is unique to: per-doc unique counts come straight off the
+    * rolled-up (already tiny) df table, and the denominator is `size(sh)`
+    * off the per-doc array. The previous form joined the df table BACK to
+    * the postings (a second posting-sized shuffle) to re-aggregate per doc
+    * — pure repeated work the owner column makes unnecessary. */
   def ngramNovelty(documents: DataFrame): DataFrame = {
-    val posts = shinglePostings(shingledDocs(documents))
-    val df = posts.groupBy(col("lang"), col("s"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    posts.join(df, Seq("lang", "s"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, lit(1L)).otherwise(lit(0L))).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        round(col("n_unique").cast("double") / col("n_shingles"), 6)
-          .as("novelty"))
+    val docs = shingledDocs(documents)
+    // (doc_id, s) is unique within a posting table (sh is array_distinct'd
+    // per doc), so count(1) per (lang, s) IS the distinct-doc frequency
+    val uniq = shinglePostings(docs)
+      .groupBy(col("lang"), col("s"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+      .where(col("df") === 1)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
   }
 
   /** Near-dup survivor selection — the full dedup pipeline's last stage:
