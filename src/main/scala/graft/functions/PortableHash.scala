@@ -130,16 +130,38 @@ object PortableHash {
     val m = md.get()
     val iv = new Array[Long](cells)
     val rows = new Array[Any](nFrames)
+    // ASCII fast path (the common case by far): char positions == byte
+    // positions, so each cell's md5 runs over a direct range of ONE
+    // getBytes copy — no per-cell UTF8String slice, no per-cell byte-array
+    // copy, no per-digest result alloc. At sf10 the suite's sketch fill is
+    // 134M cell digests (4.2M frames × 32 cells); the slice/copy churn, not
+    // the md5 core, dominated it. Value identity is exact: md5 over the
+    // same byte sequence (substringSQL of an all-ASCII string selects the
+    // same bytes; past-end cells clamp to the same empty slice).
+    val ascii = text.numBytes == n
+    val bytes = if (ascii) text.getBytes else null
+    val out = if (ascii) new Array[Byte](16) else null
     var f = 0
     while (f < nFrames) {
       var c = 0
       while (c < cells) {
-        // 1-based char position, exactly Column.substr's Substring semantics
-        val slice = text.substringSQL(f * stride + c * cellw + 1, cellw)
-        m.reset()
-        val d = m.digest(slice.getBytes)
-        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h = if (ascii) {
+          val start = math.min(f * stride + c * cellw, n)
+          val end = math.min(start + cellw, n)
+          m.reset()
+          m.update(bytes, start, end - start)
+          m.digest(out, 0, 16)
+          ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
+            ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
+        } else {
+          // 1-based char position, exactly Column.substr's Substring
+          // semantics
+          val slice = text.substringSQL(f * stride + c * cellw + 1, cellw)
+          m.reset()
+          val d = m.digest(slice.getBytes)
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
         iv(c) = h % 256
         c += 1
       }
