@@ -863,20 +863,29 @@ object TextAnalysis {
 
   def bigramLogprob(documents: DataFrame): DataFrame = {
     val pairs = adjacentPairs(documents)
+    // Strings die at the MAP side (r15): the per-doc aggregate keys on the
+    // 60-bit hash pair, so the bigram text never enters an exchange, a
+    // cached row, or the per-doc fold array — at sf30 the string-keyed form
+    // went superlinear (11.7 s sf10 → 53.9 s sf30 solo) from shuffle/spill
+    // bytes alone. The fold's determinism key moves with it: terms sort by
+    // (bh, wlp) and the oracle replays `ORDER BY h60(bigram), wlp` with the
+    // SAME md5-prefix key (h60Sql) — engine-identical order under the
+    // family's audited injectivity contract ([[bigramHashAudit]]; a
+    // collision would merge counts in BOTH the old and this form).
     val perDoc = graft.CacheRegistry.persist(pairs
-      .groupBy(col("doc_id"), col("p.bigram").as("bigram"),
-        h60(col("p.bigram")).as("bh"), h60(col("p.x")).as("xh"))
+      .groupBy(col("doc_id"), h60(col("p.bigram")).as("bh"),
+        h60(col("p.x")).as("xh"))
       .agg(count(lit(1)).as("c")))
     val bc = perDoc.groupBy(col("bh")).agg(sum(col("c")).as("b"))
     val lm = perDoc.groupBy(col("xh")).agg(sum(col("c")).as("lx"))
     val scored = perDoc
       .join(bc, Seq("bh"))
       .join(lm, Seq("xh"))
-      .select(col("doc_id"), col("bigram"), col("c"),
+      .select(col("doc_id"), col("bh"), col("c"),
         (col("c") * log(col("b").cast("double") / col("lx"))).as("wlp"))
     scored.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        sort_array(collect_list(struct(col("bigram"), col("wlp")))).as("l"))
+        sort_array(collect_list(struct(col("bh"), col("wlp")))).as("l"))
       .select(col("doc_id"), col("n_bigrams"),
         round(
           aggregate(col("l"), lit(0.0), (acc, e) => acc + e.getField("wlp")) /
@@ -884,7 +893,9 @@ object TextAnalysis {
   }
 
   /** DuckDB oracle for [[bigramLogprob]] (sorted-fold contract; same
-    * `c · ln(B/L)` term shape as [[unigramLogprobOracleSql]]). */
+    * `c · ln(B/L)` term shape as [[unigramLogprobOracleSql]]). The fold
+    * orders by the SAME md5-prefix h60 the engine sorts its fold array by
+    * (r15 hash-keyed form), wlp tie-break mirroring the struct sort. */
   def bigramLogprobOracleSql(table: String): String =
     s"""WITH p AS (SELECT doc_id, unnest(list_transform(
        |    list_zip(w[1:len(w)-1], w[2:len(w)]),
@@ -899,7 +910,7 @@ object TextAnalysis {
        |  FROM pd JOIN bc USING (bigram)
        |  JOIN lm ON string_split(pd.bigram, ' ')[1] = lm.x),
        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-       |    list(wlp ORDER BY bigram) AS l FROM s GROUP BY doc_id)
+       |    list(wlp ORDER BY ${h60Sql("bigram")}, wlp) AS l FROM s GROUP BY doc_id)
        |SELECT doc_id, n_bigrams,
        |  round(list_reduce(l, (acc, x) -> acc + x) / n_bigrams, 6) AS avg_logp
        |FROM a ORDER BY doc_id""".stripMargin
