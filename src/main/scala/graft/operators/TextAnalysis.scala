@@ -715,29 +715,34 @@ object TextAnalysis {
     * small — at 100 TB the vocab table is MBs vs the corpus' TBs).
     *
     * Parity note: the per-doc combination folds `c·ln(p)` terms in SORTED
-    * token order (sort_array + aggregate here, `list(… ORDER BY tok)` +
-    * list_reduce in the oracle) — a plain SUM over doubles would accumulate
-    * in engine-dependent row order and can flip the 6-dp rounding on
-    * near-boundary values. The fold is over a doc's DISTINCT tokens (bounded
-    * by vocab), not its length.
+    * order — a plain SUM over doubles would accumulate in engine-dependent
+    * row order and can flip the 6-dp rounding on near-boundary values. The
+    * fold is over a doc's DISTINCT tokens (bounded by vocab), not its
+    * length, and (r15, the [[bigramLogprob]] move) its sort key is the
+    * audited-injective h60 so token STRINGS never enter a shuffle, a cached
+    * row, or the fold array — the oracle replays `ORDER BY h60(tok), wlp`
+    * through the same md5-prefix key.
     */
   def unigramLogprob(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val toks = documents.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
     // corpus tf rolls up from the per-doc counts (one explode pass; the
-    // second aggregation reduces the already-collapsed (doc, tok, c) table,
-    // never the raw token stream) — value-identical to counting the stream
+    // second aggregation reduces the already-collapsed (doc, th, c) table,
+    // never the raw token stream) — value-identical to counting the stream;
+    // keyed on the 60-bit hash so strings die at the map side
     val perDoc = graft.CacheRegistry.persist(
-      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c")))
-    val tf = perDoc.groupBy(col("tok")).agg(sum(col("c")).as("n"))
+      toks.groupBy(col("doc_id"), h60(col("tok")).as("th"))
+        .agg(count(lit(1)).as("c")))
+    val tf = perDoc.groupBy(col("th")).agg(sum(col("c")).as("n"))
     val total = tf.agg(sum(col("n")).as("total"))
     val scored = perDoc
-      .join(tf, Seq("tok"))
+      .join(tf, Seq("th"))
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("tok"), col("c"),
+      .select(col("doc_id"), col("th"), col("c"),
         (col("c") * log(col("n").cast("double") / col("total"))).as("wlp"))
     scored.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        sort_array(collect_list(struct(col("tok"), col("wlp")))).as("l"))
+        sort_array(collect_list(struct(col("th"), col("wlp")))).as("l"))
       .select(col("doc_id"), col("n_tokens"),
         round(
           aggregate(col("l"), lit(0.0), (acc, e) => acc + e.getField("wlp")) /
@@ -756,7 +761,7 @@ object TextAnalysis {
        |    c * ln(CAST(n AS DOUBLE) / total) AS wlp
        |  FROM ct JOIN tf USING (tok), tot),
        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
-       |    list(wlp ORDER BY tok) AS l
+       |    list(wlp ORDER BY ${h60Sql("tok")}, wlp) AS l
        |  FROM w GROUP BY doc_id)
        |SELECT doc_id, n_tokens,
        |  round(list_reduce(l, (acc, x) -> acc + x) / n_tokens, 6) AS avg_logp
