@@ -74,6 +74,10 @@ object PortableHash {
     }
     val out = new Array[Long](n - window + 1)
     val m = md.get()
+    // reused digest buffer: m.digest() allocates 16 bytes per window — one
+    // window per token position per doc (~100M tiny arrays per sf10 pass,
+    // pure GC pressure); digest(buf, 0, 16) writes in place and resets
+    val dig = new Array[Byte](16)
     var s = 0
     while (s <= n - window) {
       m.reset()
@@ -88,7 +92,8 @@ object PortableHash {
         }
         j += 1
       }
-      out(s) = h60FromDigest(m.digest())
+      m.digest(dig, 0, 16)
+      out(s) = h60FromDigest(dig)
       s += 1
     }
     // primitive-array result: GenericArrayData would box every window hash
