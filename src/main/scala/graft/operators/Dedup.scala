@@ -983,30 +983,61 @@ object Dedup {
     * (Jaccard ≥ τ) — n-gram contamination matters at much lower overlap.
     *
     * Per flagged train doc: how many distinct shingles leak and how many
-    * test docs they touch. Plan shape: shingle-hash postings (60-bit hashes
-    * shuffled, never strings) equi-joined on the shingle — the test side is
-    * the split fraction (~10%) of the corpus, so AQE broadcast-joins it when
-    * small; at 100 TB with a fixed benchmark suite the bench posting list is
-    * KBs and the scan stays map-side.
+    * test docs they touch. Plan shape (r15, the sketch-class-quotient move
+    * from the media family applied to the bipartite exact form): the two
+    * aggregates decompose so NEITHER runs the raw train×test posting
+    * product —
+    *
+    *   - `n_shingles` (distinct leaked shingles) needs only MEMBERSHIP in
+    *     the test side's distinct-shingle set: a semi-join of train
+    *     postings against it, output ∝ train postings, never a product;
+    *   - `n_test_docs` (distinct test docs touched) runs over test
+    *     shingle-set CLASSES: test docs with IDENTICAL shingle sets are
+    *     touched all-or-nothing (a train doc shares a shingle with one iff
+    *     with all), so classes partition the test split and the distinct
+    *     union collapses to Σ class sizes over touched classes. The join
+    *     cost at a shingle drops from train_pop × test_DOC_pop to
+    *     train_pop × test_CLASS_pop — on boilerplate/duplicate-heavy
+    *     corpora (the ones contamination scans exist for) the class count
+    *     saturates the way the phash ball did; worst case (all-distinct
+    *     test sets) it equals the old form.
+    *
+    * 60-bit hashes shuffle, never strings; the test side is the split
+    * fraction (~10%) of the corpus, AQE broadcast-joins its class postings
+    * when small; at 100 TB with a fixed benchmark suite the bench class
+    * posting list is KBs and the scan stays map-side.
     */
   def benchmarkContamination(documents: DataFrame): DataFrame = {
     val splits = TextAnalysis.trainValTestSplit(documents)
       .select(col("doc_id"), col("split"))
-    // built on the SAME persisted posting subtree as the ngram-Jaccard
+    // built on the SAME persisted shingle subtree as the ngram-Jaccard
     // family (identical analyzed plan → one cache entry serves both query
-    // families); the split column joins on top, and the joined table is
-    // persisted because it feeds BOTH sides of the train/test join
-    val postings = graft.CacheRegistry.persist(
-      shinglePostings(shingledDocs(documents))
-        .select(col("doc_id"), col("s"))
-        .join(splits, Seq("doc_id")))
-    postings.where(col("split") === "train").as("a")
-      .join(postings.where(col("split") === "test").as("b"),
-        col("a.s") === col("b.s"))
-      .groupBy(col("a.doc_id").as("doc_id"))
-      .agg(
-        countDistinct(col("a.s")).as("n_shingles"),
-        countDistinct(col("b.doc_id")).as("n_test_docs"))
+    // families); persisted with the split column because it feeds the
+    // train postings, the test class quotient, AND the membership set
+    val docsSplit = graft.CacheRegistry.persist(
+      shingledDocs(documents).join(splits, Seq("doc_id")))
+    val train = docsSplit.where(col("split") === "train")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // test shingle-set classes: (sh → class) with the class's doc count;
+    // class postings explode once per DISTINCT set, not per doc. The class
+    // id is the class's MIN doc_id — deterministic and collision-free
+    // (classes partition the test docs), unlike a generated id, which is
+    // unstable across plan re-evaluation
+    val classes = docsSplit.where(col("split") === "test")
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("cid"))
+    val classPost = classes
+      .select(col("n_docs"), col("cid"), explode(col("sh")).as("s"))
+    val nSh = train
+      .join(classPost.select(col("s")).distinct(), Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shingles"))
+    val nTd = train
+      .join(classPost, Seq("s"))
+      .select(col("doc_id"), col("cid"), col("n_docs")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_docs")).cast("long").as("n_test_docs"))
+    nSh.join(nTd, Seq("doc_id"))
   }
 
   /** Incremental exact dedup — the daily-ingest pattern: drop new docs whose

@@ -120,6 +120,41 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "postings join must be keyed")
   }
 
+  test("contamination class-quotient form == the bipartite posting join (randomized)") {
+    // r15: the scan decomposed (membership semi-join + test shingle-set
+    // class quotient) — parity against the pre-quotient train×test posting
+    // join on a randomized corpus with partial overlaps, multi-doc classes
+    // (repeated texts), and disjoint docs
+    val rnd = new scala.util.Random(99)
+    val pool = Vector.tabulate(18)(i => s"c$i")
+    val texts = Vector.tabulate(12) { _ =>
+      Seq.fill(4 + rnd.nextInt(9))(pool(rnd.nextInt(pool.size))).mkString(" ")
+    }
+    val docs = (0L until 60L).map { i =>
+      (i, texts(rnd.nextInt(texts.size)), "en", "s0", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.benchmarkContamination(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CacheRegistry.release()
+    // reference: the naive bipartite form, inline
+    val splits = TextAnalysis.trainValTestSplit(docs)
+      .select(col("doc_id"), col("split"))
+    val posts = Dedup.shingleSetRows(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(splits, Seq("doc_id"))
+    val want = posts.where(col("split") === "train").as("a")
+      .join(posts.where(col("split") === "test").as("b"),
+        col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(countDistinct(col("a.s")).as("n_shingles"),
+        countDistinct(col("b.doc_id")).as("n_test_docs"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"quotient form diverged: missing=${want.toSet -- got.toSet}" +
+      s" extra=${got.toSet -- want.toSet}")
+    assert(got.nonEmpty, "fixture must produce contaminated train docs")
+    graft.CacheRegistry.release()
+  }
+
   test("assignNew picks the argmax-cosine centroid with (sim DESC, cluster ASC) ties") {
     val idx = IvfIndex.forSfDir(spark, sf0001, SparkEntry.NumClusters)
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
