@@ -163,7 +163,8 @@ object ScaleProbe {
       // TextAnalysis.bigramLogprob, here enforced where scale grows)
       "bigram_hash_audit" -> (() => {
         val r = TextAnalysis.bigramHashAudit(docs).head()
-        require(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3),
+        require(r.getLong(0) == r.getLong(1) && r.getLong(2) == r.getLong(3) &&
+          r.getLong(4) == r.getLong(5), // full-token set = unigram key set
           s"60-bit hash collision at probe scale: $r")
       }),
       // same invariant for the hash-native shingle/span postings (verdict

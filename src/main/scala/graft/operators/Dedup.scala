@@ -742,7 +742,12 @@ object Dedup {
     val cms = cmsBytesFor(unionPosts)
     val cand = prefixPostings(docsA, cms, minJaccard).as("a")
       .join(prefixPostings(docsB, cms, minJaccard).as("b"),
-        prefixCandidateCond(minJaccard))
+        // the documented doc_id-disjointness precondition, ENFORCED (ADVICE
+        // r15): a re-ingested id otherwise emits a doc_a == doc_b self-pair
+        // (jaccard 1.0) through the least/greatest projection, violating the
+        // doc_a < doc_b invariant downstream consumers assume
+        prefixCandidateCond(minJaccard) &&
+          col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val setsA = docsA.select(col("doc_id"), col("sh"))

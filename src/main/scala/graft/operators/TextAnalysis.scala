@@ -859,12 +859,23 @@ object TextAnalysis {
     * the operator's own hot path. Run it wherever the operator meets a new
     * corpus scale (birthday bound: expected collisions ≈ n²/2^61 reach
     * order 1 near 10^9 distinct bigrams). */
-  def bigramHashAudit(documents: DataFrame): DataFrame =
-    adjacentPairs(documents).agg(
+  def bigramHashAudit(documents: DataFrame): DataFrame = {
+    val pairAgg = adjacentPairs(documents).agg(
       countDistinct(col("p.bigram")).as("n_bigrams"),
       countDistinct(h60(col("p.bigram"))).as("n_bh"),
       countDistinct(col("p.x")).as("n_x"),
       countDistinct(h60(col("p.x"))).as("n_xh"))
+    // full-token columns (ADVICE r15): [[unigramLogprob]] keys its tf table
+    // on h60 over EVERY token, but left-pair tokens miss doc-final-position
+    // and single-token-doc vocabulary — a collision there would merge tf
+    // counts outside the audited set. One extra distinct over the plain
+    // token explode closes the gap; n_tok == n_th covers the unigram key set.
+    val tokAgg = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("n_tok"),
+        countDistinct(h60(col("tok"))).as("n_th"))
+    pairAgg.crossJoin(tokAgg)
+  }
 
   def bigramLogprob(documents: DataFrame): DataFrame = {
     val pairs = adjacentPairs(documents)

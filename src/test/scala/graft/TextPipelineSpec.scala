@@ -166,6 +166,10 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getLong(0) > 0, s"audit must see a real corpus: $r")
     assert(r.getLong(0) == r.getLong(1), s"bigram hash collision: $r")
     assert(r.getLong(2) == r.getLong(3), s"left-token hash collision: $r")
+    // full-token columns cover unigramLogprob's key set (doc-final tokens
+    // and single-token docs are outside the left-pair set) — ADVICE r15
+    assert(r.getLong(4) >= r.getLong(2), s"full token set ⊇ left-pair set: $r")
+    assert(r.getLong(4) == r.getLong(5), s"full-token hash collision: $r")
   }
 
   test("near-dup clusters: transitive chains collapse to the min-id representative") {
