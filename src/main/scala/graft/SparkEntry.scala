@@ -403,10 +403,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "ngram_jaccard"          -> ((s, d) =>
-      Dedup.ngramJaccardPairs(tbl(s, d, "documents"), 0.5)
+      // the corpus-level verified-pair ARTIFACT (verdict r15 #4): built once
+      // per (corpus, threshold) like the index builds, read as parquet by
+      // the whole family — this row IS the artifact scan
+      graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_survivors"        -> ((s, d) =>
-      Dedup.ngramSurvivors(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+      Dedup.ngramSurvivorsFromPairs(tbl(s, d, "documents"),
+        graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)).orderBy(col("doc_id"))),
     "dedup_incremental"      -> ((s, d) => {
       // daily-ingest dedup: 4/5 of the corpus is "history" (its hash table
       // is the side output dedup_exact maintains — read here as the
@@ -437,10 +441,12 @@ object SparkEntry {
         .orderBy(col("text_md5"))
     }),
     "split_leak_pairs"       -> ((s, d) =>
-      Dedup.splitLeakPairs(tbl(s, d, "documents"), 0.5)
+      Dedup.splitLeakPairsFromPairs(tbl(s, d, "documents"),
+        graft.sources.VerifiedPairs.forSfDir(s, d, 0.5))
         .orderBy(col("doc_a"), col("doc_b"))),
     "near_dup_clusters"      -> ((s, d) =>
-      Dedup.nearDupClusters(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+      Dedup.nearDupClustersFromPairs(
+        graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)).orderBy(col("doc_id"))),
     "split_assign_param"     -> ((s, d) =>
       // parameterized producer of train/val/test assignments — zero-shuffle
       // hash split, stable under corpus growth (Splits scaladoc); the
@@ -456,7 +462,9 @@ object SparkEntry {
       // no verified near-dup pair can straddle splits (SplitsSpec proves
       // zero leak pairs by construction on this corpus)
       val docs = tbl(s, d, "documents")
-      Splits.splitAssignLeakFree(docs, Dedup.nearDupClusters(docs, 0.5),
+      Splits.splitAssignLeakFree(docs,
+        Dedup.nearDupClustersFromPairs(
+          graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)),
         SplitSpec, SplitAssignSalt).orderBy(col("doc_id"))
     }),
     "near_dup_clusters_inc"  -> ((s, d) => {
@@ -544,7 +552,8 @@ object SparkEntry {
     "ngram_novelty"          -> ((s, d) =>
       Dedup.ngramNovelty(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "corpus_curate"          -> ((s, d) =>
-      CorpusPipeline.curate(tbl(s, d, "documents"), 0.5).orderBy(col("doc_id"))),
+      CorpusPipeline.curateFromPairs(tbl(s, d, "documents"),
+        graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)).orderBy(col("doc_id"))),
     "doc_chunks"             -> ((s, d) =>
       TextAnalysis.chunk(tbl(s, d, "documents"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
@@ -757,7 +766,12 @@ object SparkEntry {
         "lsh_candidates", "lsh_candidates_inc", "lsh_candidates_inc_bloom"),
       "inc-history"     -> Set("lsh_candidates_inc", "lsh_candidates_inc_bloom",
         "dup_span_share_inc", "frame_dup_share_inc", "near_dup_clusters_inc",
-        "dedup_incremental", "dedup_bloom"))
+        "dedup_incremental", "dedup_bloom"),
+      // the corpus-level verified-pair table (verdict r15 #4): built once
+      // per corpus version, scanned by the whole shingle family
+      "pair-table"      -> Set("ngram_jaccard", "dedup_survivors",
+        "split_leak_pairs", "near_dup_clusters", "split_assign_leakfree",
+        "corpus_curate"))
   }
 
   /** Harness run order: deterministic, with family members adjacent (each

@@ -831,9 +831,15 @@ object Dedup {
     * against the verified-pair table; no iteration, no connected components
     * (transitive chains keep their minimum element, which is the policy's
     * fixed point for chains discovered pairwise). */
-  def ngramSurvivors(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val dropped = ngramJaccardPairs(documents, minJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+  def ngramSurvivors(documents: DataFrame, minJaccard: Double): DataFrame =
+    ngramSurvivorsFromPairs(documents, ngramJaccardPairs(documents, minJaccard))
+
+  /** [[ngramSurvivors]] over a PRECOMPUTED verified-pair table — the
+    * production shape (verdict r15 #4): pairs are written to the lake once
+    * per corpus version ([[graft.sources.VerifiedPairs]]) and survivor
+    * selection is just this anti-join, no candidate generation at all. */
+  def ngramSurvivorsFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val dropped = pairs.select(col("doc_b").as("doc_id")).distinct()
     // no broadcast hint: `dropped` is the duplicate fraction of the corpus —
     // unbounded on a real crawl — so the scale-safe plan is a shuffled
     // left_anti; AQE still downgrades to broadcast when it measures small.
@@ -850,9 +856,14 @@ object Dedup {
     * deep duplicate chain — a million-doc boilerplate lineage — converges in
     * ~20 rounds instead of diameter-many min-label propagations. */
   def nearDupClusters(documents: DataFrame, minJaccard: Double): DataFrame =
+    nearDupClustersFromPairs(ngramJaccardPairs(documents, minJaccard))
+
+  /** [[nearDupClusters]] over a PRECOMPUTED verified-pair table (the
+    * [[graft.sources.VerifiedPairs]] artifact shape — CC is a pure function
+    * of the pair graph, so clustering never needs the corpus at all). */
+  def nearDupClustersFromPairs(pairs: DataFrame): DataFrame =
     ConnectedComponents.run(
-      ngramJaccardPairs(documents, minJaccard)
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("doc_id"), col("label").as("cluster_rep"))
 
   /** The shingle family's history artifact in its lake shape — what a
@@ -968,8 +979,12 @@ object Dedup {
     * corpus; both split joins are hash joins on doc_id (AQE broadcasts the
     * pair side when small). The fix for flagged pairs is policy — usually
     * moving the whole near-dup cluster into one split. */
-  def splitLeakPairs(documents: DataFrame, minJaccard: Double): DataFrame = {
-    val pairs = ngramJaccardPairs(documents, minJaccard)
+  def splitLeakPairs(documents: DataFrame, minJaccard: Double): DataFrame =
+    splitLeakPairsFromPairs(documents, ngramJaccardPairs(documents, minJaccard))
+
+  /** [[splitLeakPairs]] over a PRECOMPUTED verified-pair table (the
+    * [[graft.sources.VerifiedPairs]] artifact shape). */
+  def splitLeakPairsFromPairs(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val splits = TextAnalysis.trainValTestSplit(documents)
       .select(col("doc_id"), col("split"))
     pairs

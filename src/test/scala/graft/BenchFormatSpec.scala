@@ -106,6 +106,31 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(drifted.contains("\"sentinel_spread\":5.770"))
   }
 
+  test("warm-pass disagreement trigger: >15% of the smaller total, asymmetric-safe") {
+    // verdict r15 #1: min-of-2 publishes the LESS contaminated pass, not a
+    // clean number, when one warm pass ate a mid-pass burst — the trigger
+    // must fire on either ordering and stay quiet inside the noise band
+    assert(Bench.WarmDisagreePct == 0.15)
+    assert(Bench.warmTotalsDisagree(68.0, 80.0))   // 17.6% up
+    assert(Bench.warmTotalsDisagree(80.0, 68.0))   // and the mirror
+    assert(!Bench.warmTotalsDisagree(68.0, 75.0))  // 10.3% — noise band
+    assert(!Bench.warmTotalsDisagree(0.0, 50.0))   // all-failed pass: errors, not retries
+    assert(!Bench.warmTotalsDisagree(-1.0, 50.0))
+  }
+
+  test("cold inflation above 3x warm rides flags (verdict r15 #1)") {
+    // the r15 record shipped cold 296.8 vs warm 68.3 with clean flags and
+    // the round's headline comparison died in forensics; the post-disk-work
+    // signature now self-identifies like sentinel_drift does
+    assert(Bench.ColdInflatedRatio == 3.0)
+    assert(Bench.coldInflatedFlag(296.8, 68.3) == Some("cold_inflated:4.346"))
+    assert(Bench.coldInflatedFlag(168.1, 68.3).isEmpty) // genuine 2.5x cold cost
+    assert(Bench.coldInflatedFlag(10.0, 0.0).isEmpty)   // degenerate warm: no div-by-zero
+    val line = Bench.summaryLine(68.3, 296.8, 128, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("cold_inflated:4.346"))
+    assert(line.contains("\"flags\":[\"cold_inflated:4.346\"]"))
+  }
+
   test("a failed layout audit is flagged, not silently empty (ADVICE r14)") {
     // layout:{} with clean flags was indistinguishable from a healthy
     // un-starved lake; the catch path now emits layout_audit_failed

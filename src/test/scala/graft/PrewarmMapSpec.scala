@@ -42,5 +42,13 @@ class PrewarmMapSpec extends AnyFunSuite {
         n == "dedup_bloom"))
     assert(SparkEntry.prewarmQueries("ivf-dedup-block") === Set("near_dup_ivf"))
     assert(SparkEntry.prewarmQueries("ivf-tune") === Set("ivf_tuned_probe"))
+    // the verified-pair artifact's consumers (verdict r15 #4): exactly the
+    // full-corpus shingle-family rows that read VerifiedPairs.forSfDir —
+    // enumerated by hand because no name pattern distinguishes them
+    // (contamination_flags and ngram_novelty share the family but never
+    // touch the pair table)
+    assert(SparkEntry.prewarmQueries("pair-table") === Set("ngram_jaccard",
+      "dedup_survivors", "split_leak_pairs", "near_dup_clusters",
+      "split_assign_leakfree", "corpus_curate"))
   }
 }
