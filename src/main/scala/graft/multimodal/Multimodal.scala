@@ -389,7 +389,7 @@ object Multimodal {
 
   /** Band explosion over a class table (same joint 16-bit partition as
     * [[bandSketches]], minus the per-frame columns). */
-  private def bandClasses(classes: DataFrame, cells: Int): DataFrame =
+  private[graft] def bandClasses(classes: DataFrame, cells: Int): DataFrame =
     classes
       .withColumn("bb", explode(array(jointBandCols(cells): _*)))
       .withColumn("band", col("bb.band"))
@@ -402,42 +402,107 @@ object Multimodal {
     *
     *   - `any_multi` — some matching class spans ≥ 2 docs ⇒ EVERY frame of
     *     `a` has a different-doc frame within range;
-    *   - `n_solo` / `solo_doc` — the distinct single-doc owners among
+    *   - `solo_min` / `solo_max` — min and max single-doc owner among
     *     matching solo classes: a frame of doc `d` is duplicated iff some
-    *     matching class is owned by a doc ≠ `d`.
+    *     matching class is owned by a doc ≠ `d`, and min/max carry exactly
+    *     the distinctions the predicate tests (min ≠ max ⟺ ≥ 2 distinct
+    *     owners; min == max names the one owner).
     *
-    * All three aggregates are duplicate-insensitive (max / countDistinct /
-    * min), so class pairs matching on several bands need no pre-distinct —
-    * the r12 frame-level form paid a matched-frames-sized shuffle for
-    * exactly that dedup. */
-  private def classVerdicts(probeClasses: DataFrame, corpusClasses: DataFrame,
-      maxHamming: Int, cells: Int): DataFrame =
-    bandClasses(probeClasses.select(col("lang"), col("ahash"), col("dhash")),
-        cells).as("a")
-      .join(bandClasses(corpusClasses, cells).as("b"),
-        col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
-          col("a.bv") === col("b.bv"))
+    * All three aggregates are duplicate-insensitive (max / min / max), so
+    * class pairs matching on several bands need no pre-distinct — the r12
+    * frame-level form paid a matched-frames-sized shuffle for exactly that
+    * dedup. */
+  private[graft] def classVerdicts(probeClasses: DataFrame, corpusClasses: DataFrame,
+      maxHamming: Int, cells: Int): DataFrame = {
+    // Solo-probe split (r16, the near_dup_frames sf10 floor): a probe class
+    // that exists in the corpus with n_docs ≥ 2 matches ITSELF at distance
+    // 0, so `any_multi = 1` holds with NO candidate generation — and
+    // any_multi alone already decides the dup predicate for every frame of
+    // the class ([[shareFromVerdicts]]: the OR short-circuits). Only SOLO
+    // probe classes enter the banded join, which cuts the Σ pop² candidate
+    // work to Σ soloPop·pop — measured at sf10 (2.32M classes, 37% multi):
+    // 1.32G → 617M, with the probe-side band explosion down 9.3M → 5.9M
+    // rows (AbPhashCensus; the sub-band recursion alternative measured
+    // 884M for a 4× key explosion and was rejected — the dense tail-frame
+    // ball's variation sits inside one sub-band, so it will not split).
+    // The probe's multiplicity must come from the CORPUS-side class table:
+    // in the incremental form a batch class solo WITHIN the batch can be
+    // multi in the merged history ∪ batch universe.
+    val probeN =
+      if (probeClasses eq corpusClasses)
+        // batch form: probe and corpus are the SAME (cached) class table, so
+        // the multiplicity lookup is a projection, not a self-join
+        corpusClasses.select(col("lang"), col("ahash"), col("dhash"),
+          col("n_docs").as("probe_n_docs"))
+      else probeClasses.select(col("lang"), col("ahash"), col("dhash"))
+        .join(corpusClasses
+            .select(col("lang"), col("ahash"), col("dhash"),
+              col("n_docs").as("probe_n_docs")),
+          Seq("lang", "ahash", "dhash"), "left")
+    val multiVerdicts = probeN.where(col("probe_n_docs") > 1)
+      .select(col("lang"), col("ahash"), col("dhash"),
+        lit(1).as("any_multi"),
+        lit(null).cast("long").as("solo_min"),
+        lit(null).cast("long").as("solo_max"))
+    // probes absent from the corpus (external probe sets) have no self-match
+    // and take the join path like solo classes
+    val soloProbes = probeN
+      .where(col("probe_n_docs").isNull || col("probe_n_docs") === 1)
+      .select(col("lang"), col("ahash"), col("dhash"))
+    val bandedSolo = bandClasses(soloProbes, cells)
+    val bandKeys = col("a.lang") === col("b.lang") &&
+      col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+    // solo × solo arm — full enumeration, because the verdict needs the
+    // owner min/max. The dup predicate only ever asks "≥ 2 distinct solo
+    // owners?" and "the single owner, if unique" — which is exactly
+    // min ≠ max / min == max of the owners (two solo classes can share an
+    // owner, and min == max is still the right answer then). min/max are
+    // plain partial-aggregable aggregates; the previous countDistinct paid
+    // an Expand + dedup pass over the full candidate-join output.
+    val soloCorpus = corpusClasses.where(col("n_docs") === 1)
+    val soloAgg = bandedSolo.as("a")
+      .join(bandClasses(soloCorpus, cells).as("b"), bandKeys)
       .where(jointHamming <= maxHamming)
       .groupBy(col("a.lang").as("lang"), col("a.ahash").as("ahash"),
         col("a.dhash").as("dhash"))
-      .agg(
-        max(when(col("b.n_docs") > 1, lit(1)).otherwise(lit(0))).as("any_multi"),
-        countDistinct(when(col("b.n_docs") === 1, col("b.solo_doc")))
-          .as("n_solo"),
-        min(when(col("b.n_docs") === 1, col("b.solo_doc"))).as("solo_doc"))
+      .agg(min(col("b.solo_doc")).as("solo_min"),
+        max(col("b.solo_doc")).as("solo_max"))
+    // solo × multi arm — pure EXISTENCE ("some multi class within range"),
+    // so a LEFT SEMI join does it: the join stops scanning a probe row's
+    // bucket at its first within-range match instead of enumerating the
+    // whole bucket (sf10 census: 315M of the 617M candidate work sits in
+    // this arm, and in the dense tail-frame buckets a matching multi class
+    // is found almost immediately).
+    val multiHits = bandedSolo.as("a")
+      .join(bandClasses(corpusClasses.where(col("n_docs") > 1), cells).as("b"),
+        bandKeys && jointHamming <= maxHamming, "left_semi")
+      .select(col("a.lang").as("lang"), col("a.ahash").as("ahash"),
+        col("a.dhash").as("dhash"))
+      .distinct() // a probe class semi-hits on up to PhashBands band rows
+      .withColumn("am", lit(1))
+    val soloVerdicts = soloAgg
+      .join(multiHits, Seq("lang", "ahash", "dhash"), "full_outer")
+      .select(col("lang"), col("ahash"), col("dhash"),
+        coalesce(col("am"), lit(0)).as("any_multi"),
+        col("solo_min"), col("solo_max"))
+    soloVerdicts.unionByName(multiVerdicts)
+  }
 
   /** Expand class verdicts back to the per-doc share rollup: one linear
     * equi-join on the class key (the verdict table is O(classes) — AQE
     * broadcasts it), then the O(docs) aggregate. */
-  private def shareFromVerdicts(frameSketches: DataFrame,
+  private[graft] def shareFromVerdicts(frameSketches: DataFrame,
       verdicts: DataFrame): DataFrame =
     frameSketches
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
         col("dhash"))
       .join(verdicts, Seq("lang", "ahash", "dhash"), "left")
       .withColumn("dup",
-        when(col("any_multi") === 1 || col("n_solo") >= 2 ||
-          (col("n_solo") === 1 && col("solo_doc") =!= col("doc_id")), lit(1)))
+        // ≥ 2 distinct solo owners ⟺ solo_min ≠ solo_max; exactly one ⟺
+        // solo_min == solo_max (then it must differ from the frame's own doc)
+        when(col("any_multi") === 1 || col("solo_min") =!= col("solo_max") ||
+          (col("solo_min") === col("solo_max") &&
+            col("solo_min") =!= col("doc_id")), lit(1)))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_frames"),
@@ -503,6 +568,22 @@ object Multimodal {
       phashFrames(documents, stride, cells, carry = Seq("lang")))
     val classes = graft.CacheRegistry.persist(sketchClasses(sketches))
     shareFromVerdicts(sketches, classVerdicts(classes, classes, maxHamming, cells))
+  }
+
+  /** [[frameDupShare]] over PRECOMPUTED sketch + class-quotient artifacts
+    * (r16, the production shape — [[graft.sources.FrameSketchLake]]): the
+    * ingest stream already wrote the per-frame sketches and the class
+    * quotient is the per-version compaction view, so the serving row is
+    * the banded verdict join + the O(docs) rollup, no re-decode, no
+    * re-hash, no in-query quotient. `classes` must be the quotient OF
+    * `sketches` (the artifact builder guarantees it); pass the SAME
+    * DataFrame reference for probe and corpus semantics. */
+  def frameDupShareFromSketches(sketches: DataFrame, classes: DataFrame,
+      maxHamming: Int = 3, cells: Int = PhashCells): DataFrame = {
+    require(maxHamming < PhashBands,
+      s"banding is only exact for maxHamming < $PhashBands")
+    val cls = graft.CacheRegistry.persist(classes)
+    shareFromVerdicts(sketches, classVerdicts(cls, cls, maxHamming, cells))
   }
 
   /** Incremental [[frameDupShare]] — the daily-ingest media-dedup signal,

@@ -50,5 +50,10 @@ class PrewarmMapSpec extends AnyFunSuite {
     assert(SparkEntry.prewarmQueries("pair-table") === Set("ngram_jaccard",
       "dedup_survivors", "split_leak_pairs", "near_dup_clusters",
       "split_assign_leakfree", "corpus_curate"))
+    // the full-corpus frame-sketch lake (r16): the two rows that scan the
+    // ingest-sink sketch table / its compaction-view class quotient
+    // (frame_dup_share_inc stays on the IncrementalHistory history split)
+    assert(SparkEntry.prewarmQueries("phash-lake") ===
+      Set("phash_docs", "near_dup_frames"))
   }
 }
