@@ -736,9 +736,21 @@ object Bench {
     println(s"""{"queries_warm":${queryMapJson(warmFinal)}}""")
     println(s"""{"streaming":${streamingJson(streaming)}}""")
     println(s"""{"layout":${layoutJson(layout)}}""")
-    println(summaryLine(warmTotal, coldTotal, warmFinal.size,
+    val summary = summaryLine(warmTotal, coldTotal, warmFinal.size,
       (coldErrs ++ warmErrs).distinct, benchDir, spark.version, cpus, cacheHighWater,
-      flags, inversions, sentinelSpread))
+      flags, inversions, sentinelSpread)
+    println(summary)
+    // SPARK_GRAFT_SUMMARY_OUT: also land the summary line at a named path —
+    // how the per-round scale record (BENCH_sf10_r{N}.json, verdict r15 #2)
+    // is produced as a COMMITTED first-class artifact with the same
+    // flags/inversions/spread self-defense fields as the driver's gate
+    // record, instead of a builder-local detail file the round wipe eats
+    sys.env.get("SPARK_GRAFT_SUMMARY_OUT").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), summary + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] summary out write failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -22,6 +22,13 @@ import graft.functions.GraftFunctions.{h32, h32Sql}
   */
 object Multimodal {
 
+  /** System property turning on the history/batch doc-set disjointness
+    * check inside [[frameDupShareIncremental]] (the
+    * [[mergeDisjointClasses]] precondition, checkable only where the
+    * doc-bearing tables exist). Off by default — it costs a distinct +
+    * semi-join over both sides. */
+  val DebugAssertDisjointProp = "graft.debug.assertDisjointHistory"
+
   /** A decoded "frame": what a real image decoder would emit per payload. */
   final case class Frame(doc_id: Long, width: Int, height: Int, channels: Int,
       n_bytes: Long, checksum: Long)
@@ -630,6 +637,20 @@ object Multimodal {
     // probe side is the batch's own classes — O(batch) regardless of
     // history size
     val probeClasses = graft.CacheRegistry.persist(sketchClasses(newSk))
+    // debug-gated disjointness assertion (ADVICE r15 / verdict #7): the
+    // mergeDisjointClasses precondition — history and batch doc sets never
+    // overlap — cannot be checked from the class QUOTIENTS (they carry
+    // counts, not doc sets), but THIS call site holds both doc-bearing
+    // tables. One distinct-semi-join count, behind a system property so
+    // production timing never pays it; the suite turns it on.
+    if (sys.props.get(DebugAssertDisjointProp).contains("true")) {
+      val overlap = newSk.select(col("doc_id")).distinct()
+        .join(historySketches.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi").count()
+      require(overlap == 0,
+        s"frameDupShareIncremental: history/batch doc sets overlap in " +
+          s"$overlap ids — mergeDisjointClasses would double-count n_docs")
+    }
     val corpusClasses = disjointHistoryClasses match {
       case Some(hc) => mergeDisjointClasses(probeClasses, hc)
       case None => sketchClasses(newSk.unionByName(historySketches

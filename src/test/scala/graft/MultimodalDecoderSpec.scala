@@ -68,8 +68,13 @@ class MultimodalDecoderSpec extends SparkSpec {
     // mutation below stays valid either way (property beats env), but note
     // it mutates GLOBAL state: this suite assumes sbt's default sequential
     // suite execution (no forked-parallel tests in this build).
+    // ADVICE r15: restore (not clear) the property — a box that configures
+    // GRAFT_MEDIA_DECODER as a SYSTEM PROPERTY (not env) would otherwise
+    // lose its setting for every test that runs after this one
     val envClean = sys.env.get(Decoder.EnvVar).forall(_.isEmpty)
-    if (envClean) assert(Decoder.forEnv eq Multimodal.FakeDecoder)
+    val prior = System.getProperty(Decoder.EnvVar)
+    if (envClean && prior == null)
+      assert(Decoder.forEnv eq Multimodal.FakeDecoder)
     try {
       System.setProperty(Decoder.EnvVar, "imageio")
       assert(Decoder.forEnv eq ImageIoDecoder)
@@ -77,8 +82,12 @@ class MultimodalDecoderSpec extends SparkSpec {
       intercept[IllegalArgumentException](Decoder.forEnv)
       System.setProperty(Decoder.EnvVar, "fake")
       assert(Decoder.forEnv eq Multimodal.FakeDecoder)
-    } finally System.clearProperty(Decoder.EnvVar)
-    if (envClean) assert(Decoder.forEnv eq Multimodal.FakeDecoder)
+    } finally {
+      if (prior == null) System.clearProperty(Decoder.EnvVar)
+      else System.setProperty(Decoder.EnvVar, prior)
+    }
+    if (envClean && prior == null)
+      assert(Decoder.forEnv eq Multimodal.FakeDecoder)
   }
 
   test("non-image payload is rejected, not silently faked") {

@@ -192,7 +192,19 @@ class PhashSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getAs[Double]("dup_frame_share"))).toSet
     val histSketches = Multimodal.phashFrames(hist, carry = Seq("lang"))
-    val got = key(Multimodal.frameDupShareIncremental(batch, histSketches))
+    // the debug disjointness assertion (ADVICE r15) must hold on the suite's
+    // mod-5 split — and, flipped, must catch an overlapping re-ingest
+    System.setProperty(Multimodal.DebugAssertDisjointProp, "true")
+    val got =
+      try key(Multimodal.frameDupShareIncremental(batch, histSketches))
+      finally System.clearProperty(Multimodal.DebugAssertDisjointProp)
+    graft.CacheRegistry.release()
+    System.setProperty(Multimodal.DebugAssertDisjointProp, "true")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Multimodal.frameDupShareIncremental(docs, histSketches).collect())
+      assert(ex.getMessage.contains("overlap"))
+    } finally System.clearProperty(Multimodal.DebugAssertDisjointProp)
     graft.CacheRegistry.release()
     val want = key(Multimodal.frameDupShare(docs).where(col("doc_id") % 5 === 4))
     graft.CacheRegistry.release()
