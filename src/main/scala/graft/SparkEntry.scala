@@ -898,13 +898,23 @@ object SparkEntry {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
-  /** DuckDB mirror of [[graft.operators.Relational.exactSum]]: quantize each
-    * addend to 6 dp with the identical IEEE double formula, sum exactly as
-    * integers (DuckDB widens SUM(BIGINT) to HUGEINT — collapse back to BIGINT
-    * before the float conversion so both engines do the same int64→double
-    * rounding), then one division by 1e6. */
-  private def sumXSql(e: String): String =
-    s"CAST(CAST(SUM(CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6"
+  /** DuckDB mirror of [[graft.operators.Relational.exactSum]] (r16 q/r
+    * split): quantize each addend to 6 dp with the identical IEEE double
+    * formula, split per row into whole units and a non-negative micro
+    * remainder (the `(m % 1e6 + 1e6) % 1e6` canonical mod matches Spark's
+    * pmod for negative addends; `//` is exact integer division on the
+    * multiple), sum the two parts exactly (DuckDB widens SUM(BIGINT) to
+    * HUGEINT — collapse back to BIGINT so both engines do the same
+    * int64→double rounding), then reassemble with the same one rounded
+    * division + one rounded addition the engine performs. */
+  private def sumXSql(e: String): String = {
+    val m = s"CAST(floor(($e) * 1e6 + 0.5) AS BIGINT)"
+    val rr = s"(($m % 1000000 + 1000000) % 1000000)"
+    val sq = s"CAST(SUM(($m - $rr) // 1000000) AS BIGINT)"
+    val sr = s"CAST(SUM($rr) AS BIGINT)"
+    s"CAST($sq + ($sr - $sr % 1000000) // 1000000 AS DOUBLE) + " +
+      s"CAST($sr % 1000000 AS DOUBLE) / 1e6"
+  }
 
   /** word-list fragment */
   private val W = "string_split(text, ' ')"

@@ -32,53 +32,77 @@ object Relational {
     *
     * Each addend is quantized to 6 dp (`floor(x*1e6 + 0.5)` — the same
     * rounding the previous DECIMAL(18,6) cast performed, and an identical
-    * IEEE double computation in Spark and DuckDB), accumulated as LONG
-    * (exact and associative; overflows only past ~9.2e12 in source units —
-    * document per call site if a 100 TB sum could approach that), then
-    * converted through exactly one int64→double rounding and one division
-    * by 1e6. Both of those are IEEE round-to-nearest in the JVM and in
-    * DuckDB, so the result is bit-identical however either engine orders
-    * the sum. DuckDB mirror: [[graft.SparkEntry.sumXSql]].
+    * IEEE double computation in Spark and DuckDB), then split per row into
+    * whole units `q = ⌊m/10⁶⌋` and micro remainder `r = m − q·10⁶ ∈
+    * [0, 10⁶)` and accumulated as TWO exact LONG sums (r16 — the single
+    * micro-unit LONG accumulator overflowed at sf30: q24's grand CUBE cell
+    * reached 1.13e19 micro-units vs the 9.22e18 cap). ΣQ overflows only
+    * past ~9.2e18 SOURCE units and ΣR past ~9.2e12 ROWS; the reassembly
+    * `double(ΣQ + ΣR div 10⁶) + double(ΣR mod 10⁶)/10⁶` is exact in its
+    * integer parts while the total stays ≤ 2^53 source units (~9.0e15,
+    * 1000× the old cap — audit below guards the rest), and its one rounded
+    * division + one rounded addition are IEEE round-to-nearest identically
+    * in the JVM and DuckDB, so the result is bit-identical however either
+    * engine orders the sum. DuckDB mirror: [[graft.SparkEntry.sumXSql]]
+    * (same split, HUGEINT-safe).
     *
     * Why not SUM(DECIMAL)→DOUBLE: the decimal sum is exact, but the final
     * decimal→double CAST is engine-specific (JVM BigDecimal is correctly
     * rounded; DuckDB converts via scaled-int128 float ops) and the two can
     * land on ADJACENT doubles — observed at sf1 (q01/q03/q24, round 7). */
-  private[graft] def exactSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(floor(x * lit(1e6) + lit(0.5))).cast("double") / lit(1e6)
+  private[graft] def exactSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val m = floor(x * lit(1e6) + lit(0.5)) // LONG micro-units, per row
+    val r = pmod(m, lit(1000000L))         // ∈ [0, 1e6) also for negative m
+    // (m − r) is an exact multiple of 1e6 and ≤ 2^53 per row, so the double
+    // division is exact and the long cast recovers ⌊m/1e6⌋ precisely
+    val q = ((m - r) / lit(1000000L)).cast("long")
+    val (sq, sr) = (sum(q), sum(r))
+    val rq = pmod(sr, lit(1000000L))
+    (sq + (sr - rq) / lit(1000000L)).cast("double") +
+      rq.cast("double") / lit(1e6)
+  }
 
-  /** Loud-failure overflow audit for [[exactSum]]'s LONG accumulator
-    * (verdict r7 #7 / ADVICE r7): upper-bounds the micro-unit accumulation
-    * as MAX(|addend·1e6|) × COUNT — conservative (assumes every row is the
-    * max), cheap (one extra partial+final aggregate over the audited
-    * frame), and scale-honest: a 100 TB money sum near the ~9.2e12
-    * source-unit cap fails HERE with a named call site instead of wrapping
-    * (ANSI off) or throwing an anonymous arithmetic error mid-query (ANSI
-    * on). Debug-mode only — enable with session conf
-    * `spark.graft.exactSumAudit=true`; default off costs nothing.
-    * Remedies when it fires: pre-aggregate per group, rescale the unit, or
-    * split the sum into disjoint ranges. */
+  /** Loud-failure overflow audit for [[exactSum]]'s split LONG accumulators
+    * (verdict r7 #7 / ADVICE r7; caps re-derived for the r16 q/r split):
+    * upper-bounds the accumulation as MAX(|addend·1e6|) × COUNT —
+    * conservative (assumes every row is the max), cheap (one extra
+    * partial+final aggregate over the audited frame), and scale-honest: a
+    * 100 TB money sum past the caps fails HERE with a named call site
+    * instead of wrapping (ANSI off) or throwing an anonymous arithmetic
+    * error mid-query (ANSI on). The binding constraints are now (a) the
+    * engine-parity exactness bound — worst-case TOTAL ≤ 2^53 SOURCE units
+    * (~9.0e15; above it double(ΣQ) rounds and the two engines' casts may
+    * diverge) — and (b) ΣR's row cap, COUNT < ~9.22e12. Debug-mode only —
+    * enable with session conf `spark.graft.exactSumAudit=true`; default
+    * off costs nothing. Remedies when it fires: pre-aggregate per group,
+    * rescale the unit, or split the sum into disjoint ranges. */
   private[graft] def auditExactSum(df: DataFrame,
       xs: Seq[org.apache.spark.sql.Column], site: String): Unit =
     if (df.sparkSession.conf.getOption("spark.graft.exactSumAudit")
         .exists(_.toBoolean)) {
-      // cast to double IN the aggregate, not in Scala: floor() yields LONG
-      // for double inputs but DECIMAL for decimal inputs (plausible money
-      // columns elsewhere), and a driver-side asInstanceOf[Long] would throw
-      // ClassCastException instead of the diagnostic this audit exists to
-      // raise (ADVICE r8)
+      // the bound computes in DOUBLE source units end-to-end: the old
+      // floor(x·1e6) LONG probe itself clamped at Long.MaxValue on the very
+      // magnitudes the audit exists to catch (an un-ANSI cast saturates
+      // silently), under-reporting max|addend| by orders of magnitude.
+      // cast inside the aggregate, not in Scala (ADVICE r8: decimal money
+      // columns would make a driver-side asInstanceOf throw
+      // ClassCastException instead of this diagnostic).
       val aggs = xs.zipWithIndex.map { case (x, i) =>
-        max(abs(floor(x * lit(1e6) + lit(0.5)))).cast("double").as(s"mx$i")
+        max(abs(x)).cast("double").as(s"mx$i")
       } :+ count(lit(1)).cast("long").as("n")
       val r = df.agg(aggs.head, aggs.tail: _*).head()
       val n = r.getAs[Long]("n")
+      require(n.toDouble < Long.MaxValue.toDouble / 1e6,
+        s"exactSum@$site: row count n=$n exceeds the remainder " +
+          "accumulator's ~9.2e12-row cap; split the sum into disjoint ranges")
+      val exactCap = 9007199254740992.0 // 2^53 source units: parity bound
       xs.indices.foreach { i =>
         val mx = Option(r.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-        require(mx == 0.0 || n.toDouble <= Long.MaxValue.toDouble / mx,
-          s"exactSum@$site: worst-case micro-unit accumulation " +
-            f"(max|x·1e6| ≈ $mx%.4g × n=$n) could exceed Long.MaxValue — " +
-            "the 6-dp LONG accumulator would overflow; pre-aggregate, " +
-            "rescale the unit, or split the sum")
+        require(mx == 0.0 || n.toDouble <= exactCap / mx,
+          s"exactSum@$site: worst-case accumulation " +
+            f"(max|x| ≈ $mx%.4g × n=$n) could exceed 2^53 source " +
+            "units — double(ΣQ) would round and engine parity is no longer " +
+            "guaranteed; pre-aggregate, rescale the unit, or split the sum")
       }
     }
 

@@ -385,13 +385,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("exactSum survives past the old micro-unit LONG cap (the sf30 q24 overflow)") {
+    import spark.implicits._
+    // 10 rows of 1.2e12 source units = 1.2e19 micro-units — the single
+    // LONG accumulator form threw ARITHMETIC_OVERFLOW here (q24's grand
+    // CUBE cell at sf30 reached 1.13e19); the r16 q/r split must return
+    // the exact total, and negatives must still cancel exactly
+    val big = (1 to 10).map(i => (i.toLong, 1.2e12)).toDF("id", "x")
+    val got = big.agg(graft.operators.Relational.exactSum(col("x")).as("s"))
+      .head().getDouble(0)
+    assert(got == 1.2e13, s"got $got")
+    val mixed = Seq(2.5, -2.5, 1.000001, -1.0, 0.0000004, -0.0000006)
+      .zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+    // micro sum: 2500000 − 2500000 + 1000001 − 1000000 + 0 − 1 = 0 exactly
+    // (0.0000004 rounds to 0 micro; −0.0000006 rounds to −1)
+    val gotMixed = mixed.agg(graft.operators.Relational.exactSum(col("x")).as("s"))
+      .head().getDouble(0)
+    assert(gotMixed == 0.0, s"got $gotMixed")
+  }
+
   test("auditExactSum: fires on near-overflow data, passes sane data, off by default") {
     import spark.implicits._
     val site = "audit-test"
-    // 10 rows of 1e12 source units -> 1e18 micro-units each; 10×1e18 = 1e19
-    // exceeds Long.MaxValue (9.22e18), so the conservative MAX×COUNT bound
-    // must fail loudly with the site name in the message
-    val hot = (1 to 10).map(i => (i.toLong, 1e12)).toDF("id", "x")
+    // 10 rows of 1e15 source units -> worst-case total 1e16 exceeds the r16
+    // engine-parity bound (2^53 ≈ 9.0e15 source units, where double(ΣQ)
+    // starts rounding), so the conservative MAX×COUNT bound must fail
+    // loudly with the site name in the message. (10 rows of 1e12 — the old
+    // LONG-cap trip case — now PASSES: the q/r split carries it exactly.)
+    val hot = (1 to 10).map(i => (i.toLong, 1e15)).toDF("id", "x")
+    val warm = (1 to 10).map(i => (i.toLong, 1e12)).toDF("id", "x")
     val cool = (1 to 10).map(i => (i.toLong, 1e6)).toDF("id", "x")
     // default off: no exception even on the hot frame
     graft.operators.Relational.auditExactSum(hot, Seq(col("x")), site)
@@ -400,9 +422,11 @@ class PropertySpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] {
         graft.operators.Relational.auditExactSum(hot, Seq(col("x")), site)
       }
-      assert(e.getMessage.contains(site) && e.getMessage.contains("overflow"),
+      assert(e.getMessage.contains(site) && e.getMessage.contains("2^53"),
         e.getMessage)
-      // well-bounded data passes with the audit on
+      // well-bounded data passes with the audit on — including the old
+      // LONG-cap magnitude the split accumulator now handles
+      graft.operators.Relational.auditExactSum(warm, Seq(col("x")), site)
       graft.operators.Relational.auditExactSum(cool, Seq(col("x")), site)
       // and the audited flagship query still builds + runs with the flag on
       val r = graft.operators.Relational.pricingSummary(spark, sf0001)
