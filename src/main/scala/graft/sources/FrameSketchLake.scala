@@ -27,6 +27,10 @@ object FrameSketchLake {
 
   private val cache = TrieMap[String, String]()
 
+  /** Drop the in-JVM memo so the next read rebuilds from source — the
+    * artifact-rebuild drill's hook (production analog: a version roll). */
+  private[graft] def reset(): Unit = cache.clear()
+
   private def dir(sfDir: String, name: String): String =
     java.nio.file.Paths.get("target", "phash-lake", graft.SfPath.safe(sfDir),
       name).toAbsolutePath.toString

@@ -35,6 +35,11 @@ object VerifiedPairs {
 
   private val cache = TrieMap[String, String]()
 
+  /** Drop the in-JVM memo so the next [[forSfDir]] rebuilds from source —
+    * the artifact-rebuild drill's hook (production analog: a corpus-version
+    * roll invalidates the table). */
+  private[graft] def reset(): Unit = cache.clear()
+
   /** Stable threshold tag: 0.5 → "j0500" (4 digits carry any realistic
     * threshold grid without dots in the path). */
   private[sources] def tag(minJaccard: Double): String =
