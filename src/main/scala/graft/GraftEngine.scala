@@ -287,6 +287,17 @@ final class GraftEngine(val spark: SparkSession,
       historyLabels: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.nearDupClustersIncremental(
       newDocs, historySets, historyLabels, minJaccard)
+  /** [[nearDupClustersIncremental]] with history's prefix table + order
+    * sketch prebuilt at refresh ([[operators.Dedup.shinglePrefixesUnder]] /
+    * [[operators.Dedup.shingleOrderCms]]) — the serving form; `minJaccard`
+    * MUST equal the threshold the prefix artifact was built at (the prefix
+    * lengths bake it in). Bit-identical output to the plain form. */
+  def nearDupClustersIncrementalPrebuilt(newDocs: DataFrame,
+      historySets: DataFrame, historyPrefixes: DataFrame,
+      historyCms: Array[Byte], historyLabels: DataFrame,
+      minJaccard: Double = 0.5): DataFrame =
+    Dedup.nearDupClustersIncrementalPrebuilt(newDocs, historySets,
+      historyPrefixes, historyCms, historyLabels, minJaccard)
   def splitLeaks(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =
     Dedup.splitLeakPairs(documents, minJaccard)
   def sampleByLanguage(documents: DataFrame, rates: Map[String, Double],

@@ -474,11 +474,13 @@ object SparkEntry {
       // recompute over history ∪ batch, so the oracle is near_dup_clusters'
       // recursive-CTE replay over the whole corpus, verbatim
       val docs = tbl(s, d, "documents")
-      Dedup.nearDupClustersIncremental(
+      Dedup.nearDupClustersIncrementalPrebuilt(
         graft.sources.IncrementalHistory.batchDocs(docs),
         graft.sources.IncrementalHistory.shingleSets(s, d),
+        graft.sources.IncrementalHistory.shinglePrefixes(s, d),
+        graft.sources.IncrementalHistory.shingleCms(s, d),
         graft.sources.IncrementalHistory.nearDupLabels(s, d),
-        0.5).orderBy(col("doc_id"))
+        graft.sources.IncrementalHistory.ShingleThreshold).orderBy(col("doc_id"))
     }),
     "simhash_docs"           -> ((s, d) =>
       Dedup.simhashes(tbl(s, d, "documents")).orderBy(col("doc_id"))),

@@ -119,6 +119,63 @@ object IncrementalHistory {
       graft.operators.Dedup.nearDupClusters(h, 0.5)
     })
 
+  /** The clustering family's probe threshold, baked into the prefix
+    * artifact's per-doc prefix LENGTHS — [[shinglePrefixes]] is only sound
+    * for probes at exactly this τ. */
+  val ShingleThreshold = 0.5
+
+  private val cmsCache = TrieMap[String, Array[Byte]]()
+
+  /** History's shingle-order sketch (verdict r16 #1) — the ~1 MB Count-Min
+    * sketch over history postings that defines the rare-first prefix order
+    * BOTH sides of the daily probe must share. Computed once per refresh
+    * (alongside [[shinglePrefixes]], which is built under it) and stored as
+    * raw bytes; the probe prefixes the BATCH under these stored bytes, so
+    * the query never explodes history arrays to re-derive the order. Sound
+    * under any sketch (the prefix rule holds for every shared total order —
+    * see [[graft.operators.Dedup.jaccardPairsAcrossPrebuilt]]); history-only
+    * hotness is the right exclusion signal to within the product bound
+    * (candidate cost at a shingle is prefixA-pop × prefixB-pop, and a
+    * batch-only-hot shingle has near-zero history pop). */
+  def shingleCms(spark: SparkSession, sfDir: String): Array[Byte] = {
+    val key = s"shingle_cms#$sfDir"
+    cmsCache.get(key) match {
+      case Some(b) => b
+      case None => key.intern.synchronized {
+        cmsCache.getOrElseUpdate(key, {
+          val path = java.nio.file.Paths.get(artifactDir(sfDir, "shingle_cms"), "cms.bin")
+          if (!java.nio.file.Files.exists(path)) {
+            val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            val bytes = graft.operators.Dedup.shingleOrderCms(
+              graft.operators.Dedup.shingleSetsOf(historyDocs(docs)))
+            java.nio.file.Files.createDirectories(path.getParent)
+            val tmp = path.resolveSibling("cms.bin.tmp")
+            java.nio.file.Files.write(tmp, bytes)
+            java.nio.file.Files.move(tmp, path,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          java.nio.file.Files.readAllBytes(path)
+        })
+      }
+    }
+  }
+
+  /** History's prefix-posting table under [[shingleCms]]'s order at
+    * [[ShingleThreshold]] — `(doc_id, lang, n, rk, s)`, the refresh-time
+    * half of the daily near-dup probe (verdict r16 #1): the probe's
+    * history-side per-query work drops from "explode + order + slice 4/5 of
+    * the corpus" to a parquet scan. Rebuilt per refresh like
+    * [[nearDupLabels]] (the order sketch drifts as history grows, so the
+    * prefix table is a per-version artifact, not an append log — though
+    * within a version each ingested batch could append its own rows). */
+  def shinglePrefixes(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(build(spark, sfDir, "shingle_prefixes") { h =>
+      graft.operators.Dedup.shinglePrefixesUnder(
+        graft.operators.Dedup.shingleSetsOf(h),
+        shingleCms(spark, sfDir), ShingleThreshold)
+    })
+
   /** Build every history artifact (Bench prewarm hook — the analog of the
     * index builds: the once-per-refresh cost, outside query timing). */
   def buildAll(spark: SparkSession, sfDir: String): Unit = {
@@ -129,6 +186,8 @@ object IncrementalHistory {
     phashClasses(spark, sfDir)
     shingleSets(spark, sfDir)
     nearDupLabels(spark, sfDir)
+    shingleCms(spark, sfDir)
+    shinglePrefixes(spark, sfDir)
     // the shingle-family builds persist their shared subtree — release it so
     // the prewarm leaves no cache pinned into the timed passes
     graft.CacheRegistry.release()

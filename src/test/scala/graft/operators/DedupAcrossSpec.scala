@@ -30,4 +30,60 @@ class DedupAcrossSpec extends graft.SparkSpec {
     assert(pairs.contains((10L, 11L)), s"cross pair lost: $pairs")
     graft.CacheRegistry.release()
   }
+
+  test("prebuilt across form is bit-identical to the plain form") {
+    // verdict r16 #1: the serving form swaps the union order sketch for a
+    // stored history-only one and reads history prefixes from an artifact.
+    // The prefix rule is sound under ANY shared total order, so the verified
+    // output must be identical — candidates may differ, pairs may not.
+    val mk = (id: Long, words: String) => (id, words, "en")
+    val hist = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog today again"),
+      mk(2L, "the quick brown fox jumps over the lazy dog today still"),
+      mk(3L, "completely different text with no shared shingles at all here"),
+      mk(4L, "boiler plate header boiler plate header boiler plate header x"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      mk(101L, "the quick brown fox jumps over the lazy dog today again"),
+      mk(102L, "boiler plate header boiler plate header boiler plate header y"),
+      mk(103L, "nothing in common with anything anywhere ever truly novel"))
+      .toDF("doc_id", "text", "lang")
+    val histSets = Dedup.shingleSetsOf(hist)
+    val batchSh = Dedup.shingledDocs(batch)
+    val plain = Dedup.jaccardPairsAcross(batchSh, histSets, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cms = Dedup.shingleOrderCms(histSets)
+    val pref = Dedup.shinglePrefixesUnder(histSets, cms, 0.5)
+    val prebuilt = Dedup.jaccardPairsAcrossPrebuilt(
+        batchSh, histSets, pref, cms, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prebuilt === plain, s"prebuilt $prebuilt != plain $plain")
+    assert(plain.nonEmpty, "fixture should produce at least one cross pair")
+    graft.CacheRegistry.release()
+  }
+
+  test("prebuilt incremental clustering matches the plain incremental form") {
+    val mk = (id: Long, words: String) => (id, words, "en")
+    val hist = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      mk(3L, "totally unrelated content lives in this history document now"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      mk(11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(12L, "fresh singleton content that matches nothing else at all"))
+      .toDF("doc_id", "text", "lang")
+    val histSets = Dedup.shingleSetsOf(hist)
+    val labels = Dedup.nearDupClusters(hist, 0.5)
+    val plain = Dedup.nearDupClustersIncremental(batch, histSets, labels, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cms = Dedup.shingleOrderCms(histSets)
+    val pref = Dedup.shinglePrefixesUnder(histSets, cms, 0.5)
+    val prebuilt = Dedup.nearDupClustersIncrementalPrebuilt(
+        batch, histSets, pref, cms, labels, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prebuilt === plain, s"prebuilt $prebuilt != plain $plain")
+    assert(plain.exists(_._1 == 11L), s"batch dup should be labeled: $plain")
+    graft.CacheRegistry.release()
+  }
 }
