@@ -607,11 +607,23 @@ object Bench {
     // burst the boundary sentinels missed — min-of-2 then publishes
     // whichever pass was LESS contaminated, not a clean number. One more
     // warm pass gives the min a burst-free sample to read through.
+    // Totals compare over the INTERSECTION of queries that succeeded in
+    // both passes (ADVICE r16): a query failing in exactly one pass would
+    // otherwise shift that pass's total and spuriously trigger the third
+    // pass with no load burst at all.
+    val (warm1Tot, warm2Tot) = {
+      val m2 = warm2.toMap
+      val shared = warm1.collect {
+        case (k, v1) if v1 >= 0 && m2.getOrElse(k, -1.0) >= 0 => (v1, m2(k))
+      }
+      (shared.map(_._1).sum, shared.map(_._2).sum)
+    }
     val warm3 : Option[(Seq[(String, Double)], List[String], Boolean)] =
-      if (!warmTotalsDisagree(total(warm1), total(warm2))) None
+      if (!warmTotalsDisagree(warm1Tot, warm2Tot)) None
       else {
         System.err.println(f"[bench] warm totals disagree >${WarmDisagreePct * 100}%.0f%% " +
-          f"(${total(warm1)}%.1fs vs ${total(warm2)}%.1fs) — taking a third warm pass")
+          f"($warm1Tot%.1fs vs $warm2Tot%.1fs, shared-success queries only) " +
+          "— taking a third warm pass")
         val r = warmPass("warm3")
         snapJvm("after_warm3")
         Some(r)

@@ -58,7 +58,14 @@ object Relational {
     val q = ((m - r) / lit(1000000L)).cast("long")
     val (sq, sr) = (sum(q), sum(r))
     val rq = pmod(sr, lit(1000000L))
-    (sq + (sr - rq) / lit(1000000L)).cast("double") +
+    // (sr - rq) is an exact multiple of 1e6 but can approach 9.2e18, far
+    // past double's 2^53 exact range — the carry MUST be integral division
+    // (`div`, LONG in LONG out), not Column./ (double division, which
+    // rounds once ΣR > 2^53 while the DuckDB mirror's `//` stays exact and
+    // the two engines land on adjacent doubles — ADVICE r16). After this
+    // the whole integer part is ONE long addition + ONE int64→double cast,
+    // bit-identical in both engines even when the cast itself rounds.
+    (sq + call_function("div", sr - rq, lit(1000000L))).cast("double") +
       rq.cast("double") / lit(1e6)
   }
 

@@ -37,12 +37,12 @@ object FrameSketchLake {
 
   private def build(spark: SparkSession, sfDir: String, name: String)
       (make: DataFrame => DataFrame): String =
-    cache.getOrElseUpdate(s"$name#$sfDir", {
+    ArtifactMemo.getOrBuild(cache, s"$name#$sfDir") {
       val d = dir(sfDir, name)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       make(docs).write.mode("overwrite").parquet(d)
       d
-    })
+    }
 
   /** Full-corpus per-frame sketch table `(doc_id, frame_no, ahash, dhash,
     * lang)` — the ingest stream's accumulated sink shape. */

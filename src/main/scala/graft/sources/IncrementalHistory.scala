@@ -44,12 +44,12 @@ object IncrementalHistory {
 
   private def build(spark: SparkSession, sfDir: String, name: String)
       (make: DataFrame => DataFrame): String =
-    cache.getOrElseUpdate(s"$name#$sfDir", {
+    ArtifactMemo.getOrBuild(cache, s"$name#$sfDir") {
       val dir = artifactDir(sfDir, name)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       make(historyDocs(docs)).write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
 
   /** History content-hash table — the side output [[graft.operators.Dedup
     * .exact]] maintains; the anti-join / bloom-probe target. */

@@ -50,19 +50,20 @@ object VerifiedPairs {
       tag(minJaccard)).toAbsolutePath.toString
 
   /** The pair table for `sfDir`'s documents at `minJaccard` — built once
-    * per (corpus, threshold) and read as parquet thereafter. The build
-    * releases nothing itself: its persisted shingle subtree stays
-    * registry-tracked and dies at the caller's family boundary, same as
-    * every other in-family fill. */
+    * per (corpus, threshold) and read as parquet thereafter (at-most-once
+    * per JVM via [[ArtifactMemo]]; in-JVM staleness assumption documented
+    * there). The build releases nothing itself: its persisted shingle
+    * subtree stays registry-tracked and dies at the caller's family
+    * boundary, same as every other in-family fill. */
   def forSfDir(spark: SparkSession, sfDir: String,
       minJaccard: Double): DataFrame = {
-    val dir = cache.getOrElseUpdate(s"${tag(minJaccard)}#$sfDir", {
+    val dir = ArtifactMemo.getOrBuild(cache, s"${tag(minJaccard)}#$sfDir") {
       val d = artifactDir(sfDir, minJaccard)
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       graft.operators.Dedup.ngramJaccardPairs(docs, minJaccard)
         .write.mode("overwrite").parquet(d)
       d
-    })
+    }
     spark.read.parquet(dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

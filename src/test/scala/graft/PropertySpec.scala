@@ -404,6 +404,23 @@ class PropertySpec extends SparkSpec {
     assert(gotMixed == 0.0, s"got $gotMixed")
   }
 
+  test("exactSum's ΣR carry is integral division, not double division") {
+    import spark.implicits._
+    // ADVICE r16: the carry (ΣR − ΣR%1e6)/1e6 must be IntegralDivide (LONG
+    // in, LONG out — exact at any magnitude, mirroring DuckDB's `//`), not
+    // Divide (double — rounds once ΣR > 2^53 ≈ 9e9 rows, and the engines
+    // then land on adjacent doubles). Unreachable with a test-sized frame,
+    // so pin the PLAN SHAPE: the aggregate expression tree must contain an
+    // IntegralDivide and the only Divide allowed is the final /1e6 on the
+    // sub-unit remainder (a double in [0,1) — always exact to reassemble).
+    val df = Seq((1L, 1.5)).toDF("id", "x")
+      .agg(graft.operators.Relational.exactSum(col("x")).as("s"))
+    val tree = df.queryExecution.analyzed.toString
+    assert(tree.contains("div"), s"carry must be integral division:\n$tree")
+    val got = df.head().getDouble(0)
+    assert(got == 1.5, s"got $got")
+  }
+
   test("auditExactSum: fires on near-overflow data, passes sane data, off by default") {
     import spark.implicits._
     val site = "audit-test"
