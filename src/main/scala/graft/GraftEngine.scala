@@ -309,6 +309,32 @@ final class GraftEngine(val spark: SparkSession,
     TextAnalysis.unigramLogprob(documents)
   def contaminationScan(documents: DataFrame): DataFrame =
     Dedup.benchmarkContamination(documents)
+  /** DECLARED FAILURE PATH for the 60-bit hash-key contract (verdict r16
+    * #6). Every hash-keyed family (shingle joins, span windows, bigram/token
+    * LM scores) stakes "hash classes == string classes" on h60 injectivity
+    * over the corpus' actual key sets — measured clean through sf30, with a
+    * documented birthday-bound cliff near ~10⁹ distinct keys. This is the
+    * behavior AT the cliff: run the audits, and on the first measured
+    * collision fail LOUDLY with the remediation (re-key the family on the
+    * `(h60, h60b)` 120-bit composite — [[functions.GraftFunctions.h60b]] is
+    * the second 60 bits of the SAME md5 digest, so the widening is one
+    * extra column from one extra digest read, and the DuckDB oracle mirrors
+    * it via `substr(md5(s), 16, 15)`), instead of silently merging two
+    * keys' counts. Run it wherever a hash-keyed operator meets a new corpus
+    * scale — the scale-gate twin of [[operators.Relational.auditExactSum]]. */
+  def auditHashKeys(documents: DataFrame): Unit = {
+    Dedup.spanHashAudit(documents).collect().foreach { r =>
+      GraftEngine.requireInjectiveCounts(s"span-window w=${r.getInt(0)}",
+        r.getLong(1), r.getLong(2))
+    }
+    val bg = TextAnalysis.bigramHashAudit(documents).head()
+    GraftEngine.requireInjectiveCounts("bigram",
+      bg.getAs[Long]("n_bigrams"), bg.getAs[Long]("n_bh"))
+    GraftEngine.requireInjectiveCounts("left-token",
+      bg.getAs[Long]("n_x"), bg.getAs[Long]("n_xh"))
+    GraftEngine.requireInjectiveCounts("token",
+      bg.getAs[Long]("n_tok"), bg.getAs[Long]("n_th"))
+  }
   def tokenizerMergeCandidates(documents: DataFrame, k: Int): DataFrame =
     TextAnalysis.bigramMerges(documents, k)
   /** Train `rounds` BPE merge rules over the corpus' word types.
@@ -440,6 +466,22 @@ final class GraftEngine(val spark: SparkSession,
 }
 
 object GraftEngine {
+  /** The collision branch of [[GraftEngine.auditHashKeys]], factored pure so
+    * the suite can exercise it directly (an md5-60-bit collision cannot be
+    * synthesized from test strings): `nKeys` distinct source keys hashing to
+    * `nHashes < nKeys` distinct h60 values means ≥ one collision — the
+    * declared behavior is a loud failure naming the family and the
+    * composite-key remedy, never a silent count merge. */
+  private[graft] def requireInjectiveCounts(family: String,
+      nKeys: Long, nHashes: Long): Unit =
+    require(nKeys == nHashes,
+      s"h60 collision measured in the $family key set: $nKeys distinct keys " +
+        s"→ $nHashes distinct hashes. Hash-keyed results would merge " +
+        "collided keys' counts; re-key this family on the (h60, h60b) " +
+        "120-bit composite (GraftFunctions.h60b — second 60 bits of the " +
+        "same md5; DuckDB mirror substr(md5(s), 16, 15)) before trusting " +
+        "results at this corpus scale")
+
   /** The [[GraftEngine.exportCorpus]] facade method's implementation, static
     * because it uses no engine state — layout builders
     * ([[graft.sources.ScrubbedLake]]) call it here without constructing a

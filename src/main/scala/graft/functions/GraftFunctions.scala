@@ -52,6 +52,8 @@ object GraftFunctions {
       "portable_h60", exprs => PortableHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "portable_h32", exprs => PortableHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "portable_h60b", exprs => PortableHash60B(exprs.head), "built-in")
   }
 
   // ---------------------------------------------------- portable hashing
@@ -67,6 +69,16 @@ object GraftFunctions {
 
   /** DuckDB SQL rendering of [[h60]] over SQL fragment `s`. */
   def h60Sql(s: String): String = s"(('0x' || substr(md5($s), 1, 15))::BIGINT)"
+
+  /** The SECOND 60-bit portable hash of the same digest (md5 hex chars
+    * 16..30) — pairs with [[h60]] into a 120-bit composite key, the
+    * audit-gated escape hatch for the hash-keyed families' injectivity
+    * contract (see [[graft.GraftEngine.auditHashKeys]]). */
+  def h60b(s: Column): Column =
+    ExpressionUtils.column(PortableHash60B(ExpressionUtils.expression(s)))
+
+  /** DuckDB SQL rendering of [[h60b]] over SQL fragment `s`. */
+  def h60bSql(s: String): String = s"(('0x' || substr(md5($s), 16, 15))::BIGINT)"
 
   /** 32-bit portable hash of a string column. */
   def h32(s: Column): Column =

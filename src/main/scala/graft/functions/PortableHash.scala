@@ -110,6 +110,22 @@ object PortableHash {
       (d(3) & 0xffL)
   }
 
+  /** The SECOND 60 bits of the same md5 digest — hex chars 16..30, i.e. the
+    * low nibble of byte 7 followed by bytes 8..14. The audit-gated escape
+    * hatch for the h60 injectivity contract (verdict r16 #6): `(h60, h60b)`
+    * is a 120-bit composite key from ONE digest (birthday bound ~2^60
+    * distinct keys — past any corpus), mirrored in DuckDB by
+    * `('0x' || substr(md5(s), 16, 15))::BIGINT` exactly as h60 mirrors
+    * chars 1..15. Non-negative by construction (60 bits). */
+  def h60b(bytes: Array[Byte]): Long = {
+    val m = md.get(); m.reset()
+    val d = m.digest(bytes)
+    ((d(7) & 0x0fL) << 56) |
+      ((d(8) & 0xffL) << 48) | ((d(9) & 0xffL) << 40) | ((d(10) & 0xffL) << 32) |
+      ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 16) | ((d(13) & 0xffL) << 8) |
+      (d(14) & 0xffL)
+  }
+
   /** Every frame's perceptual (aHash, dHash) pair in ONE pass — value-
     * identical to the compositional HOF form it replaces in
     * [[graft.multimodal.Multimodal.phashFrames]] (per cell:
@@ -267,6 +283,22 @@ case class PortableHash60(child: Expression) extends PortableHashExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.h60($c.getBytes())")
   override protected def withNewChildInternal(newChild: Expression): PortableHash60 =
+    copy(child = newChild)
+}
+
+/** `portable_h60b(STRING) -> BIGINT`: md5 hex chars 16..30 as a non-negative
+  * BIGINT — the second, independent 60-bit key of the SAME digest (see
+  * [[PortableHash.h60b]]): pairing it with [[PortableHash60]] widens any
+  * hash-keyed family to a 120-bit composite when an injectivity audit
+  * ([[graft.operators.Dedup.spanHashAudit]] / [[graft.operators.TextAnalysis
+  * .bigramHashAudit]]) ever measures a collision at customer scale. */
+case class PortableHash60B(child: Expression) extends PortableHashExpression {
+  override def prettyName: String = "portable_h60b"
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.h60b(v.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHash.h60b($c.getBytes())")
+  override protected def withNewChildInternal(newChild: Expression): PortableHash60B =
     copy(child = newChild)
 }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions.{h32, h60}
+import graft.functions.GraftFunctions.{h32, h60, h60b}
 
 /** The native digest-byte hash must be value-identical to the hex-string SQL
   * formulation the DuckDB oracles use (first-15-hex-chars == BE64 >>> 4). */
@@ -29,5 +29,51 @@ class PortableHashSpec extends SparkSpec {
       assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 60))
       assert(r.getLong(1) >= 0 && r.getLong(1) < (1L << 32))
     }
+  }
+
+  test("h60b matches md5 hex chars 16..30 — the composite-widening key") {
+    // verdict r16 #6: the escape hatch must be oracle-mirrorable via
+    // substr(md5(s), 16, 15), exactly as h60 mirrors chars 1..15
+    val rnd = new scala.util.Random(11)
+    val strs = Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString) ++
+      Seq("", "a", "héllo wörld 世界")
+    val df = strs.toDF("s").select(
+      col("s"),
+      h60b(col("s")).as("nb"),
+      conv(substring(md5(encode(col("s"), "UTF-8")), 16, 15), 16, 10)
+        .cast("long").as("xb"),
+      h60(col("s")).as("na"))
+    val bad = df.where(col("nb") =!= col("xb")).collect()
+    assert(bad.isEmpty, s"h60b mismatch on: ${bad.take(3).mkString(", ")}")
+    // independence sanity: the two halves of the digest are not the same key
+    val collide = df.where(col("nb") === col("na")).count()
+    assert(collide == 0, s"h60b == h60 on $collide strings")
+    df.select(col("nb")).collect().foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < (1L << 60))
+    }
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT portable_h60b('abc')").head().getLong(0) ==
+      strsToH60b("abc"))
+  }
+
+  private def strsToH60b(s: String): Long =
+    graft.functions.PortableHash.h60b(s.getBytes("UTF-8"))
+
+  test("hash-key contract failure path: collision fails loudly, clean passes") {
+    // an md5-60-bit collision cannot be synthesized from test strings, so
+    // exercise the factored collision branch directly with doctored counts
+    GraftEngine.requireInjectiveCounts("bigram", 5L, 5L) // clean: no throw
+    val e = intercept[IllegalArgumentException] {
+      GraftEngine.requireInjectiveCounts("bigram", 5L, 4L)
+    }
+    assert(e.getMessage.contains("h60 collision"), e.getMessage)
+    assert(e.getMessage.contains("h60b"), e.getMessage)
+    // and the real audit wiring passes end-to-end on a clean corpus
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "pack my box with five dozen liquor jugs", "en"))
+      .toDF("doc_id", "text", "lang")
+    new GraftEngine(spark).auditHashKeys(docs) // must not throw
   }
 }
