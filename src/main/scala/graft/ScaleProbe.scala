@@ -217,15 +217,35 @@ object ScaleProbe {
       // against near_dup_clusters is the O(batch) claim, measured
       "clust_art_build" -> (() => {
         val hist = docs.where(col("doc_id") % 10 =!= 9)
-        Dedup.shingleSetsOf(hist)
-          .write.mode("overwrite").parquet(s"$spanArtDir-clustsets")
+        val sets = Dedup.shingleSetsOf(hist)
+        sets.write.mode("overwrite").parquet(s"$spanArtDir-clustsets")
         Dedup.nearDupClusters(hist, 0.5)
           .write.mode("overwrite").parquet(s"$spanArtDir-clustlabel")
+        // the r17 prebuilt-arm refresh artifacts (order sketch + history
+        // prefix postings), built here so the _prebuilt probe below times
+        // ONLY the daily probe — mirroring IncrementalHistory's split
+        val cms = Dedup.shingleOrderCms(sets)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$spanArtDir-clustcms"), cms)
+        Dedup.shinglePrefixesUnder(sets, cms, 0.5)
+          .write.mode("overwrite").parquet(s"$spanArtDir-clustprefix")
       }),
       "near_dup_clusters_inc" -> (() => noop(Dedup.nearDupClustersIncremental(
         docs.where(col("doc_id") % 10 === 9),
         spark.read.parquet(s"$spanArtDir-clustsets"),
         spark.read.parquet(s"$spanArtDir-clustlabel"), 0.5))),
+      // the SERVING form (what SparkEntry ships since r17): same daily
+      // batch, history prefixes + order sketch read from the prebuilt
+      // artifacts — the inc-vs-prebuilt delta at each replication is the
+      // measured value of moving the prefix build to refresh time
+      "near_dup_clusters_inc_prebuilt" -> (() =>
+        noop(Dedup.nearDupClustersIncrementalPrebuilt(
+          docs.where(col("doc_id") % 10 === 9),
+          spark.read.parquet(s"$spanArtDir-clustsets"),
+          spark.read.parquet(s"$spanArtDir-clustprefix"),
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$spanArtDir-clustcms")),
+          spark.read.parquet(s"$spanArtDir-clustlabel"), 0.5))),
       // media dedup family: the sketch stage must scale ∝ corpus payload
       // bytes (one codegen pass per row, zero shuffle) and the share
       // rollup's OUTPUT stays O(docs) even though its banded candidate
