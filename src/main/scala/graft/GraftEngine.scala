@@ -295,7 +295,7 @@ final class GraftEngine(val spark: SparkSession,
   def nearDupClustersIncrementalPrebuilt(newDocs: DataFrame,
       historySets: DataFrame, historyPrefixes: DataFrame,
       historyCms: Array[Byte], historyLabels: DataFrame,
-      minJaccard: Double = 0.5): DataFrame =
+      minJaccard: Double = sources.IncrementalHistory.ShingleThreshold): DataFrame =
     Dedup.nearDupClustersIncrementalPrebuilt(newDocs, historySets,
       historyPrefixes, historyCms, historyLabels, minJaccard)
   def splitLeaks(documents: DataFrame, minJaccard: Double = 0.5): DataFrame =

@@ -225,8 +225,16 @@ object ScaleProbe {
         // prefix postings), built here so the _prebuilt probe below times
         // ONLY the daily probe — mirroring IncrementalHistory's split
         val cms = Dedup.shingleOrderCms(sets)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$spanArtDir-clustcms"), cms)
+        // tmp + ATOMIC_MOVE, mirroring IncrementalHistory.shingleCms: a torn
+        // cms would make the probe prefix the batch under a DIFFERENT order
+        // than the stored history prefixes — prefix-filter soundness breaks
+        // silently (dropped pairs), it does not error (ADVICE r17)
+        val cmsPath = java.nio.file.Paths.get(s"$spanArtDir-clustcms")
+        val cmsTmp = cmsPath.resolveSibling(cmsPath.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(cmsTmp, cms)
+        java.nio.file.Files.move(cmsTmp, cmsPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Dedup.shinglePrefixesUnder(sets, cms, 0.5)
           .write.mode("overwrite").parquet(s"$spanArtDir-clustprefix")
       }),

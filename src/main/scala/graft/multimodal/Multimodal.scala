@@ -389,7 +389,7 @@ object Multimodal {
     * version, so re-deriving it was pure repeated work (verdict r13 #4:
     * the 0.74 → 1.12 s gate-scale trade this buys back while keeping the
     * sf10 candidate-work win). */
-  private def mergeDisjointClasses(a: DataFrame, b: DataFrame): DataFrame =
+  private[graft] def mergeDisjointClasses(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy(col("lang"), col("ahash"), col("dhash"))
       .agg(sum(col("n_docs")).as("n_docs"), min(col("solo_doc")).as("solo_doc"))
@@ -409,20 +409,31 @@ object Multimodal {
     * side is broadcast EXPLICITLY: a daily batch quotient is bounded by
     * ingest rate, not corpus size, so the broadcast is the scale-safe
     * choice even when AQE's threshold would not pick it. */
-  private def mergeDisjointClassesIncremental(batch: DataFrame,
+  private[graft] def mergeDisjointClassesIncremental(batch: DataFrame,
       hist: DataFrame): DataFrame = {
     val keyCols = Seq("lang", "ahash", "dhash")
-    val bKeys = broadcast(batch.select(keyCols.map(col): _*))
-    val untouched = hist.join(bKeys, keyCols, "left_anti")
+    // every key comparison is NULL-SAFE (<=>): the groupBy form treats NULL
+    // keys as equal, so the equi-join split must too, or a null-keyed class
+    // present on both sides would be emitted twice unmerged instead of
+    // summed — a silent parity break with [[mergeDisjointClasses]] (ADVICE
+    // r17). EqualNullSafe is still an equi-join key to Catalyst, so the
+    // explicit broadcasts below stay BroadcastHashJoins.
+    def keyEq(prefix: String) =
+      keyCols.map(k => col(k) <=> col(prefix + k)).reduce(_ && _)
+    val bKeys = broadcast(
+      batch.select(keyCols.map(k => col(k).as("b_" + k)): _*))
+    val untouched = hist.join(bKeys, keyEq("b_"), "left_anti")
     val touched = hist.join(
-      broadcast(batch.select(col("lang"), col("ahash"), col("dhash"),
+      broadcast(batch.select(col("lang").as("b_lang"),
+        col("ahash").as("b_ahash"), col("dhash").as("b_dhash"),
         col("n_docs").as("b_n_docs"), col("solo_doc").as("b_solo_doc"))),
-      keyCols)
+      keyEq("b_"))
       .select(col("lang"), col("ahash"), col("dhash"),
         (col("n_docs") + col("b_n_docs")).as("n_docs"),
         least(col("solo_doc"), col("b_solo_doc")).as("solo_doc"))
     val batchOnly = batch.join(
-      broadcast(touched.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      broadcast(touched.select(keyCols.map(k => col(k).as("t_" + k)): _*)),
+      keyEq("t_"), "left_anti")
     untouched.unionByName(touched).unionByName(batchOnly)
   }
 

@@ -756,8 +756,28 @@ object Dedup {
     * `(doc_id, lang, n, rk, s)`). The threshold is baked into the prefix
     * LENGTH, so an artifact built at τ serves probes at exactly τ. */
   def shinglePrefixesUnder(sets: DataFrame, cms: Array[Byte],
-      minJaccard: Double): DataFrame =
-    prefixPostings(sets, cms, minJaccard)
+      minJaccard: Double): DataFrame = {
+    // pin the build threshold INTO the artifact: prefix lengths bake τ in,
+    // so a probe at a different τ is silently unsound (missed duplicates,
+    // not an error). Column metadata survives the parquet round trip
+    // (Spark stores the Catalyst schema JSON in the footer), so
+    // [[jaccardPairsAcrossPrebuilt]] can require() equality without a scan
+    // (ADVICE r17).
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble(PrefixTauKey, minJaccard).build()
+    prefixPostings(sets, cms, minJaccard).withColumn("rk", col("rk").as("rk", m))
+  }
+
+  /** Schema-metadata key carrying the τ a prefix artifact was built at. */
+  private[graft] val PrefixTauKey = "graft.prefix.tau"
+
+  /** The τ baked into a prebuilt prefix table's schema metadata, if the
+    * artifact was written by [[shinglePrefixesUnder]] (pre-r18 artifacts
+    * lack it — those fall back to the caller's convention). */
+  private[graft] def prefixTauOf(prefB: DataFrame): Option[Double] =
+    prefB.schema.fields.find(_.name == "rk")
+      .filter(_.metadata.contains(PrefixTauKey))
+      .map(_.metadata.getDouble(PrefixTauKey))
 
   /** [[jaccardPairsAcross]] with the B side's prefix postings (and the order
     * sketch both sides must share) PREBUILT — the daily-ingest serving form
@@ -779,6 +799,14 @@ object Dedup {
   private[operators] def jaccardPairsAcrossPrebuilt(docsA: DataFrame,
       setsB: DataFrame, prefB: DataFrame, cms: Array[Byte],
       minJaccard: Double): DataFrame = {
+    // soundness precondition, ENFORCED when the artifact declares its τ
+    // (ADVICE r17): the stored prefix LENGTHS are ⌈(1−τ)·n⌉+1-shaped, so a
+    // probe at τ' < τ would silently MISS pairs (the filter drops
+    // candidates the shorter threshold still requires)
+    prefixTauOf(prefB).foreach(t => require(t == minJaccard,
+      s"prefix artifact built at τ=$t but probed at τ=$minJaccard — " +
+        "prefix lengths bake the threshold in; rebuild the artifact or " +
+        s"probe at τ=$t"))
     val cand = prefixPostings(docsA, cms, minJaccard).as("a")
       .join(prefB.as("b"),
         // the documented doc_id-disjointness precondition, ENFORCED (ADVICE

@@ -260,4 +260,34 @@ class PhashSpec extends SparkSpec {
     assert(share.values.exists(_._2 > 0), "some doc should have dup frames")
     graft.CacheRegistry.release()
   }
+
+  test("incremental quotient merge treats NULL keys like the groupBy form") {
+    // ADVICE r17: groupBy treats NULL lang as one group, but plain equi-joins
+    // never match NULLs — a null-keyed class present in both history and
+    // batch would be emitted TWICE (unmerged) by the join-split form,
+    // silently diverging from mergeDisjointClasses. The joins are null-safe
+    // (<=>) now; pin parity on a quotient fixture with a null key on both
+    // sides, plus a non-null touched key, an untouched history key and a
+    // batch-only key.
+    import spark.implicits._
+    val hist = Seq(
+      (Option.empty[String], 7L, 8L, 2L, 10L),  // null lang, also in batch
+      (Option("en"), 1L, 2L, 1L, 11L),          // touched
+      (Option("de"), 3L, 4L, 5L, 12L))          // untouched
+      .toDF("lang", "ahash", "dhash", "n_docs", "solo_doc")
+    val batch = Seq(
+      (Option.empty[String], 7L, 8L, 1L, 20L),
+      (Option("en"), 1L, 2L, 3L, 21L),
+      (Option("fr"), 9L, 9L, 1L, 22L))          // batch-only
+      .toDF("lang", "ahash", "dhash", "n_docs", "solo_doc")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inc = key(Multimodal.mergeDisjointClassesIncremental(batch, hist))
+    val full = key(Multimodal.mergeDisjointClasses(hist, batch))
+    assert(inc == full, s"join-split merge diverged from groupBy:\n$inc\nvs\n$full")
+    assert(inc.contains((None, 7L, 8L, 3L, 10L)),
+      s"null-keyed class must merge to n_docs=3: $inc")
+    assert(inc.size == 4, s"one row per class: $inc")
+  }
 }

@@ -415,8 +415,22 @@ class PropertySpec extends SparkSpec {
     // sub-unit remainder (a double in [0,1) — always exact to reassemble).
     val df = Seq((1L, 1.5)).toDF("id", "x")
       .agg(graft.operators.Relational.exactSum(col("x")).as("s"))
-    val tree = df.queryExecution.analyzed.toString
-    assert(tree.contains("div"), s"carry must be integral division:\n$tree")
+    // walk the analyzed expression trees for the actual node classes — a
+    // substring check would also pass via any alias containing "div"
+    // (ADVICE r17)
+    import org.apache.spark.sql.catalyst.expressions.{Divide, IntegralDivide}
+    val exprs = df.queryExecution.analyzed.expressions
+    val intDivs = exprs.flatMap(_.collect { case d: IntegralDivide => d })
+    assert(intDivs.nonEmpty,
+      s"carry must be an IntegralDivide node:\n${df.queryExecution.analyzed}")
+    // the only double Divides allowed are the exact ones: the per-row
+    // ⌊m/1e6⌋ recovery (an exact multiple of 1e6, ≤ 2^53) and the final
+    // sub-unit remainder /1e6 (a value in [0,1e6)) — both literal-1e6
+    // denominators. Any OTHER Divide would be a rounding carry.
+    val divs = exprs.flatMap(_.collect { case d: Divide => d })
+    val badDivs = divs.filterNot(_.right.toString.contains("1000000"))
+    assert(badDivs.isEmpty,
+      s"unexpected double Divide in exactSum tree: $badDivs")
     val got = df.head().getDouble(0)
     assert(got == 1.5, s"got $got")
   }

@@ -86,4 +86,38 @@ class DedupAcrossSpec extends graft.SparkSpec {
     assert(plain.exists(_._1 == 11L), s"batch dup should be labeled: $plain")
     graft.CacheRegistry.release()
   }
+
+  test("a prebuilt prefix artifact refuses a probe at a different τ") {
+    // ADVICE r17: the prefix lengths bake the build threshold in, so a
+    // mismatched probe is silently UNSOUND (missed duplicates), not an
+    // error. The artifact now carries its τ in schema metadata — which must
+    // survive the parquet round trip — and the probe require()s equality.
+    val hist = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq((11L, "alpha beta gamma delta epsilon zeta eta iota", "en"))
+      .toDF("doc_id", "text", "lang")
+    val histSets = Dedup.shingleSetsOf(hist)
+    val cms = Dedup.shingleOrderCms(histSets)
+    val dir = java.nio.file.Files.createTempDirectory("tau-pin").toString
+    Dedup.shinglePrefixesUnder(histSets, cms, 0.5)
+      .write.mode("overwrite").parquet(dir)
+    val pref = spark.read.parquet(dir)
+    assert(Dedup.prefixTauOf(pref) === Some(0.5),
+      "τ metadata must survive the parquet round trip")
+    val ex = intercept[IllegalArgumentException](
+      Dedup.jaccardPairsAcrossPrebuilt(
+        Dedup.shingledDocs(batch), histSets, pref, cms, 0.6))
+    assert(ex.getMessage.contains("0.5") && ex.getMessage.contains("0.6"),
+      s"mismatch message should name both thresholds: ${ex.getMessage}")
+    // the matched probe still runs (and the legacy no-metadata path stays
+    // permissive — pre-r18 artifacts fall back to the caller's convention)
+    Dedup.jaccardPairsAcrossPrebuilt(
+      Dedup.shingledDocs(batch), histSets, pref, cms, 0.5).collect()
+    val legacy = pref.withColumn("rk",
+      col("rk").as("rk", org.apache.spark.sql.types.Metadata.empty))
+    assert(Dedup.prefixTauOf(legacy).isEmpty)
+    Dedup.jaccardPairsAcrossPrebuilt(
+      Dedup.shingledDocs(batch), histSets, legacy, cms, 0.6).collect()
+    graft.CacheRegistry.release()
+  }
 }
