@@ -156,6 +156,27 @@ object Bench {
         ",\"starved\":" + l.starved + "}"
     }.mkString("{", ",", "}")
 
+  /** Flag verdict of the hash-key preflight (verdict r17 #3), factored pure
+    * so the suite can pin all four branches without a 10⁹-key corpus: an
+    * audit that measures a collision throws IllegalArgumentException
+    * ([[GraftEngine.requireInjectiveCounts]]) → `hash_audit_failed`; one
+    * that cannot run (missing table, torn lake) → `hash_audit_error`; a
+    * disabled audit → `hash_audit_skipped` (never silently clean); a clean
+    * audit → no flag. */
+  private[graft] def hashAuditFlags(audit: () => Unit,
+      enabled: Boolean): Seq[String] =
+    if (!enabled) Seq("hash_audit_skipped")
+    else
+      try { audit(); Nil }
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[bench] HASH AUDIT FAILED: ${e.getMessage}")
+          Seq("hash_audit_failed")
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] hash audit could not run: ${e.getMessage}")
+          Seq("hash_audit_error")
+      }
+
   /** JSON string escape (same contract as Verify's oracle dump): backslash,
     * quote, and all control chars — env-sourced values (sfDir, cpus) must
     * never be able to break the driver's parse target. */
@@ -430,6 +451,28 @@ object Bench {
       System.err.println(s"[bench] LAYOUT: ${layoutFlags.mkString(", ")} — " +
         "scan-task-starved tables; timings below measure the lake shape, " +
         "not the engine (see LayoutAudit advice)")
+
+    // ---- hash-key contract preflight (verdict r17 #3): the h60 injectivity
+    // audit [[GraftEngine.auditHashKeys]] guards a SCALE-dependent cliff
+    // (birthday bound near ~10⁹ distinct keys), so it runs where the scale
+    // is — every bench preamble, like the layout audit and like the
+    // reference's own load-time schema asserts (IVF.cpp:473-476):
+    // preconditions are checked every run, not on request. Outside all
+    // timing. A measured collision rides the record as `hash_audit_failed`
+    // (plus the loud re-key remediation on stderr); an audit that cannot
+    // run at all is `hash_audit_error`; SPARK_GRAFT_HASH_AUDIT=0 opts out
+    // as `hash_audit_skipped` — a skipped audit must not read as clean.
+    val hashAuditEnabled = sys.env.get("SPARK_GRAFT_HASH_AUDIT")
+      .forall(v => v == "1" || v.equalsIgnoreCase("true"))
+    val hashT0 = System.nanoTime()
+    val hashAuditFlagList = hashAuditFlags(
+      () => new GraftEngine(spark).auditHashKeys(
+        spark.read.parquet(s"$benchDir/documents.parquet")),
+      hashAuditEnabled)
+    if (hashAuditEnabled && hashAuditFlagList.isEmpty)
+      System.err.println(f"[bench] hash audit: clean in " +
+        f"${(System.nanoTime() - hashT0) / 1e9}%.1f s (h60 injective over " +
+        "the lake's span-window, bigram and token key sets)")
 
     // offline index builds — not part of query timing (reference times search
     // only; index load/build is IVFIndex::from_pretrained, outside the timer)
@@ -709,6 +752,7 @@ object Bench {
     val flags =
       onlySubset.map(s => s"subset:${s.size}_of_${SparkEntry.queries.size}").toList ++
       layoutFlags.toList ++
+      hashAuditFlagList.toList ++
       (if (loadSuspect(coldWorst)) List("cold_load") else Nil) ++
       (if (warm1Sus) List("warm1_load") else Nil) ++
       (if (warm2Sus) List("warm2_load") else Nil) ++

@@ -149,6 +149,29 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(partial.contains("\"n_queries\":18"))
   }
 
+  test("hash-audit preflight flags all four verdicts (verdict r17 #3)") {
+    // clean audit → no flag (absence IS the clean result)
+    assert(Bench.hashAuditFlags(() => (), enabled = true) === Nil)
+    // a measured h60 collision (requireInjectiveCounts' declared failure
+    // path throws IllegalArgumentException) → hash_audit_failed rides the
+    // record instead of the run dying or the collision passing silently
+    assert(Bench.hashAuditFlags(
+      () => GraftEngine.requireInjectiveCounts("test-family", 10L, 9L),
+      enabled = true) === Seq("hash_audit_failed"))
+    // an audit that cannot run at all (torn lake, missing table) is its own
+    // verdict — distinguishable from a measured collision
+    assert(Bench.hashAuditFlags(
+      () => throw new RuntimeException("no such table"),
+      enabled = true) === Seq("hash_audit_error"))
+    // an opted-out audit must not masquerade as clean
+    assert(Bench.hashAuditFlags(() => (), enabled = false)
+      === Seq("hash_audit_skipped"))
+    // and the flags render through the summary contract like any other
+    val line = Bench.summaryLine(1.0, 2.0, 1, Nil, "sf", "4.1.2", "32", 0L,
+      flags = Seq("hash_audit_failed"))
+    assert(line.contains("\"flags\":[\"hash_audit_failed\"]"))
+  }
+
   test("env-sourced values cannot break the parse target (cpus=*, odd paths)") {
     val wild = Bench.summaryLine(1.0, 2.0, 1, Nil,
       sfDir = "/tmp/we\"ird\\dir", sparkVersion = "4.1.2", cpus = "*",
