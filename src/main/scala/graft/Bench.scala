@@ -131,6 +131,17 @@ object Bench {
           .option("checkpointLocation", s"$root/frame-ck")
           .format("parquet").option("path", s"$root/frame-out").start()
       },
+      // the clustering family's ingest half (verdict r17 #5): with this,
+      // every r15+ incremental modality whose probe the batch suite times
+      // has its INGEST half on a driver-keyed rows/s series too — LSH bands
+      // (band_assign), media sketches (frame_sketch), shingle sets (here)
+      measure("shingle_set_stream",
+          "doc_id LONG, text STRING, lang STRING", docSrc) { src =>
+        graft.streaming.EventStreams.shingleSetStream(src).writeStream
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$root/shset-ck")
+          .format("parquet").option("path", s"$root/shset-out").start()
+      },
       measure("serve_ann_stream",
           "query_id LONG, embedding ARRAY<FLOAT>", qSrc) { src =>
         graft.streaming.EventStreams.serveAnnStream(
@@ -528,6 +539,12 @@ object Bench {
       prewarm("phash-lake") { // full-corpus frame sketches + class quotient:
         // ingest-sink + compaction-view artifacts (FrameSketchLake scaladoc)
         graft.sources.FrameSketchLake.classes(spark, benchDir)
+        graft.CacheRegistry.release()
+      }
+    if (subsetNeeds("span-lake"))
+      prewarm("span-lake") { // full-corpus span-window set + dup-hash view:
+        // ingest-sink + compaction-view artifacts (SpanWindowLake scaladoc)
+        graft.sources.SpanWindowLake.dupHashes(spark, benchDir)
         graft.CacheRegistry.release()
       }
     if (subsetNeeds("inc-history"))

@@ -670,7 +670,39 @@ object Multimodal {
   def frameDupShareIncremental(newDocs: DataFrame, historySketches: DataFrame,
       maxHamming: Int = 3, stride: Int = PhashStride,
       cells: Int = PhashCells,
-      disjointHistoryClasses: Option[DataFrame] = None): DataFrame = {
+      disjointHistoryClasses: Option[DataFrame] = None): DataFrame =
+    frameDupShareIncImpl(newDocs, historySketches, maxHamming, stride, cells,
+      (newSk, probeClasses) => disjointHistoryClasses match {
+        case Some(hc) => mergeDisjointClassesIncremental(probeClasses, hc)
+        case None => sketchClasses(newSk.unionByName(historySketches
+          .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
+            col("lang"))))
+      })
+
+  /** [[frameDupShareIncremental]] with the merged corpus quotient PREBUILT
+    * (verdict r17 #1 — the serving form, the r17 `shinglePrefixes` move
+    * applied to the media family): the quotient refresh is declared
+    * refresh-time work ([[graft.sources.IncrementalHistory.phashClasses]] —
+    * a compaction view, not per-row state), and the flip-aware disjoint
+    * merge IS that refresh step, O(batch) on top of the stored history
+    * quotient. This form reads the POST-INGEST quotient artifact
+    * ([[graft.sources.IncrementalHistory.phashClassesMerged]]) instead of
+    * re-running the merge inside every probe of every pass — at sf10 the
+    * per-pass merge + quotient cache fill was ~1.8 s of the committed
+    * 8.11 s row (AbFrameDupInc). The batch still sketches itself (the
+    * O(batch) probe contract). Output ≡ [[frameDupShareIncremental]] ≡
+    * full recompute restricted to batch docs (PhashSpec pins the chain);
+    * `historySketches` feeds only the debug disjointness assertion. */
+  def frameDupShareIncrementalPrebuilt(newDocs: DataFrame,
+      historySketches: DataFrame, mergedClasses: DataFrame,
+      maxHamming: Int = 3, stride: Int = PhashStride,
+      cells: Int = PhashCells): DataFrame =
+    frameDupShareIncImpl(newDocs, historySketches, maxHamming, stride, cells,
+      (_, _) => mergedClasses)
+
+  private def frameDupShareIncImpl(newDocs: DataFrame,
+      historySketches: DataFrame, maxHamming: Int, stride: Int, cells: Int,
+      corpusClassesOf: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     require(maxHamming < PhashBands,
       s"banding is only exact for maxHamming < $PhashBands")
     // persist the batch sketches: they feed the class quotient AND the rollup
@@ -697,12 +729,8 @@ object Multimodal {
     // persisted: three consumers (the probeN multiplicity lookup and the two
     // banded arms) would otherwise re-derive the merge — the old groupBy
     // form hid that behind exchange reuse, the join form must not rely on it
-    val corpusClasses = graft.CacheRegistry.persist(disjointHistoryClasses match {
-      case Some(hc) => mergeDisjointClassesIncremental(probeClasses, hc)
-      case None => sketchClasses(newSk.unionByName(historySketches
-        .select(col("doc_id"), col("frame_no"), col("ahash"), col("dhash"),
-          col("lang"))))
-    })
+    val corpusClasses = graft.CacheRegistry.persist(
+      corpusClassesOf(newSk, probeClasses))
     shareFromVerdicts(newSk,
       classVerdicts(probeClasses, corpusClasses, maxHamming, cells))
   }

@@ -57,4 +57,47 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rows(artCls) == directCls, "class quotient diverged")
     graft.CacheRegistry.release()
   }
+
+  test("SpanWindowLake artifacts == direct window set/dup view; rebuilds after delete") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val directWin = rows(graft.operators.Dedup.spanWindowSet(docs))
+    graft.CacheRegistry.release()
+    graft.sources.SpanWindowLake.reset()
+    val artWin = rows(graft.sources.SpanWindowLake.windows(spark, sf0001))
+    assert(artWin == directWin,
+      s"window artifact diverged: ${artWin.size} vs ${directWin.size}")
+    // the dup view must be the ≥2-distinct-docs rollup OF the window artifact
+    val directDup = rows(graft.sources.SpanWindowLake.windows(spark, sf0001)
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("wh")))
+    assert(rows(graft.sources.SpanWindowLake.dupHashes(spark, sf0001)) == directDup,
+      "dup-hash view diverged")
+    graft.CacheRegistry.release()
+    // delete + reset: next read must rebuild from source
+    val dir = new java.io.File("target/span-lake")
+    if (dir.exists()) rm(dir)
+    graft.sources.SpanWindowLake.reset()
+    val rebuilt = rows(graft.sources.SpanWindowLake.windows(spark, sf0001))
+    graft.CacheRegistry.release()
+    assert(rebuilt == directWin, "rebuild after delete diverged")
+  }
+
+  test("phashClassesMerged artifact == full-corpus quotient (history ∪ batch)") {
+    // the post-ingest quotient the r18 serving form reads: the flip merge
+    // of the batch quotient into the history quotient must equal the plain
+    // groupBy quotient over ALL docs — the strongest statement of the
+    // disjoint-merge contract, through the real artifact path
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val want = rows(graft.multimodal.Multimodal.sketchClasses(
+      graft.multimodal.Multimodal.phashFrames(docs, carry = Seq("lang"))))
+    graft.CacheRegistry.release()
+    val got = rows(graft.sources.IncrementalHistory
+      .phashClassesMerged(spark, sf0001))
+    graft.CacheRegistry.release()
+    assert(got == want,
+      s"merged quotient diverged from full-corpus quotient: " +
+        s"${got.size} vs ${want.size} classes")
+    assert(got.nonEmpty)
+  }
 }

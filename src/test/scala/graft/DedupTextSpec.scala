@@ -304,6 +304,39 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("scrubDupSpansPrebuilt == scrubDupSpans on every output path") {
+    import spark.implicits._
+    // the serving form (verdict r17 #2) discovers duplication from the
+    // span-lake artifacts instead of re-tokenizing the corpus; its output
+    // must be row-identical across all the paths the plain form has:
+    // rewritten carriers, clean pass-throughs, sub-window shorties, a
+    // fully-covered doc, and in-doc-only repeats (NOT duplicated)
+    val bp = "H1 H2 H3 H4"
+    val docs = Seq(
+      (1L, s"$bp a1 a2 a3"),       // carrier, boilerplate head
+      (2L, s"b0 $bp b1"),          // carrier, boilerplate mid
+      (3L, "c1 c2 c3 c4 c5"),      // clean
+      (4L, "s1 s2"),               // < window tokens
+      (5L, "x1 x2 x3 x4"),         // exact dup pair with 6 → fully covered
+      (6L, "x1 x2 x3 x4"),
+      (7L, "k k k k k k k k")      // in-doc repeats only → untouched
+    ).toDF("doc_id", "text")
+    val w = 4
+    val spanSet = Dedup.spanWindowSet(docs, w)
+    val dupH = spanSet.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("wh"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    val want = key(Dedup.scrubDupSpans(docs, w))
+    graft.CacheRegistry.release()
+    val got = key(Dedup.scrubDupSpansPrebuilt(docs, spanSet, dupH, w))
+    graft.CacheRegistry.release()
+    assert(got == want, s"prebuilt diverged:\n$got\nvs\n$want")
+    assert(got.exists(_._3 > 0) && got.exists(_._3 == 0),
+      "fixture must exercise both the rewrite and pass-through paths")
+  }
+
   test("scrubDupSpans: a fully-covered doc scrubs to the empty string") {
     import spark.implicits._
     val t = "x1 x2 x3 x4"

@@ -220,6 +220,17 @@ class PhashSpec extends SparkSpec {
     graft.CacheRegistry.release()
     assert(gotPre == want,
       s"precomputed-quotient path diverged: ${gotPre.size} vs ${want.size} docs")
+    // the r18 SERVING form: the merged quotient itself is the prebuilt
+    // post-ingest artifact (flip merge at refresh time) — must stay
+    // result-identical to the derive-per-query forms and the full recompute
+    val mergedArt = Multimodal.mergeDisjointClassesIncremental(
+      Multimodal.sketchClasses(Multimodal.phashFrames(batch, carry = Seq("lang"))),
+      histClasses)
+    val gotMerged = key(Multimodal.frameDupShareIncrementalPrebuilt(
+      batch, histSketches, mergedArt))
+    graft.CacheRegistry.release()
+    assert(gotMerged == want,
+      s"prebuilt merged-quotient path diverged: ${gotMerged.size} vs ${want.size} docs")
     // edges: empty batch -> no rows; empty history -> batch-only signal
     assert(Multimodal.frameDupShareIncremental(batch.limit(0), histSketches)
       .count() == 0, "an empty ingest batch must produce no signal rows")
