@@ -41,6 +41,32 @@ object ScaleProbe {
     f"l$i%03d" -> (own ++ shared)
   }
 
+  /** Per-copy dimension-PERMUTED replication of an embeddings table:
+    * norm-preserving and within-copy geometry-identical (a permutation is a
+    * rotation), cross-copy cosines decorrelated — the scaled table behaves
+    * like K independent shards of "more data", NOT K exact duplicates (see
+    * the vector-probe note in [[main]]). The shift step is odd and coprime
+    * to dim so no copy ever gets the identity permutation. */
+  private def replicateEmb(embBase: DataFrame, replication: Int): DataFrame = {
+    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
+    val vecShift = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+    val shiftStep = (3 until dim).find(s => s % 2 == 1 && gcd(s, dim) == 1)
+      .getOrElse(1)
+    require(replication <= dim,
+      s"replication $replication exceeds dim $dim: some copies would repeat a shift")
+    (0 until replication).map { i =>
+      if (i == 0) embBase
+      else {
+        val perm = array((0 until dim).map(j =>
+          element_at(col("embedding"), ((j + shiftStep * i) % dim) + 1)): _*)
+        embBase
+          .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
+          .withColumn("embedding", perm)
+      }
+    }.reduce(_ unionByName _)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val replication = args.lift(1).map(_.toInt).getOrElse(10)
@@ -298,29 +324,15 @@ object ScaleProbe {
       "ann_ivf_probe", "contrast_near_dup_fixed_block", "ivf_build_wide", "near_dup_ivf")
     var nVecs = 0L
     val vectorProbes: Seq[(String, () => Unit)] = if (!wants(vectorNames: _*)) Seq.empty else {
-    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val dim = embBase.select(size(col("embedding"))).head().getInt(0)
-    val vecShift = embBase.agg(max(col("vec_id"))).head().getLong(0) + 1L
-    // shift STEP must be coprime to dim: with the old fixed step 7, any copy
-    // i with 7i ≡ 0 (mod dim) — e.g. dim=70, i=10 — would get the identity
-    // permutation and be an EXACT duplicate of the base under new ids,
-    // exactly the adversarial K-dup mass this construction exists to avoid.
-    // A coprime step s makes s·i ≡ 0 (mod dim) impossible for 0<i<dim, which
-    // the require guards (dim is read from data, not assumed).
-    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
-    val shiftStep = (3 until dim).find(s => s % 2 == 1 && gcd(s, dim) == 1).getOrElse(1)
-    require(replication <= dim,
-      s"replication $replication exceeds dim $dim: some copies would repeat a shift")
-    val emb = (0 until replication).map { i =>
-      if (i == 0) embBase
-      else {
-        val perm = array((0 until dim).map(j =>
-          element_at(col("embedding"), ((j + shiftStep * i) % dim) + 1)): _*)
-        embBase
-          .withColumn("vec_id", col("vec_id") + lit(i * vecShift))
-          .withColumn("embedding", perm)
-      }
-    }.reduce(_ unionByName _)
+    // shift STEP inside replicateEmb must be coprime to dim: with the old
+    // fixed step 7, any copy i with 7i ≡ 0 (mod dim) — e.g. dim=70, i=10 —
+    // would get the identity permutation and be an EXACT duplicate of the
+    // base under new ids, exactly the adversarial K-dup mass this
+    // construction exists to avoid. A coprime step s makes s·i ≡ 0 (mod
+    // dim) impossible for 0<i<dim, which replicateEmb's require guards
+    // (dim is read from data, not assumed).
+    val emb = replicateEmb(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), replication)
       .repartition(cpus.toInt)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nVecs = emb.count()
@@ -348,6 +360,115 @@ object ScaleProbe {
       }),
       "near_dup_ivf" -> (() =>
         noop(Dedup.embeddingNearDupPairsBy(ivfWide.vectors, "cluster", 0.95))))
+    }
+
+    // ---- composed daily-ingest cycle (verdict r17 #6): IncrementalDrillSpec
+    // proves the 4-day composed cycle CORRECT at test scale (six modalities,
+    // rotation + compaction under a concurrent reader); this pair gives the
+    // composed day a GROWTH measurement — the per-family incremental probes
+    // above each have one, but nothing timed one WHOLE day. Split the
+    // production way (the span_art_build / dup_span_share_inc pattern):
+    //   drill_art_build — the once-per-bootstrap history artifacts of all
+    //     six modalities (hash set, band table, span-window set, frame
+    //     sketches + class quotient, shingle sets + labels + order sketch +
+    //     prefix postings, the IVF index over permutation-replicated
+    //     embeddings) plus the batch embedding slice, landed under the
+    //     (sfDir, replication)-keyed dir like the other probe artifacts;
+    //   drill_day — everything ONE ingest day pays: the six incremental
+    //     probes over the batch, the batch-side artifact writes (run-local
+    //     output dirs — history stays immutable, so the probe re-runs
+    //     cleanly), the label rewrite, the merge-only IVF maintain and one
+    //     serving search through the version pointer.
+    // Run at x1 and x10 and the drill_day ratio IS the daily-cycle growth
+    // law. Caveat (same as near_dup_ivf/ivf_build_wide): maintain appends a
+    // segment into the index dir, so re-running drill_day without
+    // co-selecting drill_art_build double-ingests the batch — the keyed
+    // artifact contract makes that the caller's responsibility.
+    val drillNames = Seq("drill_art_build", "drill_day")
+    val drillProbes: Seq[(String, () => Unit)] =
+      if (!wants(drillNames: _*)) Seq.empty else {
+      val dRoot = s"$spanArtDir-drill"
+      val dOut = s"$dRoot-out"
+      val hist = docs.where(col("doc_id") % 10 =!= 9)
+      val batch = docs.where(col("doc_id") % 10 === 9)
+      import graft.multimodal.Multimodal
+      Seq(
+        "drill_art_build" -> (() => {
+          Dedup.exact(hist).select(col("text_md5"))
+            .write.mode("overwrite").parquet(s"$dRoot/hash")
+          Dedup.lshBuckets(hist).write.mode("overwrite").parquet(s"$dRoot/bands")
+          Dedup.spanWindowSet(hist).write.mode("overwrite").parquet(s"$dRoot/spanwin")
+          Multimodal.phashFrames(hist, carry = Seq("lang"))
+            .write.mode("overwrite").parquet(s"$dRoot/sketch")
+          Multimodal.sketchClasses(spark.read.parquet(s"$dRoot/sketch"))
+            .write.mode("overwrite").parquet(s"$dRoot/classes")
+          CacheRegistry.release()
+          Dedup.shingleSetsOf(hist).write.mode("overwrite").parquet(s"$dRoot/sets")
+          Dedup.nearDupClusters(hist, 0.5)
+            .write.mode("overwrite").parquet(s"$dRoot/labels")
+          CacheRegistry.release()
+          val cms = Dedup.shingleOrderCms(spark.read.parquet(s"$dRoot/sets"))
+          val cmsPath = java.nio.file.Paths.get(s"$dRoot/cms.bin")
+          val cmsTmp = cmsPath.resolveSibling("cms.bin.tmp")
+          java.nio.file.Files.write(cmsTmp, cms)
+          java.nio.file.Files.move(cmsTmp, cmsPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Dedup.shinglePrefixesUnder(
+              spark.read.parquet(s"$dRoot/sets"), cms, 0.5)
+            .write.mode("overwrite").parquet(s"$dRoot/prefixes")
+          CacheRegistry.release()
+          val embK = replicateEmb(
+            spark.read.parquet(s"$sfDir/embeddings.parquet"), replication)
+          embK.where(col("vec_id") % 10 === 9)
+            .write.mode("overwrite").parquet(s"$dRoot/embbatch")
+          IvfIndex.publishLatest(spark, s"$dRoot/ivf-root",
+            IvfIndex.build(spark, embK.where(col("vec_id") % 10 =!= 9),
+              s"$dRoot/ivf-root/v1", 16).indexDir)
+        }),
+        "drill_day" -> (() => {
+          // six probes, caches released between them — each pays its own
+          // fills, the conservative polarity for a growth claim
+          noop(Dedup.incrementalExact(batch,
+            spark.read.parquet(s"$dRoot/hash")))
+          CacheRegistry.release()
+          noop(Dedup.lshCandidatePairsIncremental(batch,
+            spark.read.parquet(s"$dRoot/bands")))
+          CacheRegistry.release()
+          noop(Dedup.dupSpanShareIncremental(batch,
+            spark.read.parquet(s"$dRoot/spanwin")))
+          CacheRegistry.release()
+          noop(Multimodal.frameDupShareIncremental(batch,
+            spark.read.parquet(s"$dRoot/sketch"),
+            disjointHistoryClasses =
+              Some(spark.read.parquet(s"$dRoot/classes"))))
+          CacheRegistry.release()
+          // the label REWRITE artifact is the clustering day's real output
+          Dedup.nearDupClustersIncrementalPrebuilt(batch,
+              spark.read.parquet(s"$dRoot/sets"),
+              spark.read.parquet(s"$dRoot/prefixes"),
+              java.nio.file.Files.readAllBytes(
+                java.nio.file.Paths.get(s"$dRoot/cms.bin")),
+              spark.read.parquet(s"$dRoot/labels"), 0.5)
+            .write.mode("overwrite").parquet(s"$dOut/labels")
+          CacheRegistry.release()
+          // batch-side artifact appends (run-local dirs: history immutable)
+          Dedup.exact(batch).select(col("text_md5"))
+            .write.mode("overwrite").parquet(s"$dOut/hash")
+          Dedup.lshBuckets(batch).write.mode("overwrite").parquet(s"$dOut/bands")
+          Dedup.spanWindowSet(batch).write.mode("overwrite").parquet(s"$dOut/spanwin")
+          Multimodal.phashFrames(batch, carry = Seq("lang"))
+            .write.mode("overwrite").parquet(s"$dOut/sketch")
+          Dedup.shingleSetsOf(batch).write.mode("overwrite").parquet(s"$dOut/sets")
+          CacheRegistry.release()
+          // merge-only IVF maintain + one serving search through the pointer
+          val serving = IvfIndex.loadLatest(spark, s"$dRoot/ivf-root")
+          val segment = spark.read.parquet(s"$dRoot/embbatch")
+          val (next, rebuilt) = serving.maintain(segment, maxLoadFactor = 1e9)
+          require(!rebuilt, "drill day is the merge-only arm")
+          noop(next.search(
+            KnnExact.queryVector(segment, 9L), 10, nProbe = 4))
+        }))
     }
 
     // ---- salted-join closed loop, measured (r10 verdict #5): a replicated
@@ -502,7 +623,7 @@ object ScaleProbe {
         (() => noop(SparkEntry.queries(q)(spark, relDir))) }
 
     var errors = List.empty[String]
-    val timings = (probes ++ vectorProbes ++ skewProbes ++ relationalProbes)
+    val timings = (probes ++ vectorProbes ++ drillProbes ++ skewProbes ++ relationalProbes)
       .filter { case (name, _) => probeFilter.forall(_.contains(name)) }
       .map { case (name, run) =>
       val t0 = System.nanoTime()
