@@ -337,7 +337,14 @@ object SparkEntry {
       Dedup.minhashEstPairs(tbl(s, d, "documents"))
         .orderBy(col("doc_a"), col("doc_b"))),
     "dup_span_share"         -> ((s, d) =>
-      Dedup.dupSpanShare(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // serving form (r18): discovery from the span-lake artifacts like
+      // scrub_dup_spans; only affected docs re-derive positional hashes,
+      // everyone else's denominator is closed-form. Row-identical to
+      // Dedup.dupSpanShare (DedupTextSpec); oracle replays from source
+      Dedup.dupSpanSharePrebuilt(tbl(s, d, "documents"),
+        graft.sources.SpanWindowLake.windows(s, d),
+        graft.sources.SpanWindowLake.dupHashes(s, d))
+        .orderBy(col("doc_id"))),
     "dup_span_share_inc"     -> ((s, d) => {
       // daily-ingest span signal: same 4/5 history / 1/5 batch split as the
       // other incremental rows; the batch tokenizes only itself and probes
@@ -796,7 +803,7 @@ object SparkEntry {
       "phash-lake"      -> Set("phash_docs", "near_dup_frames"),
       // full-corpus span-window set + duplicated-hash view (r18): the span
       // ingest sink shape and its per-version compaction view
-      "span-lake"       -> Set("scrub_dup_spans"))
+      "span-lake"       -> Set("scrub_dup_spans", "dup_span_share"))
   }
 
   /** Harness run order: deterministic, with family members adjacent (each

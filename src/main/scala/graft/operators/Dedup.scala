@@ -158,6 +158,42 @@ object Dedup {
           .as("dup_share"))
   }
 
+  /** [[dupSpanShare]] over PREBUILT span artifacts — the serving form (r18,
+    * completing the span family's [[graft.sources.SpanWindowLake]] move):
+    * duplication discovery is one artifact semi-join, and only AFFECTED
+    * docs (8.3% at sf10) re-derive positional hashes for the numerator;
+    * every other winnable doc's denominator is closed-form —
+    * `n_windows = n_tokens − window + 1` — from a single counting tokenize,
+    * with `n_dup_windows = 0` by the definition of unaffected. Output is
+    * row-identical to [[dupSpanShare]] (DedupTextSpec pins all paths; the
+    * sub-window coverage contract is preserved by the `n_windows ≥ 1`
+    * guard). */
+  def dupSpanSharePrebuilt(documents: DataFrame, spanSet: DataFrame,
+      dupHashes: DataFrame, window: Int = SpanWindow): DataFrame = {
+    require(window >= 2, s"window must be >= 2 tokens: $window")
+    val aff = spanSet.join(dupHashes, Seq("wh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val winsAff = documents_toks(
+        documents.join(aff, Seq("doc_id"), "left_semi"), window)
+      .select(col("doc_id"), explode(spanWindowHashes(col("w"), window)).as("wh"))
+    // dupHashes is distinct by construction, so the left join never fans out
+    val affRows = winsAff
+      .join(dupHashes.withColumn("dup", lit(1)), Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows"))
+    val unaffected = documents.join(aff, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        (size(tokens(col("text"))) - lit(window - 1)).cast("long").as("n_windows"))
+      .where(col("n_windows") >= 1) // < window tokens ⇒ no row (the contract)
+      .select(col("doc_id"), col("n_windows"), lit(0L).as("n_dup_windows"))
+    affRows.unionByName(unaffected)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_share"))
+  }
+
   /** Span-level dedup made ACTIONABLE — [[dupSpanShare]]'s scalpel: remove
     * every token covered by a duplicated window (a `window`-token span whose
     * hash occurs in ≥2 distinct docs) from every doc carrying one, and pass

@@ -281,6 +281,35 @@ class DedupTextSpec extends SparkSpec {
     graft.CacheRegistry.release()
   }
 
+  test("dupSpanSharePrebuilt == dupSpanShare on every output path") {
+    import spark.implicits._
+    // the r18 serving form: duplicated/affected discovery from the span-lake
+    // artifacts, closed-form denominator for unaffected docs. Paths: carrier
+    // with a shared window, multi-window carrier, clean doc, sub-window doc
+    // (no row), in-doc-only repeats (unaffected), an ALL-dup doc
+    val docs = Seq(
+      (1L, "p q r s t u"),
+      (2L, "x y p q r s z"),
+      (3L, "c1 c2 c3 c4 c5"),
+      (4L, "s1 s2"),
+      (5L, "k k k k k"),
+      (6L, "d1 d2 d3 d4"), (7L, "d1 d2 d3 d4")).toDF("doc_id", "text")
+    val w = 4
+    val spanSet = Dedup.spanWindowSet(docs, w)
+    val dupH = spanSet.groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") > 1).select(col("wh"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("dup_share"))).toSet
+    val want = key(Dedup.dupSpanShare(docs, w))
+    graft.CacheRegistry.release()
+    val got = key(Dedup.dupSpanSharePrebuilt(docs, spanSet, dupH, w))
+    graft.CacheRegistry.release()
+    assert(got == want, s"prebuilt diverged:\n$got\nvs\n$want")
+    assert(!got.exists(_._1 == 4L), "sub-window docs emit no row (the contract)")
+    assert(got.exists(r => r._1 == 6L && r._4 == 1.0), "all-dup doc shares 1.0")
+  }
+
   test("scrubDupSpans removes covered tokens from carriers, passes clean docs through") {
     import spark.implicits._
     val a = "H1 H2 H3 H4 a1 a2 a3"   // shares window [H1..H4] with b
