@@ -218,6 +218,28 @@ object ScaleProbe {
       // the scrub's rewrite cost stays confined to affected docs
       "dup_span_share" -> (() => noop(Dedup.dupSpanShare(docs))),
       "scrub_dup_spans" -> (() => noop(Dedup.scrubDupSpans(docs))),
+      // the r18 SERVING forms (what SparkEntry ships): duplication
+      // discovery reads the span-lake artifacts — the refresh build lands
+      // once ("span_lake_build": full-corpus window set, the ingest-sink
+      // shape, + its ≥2-distinct-docs view), then the serving rows pay
+      // affected-only position recovery. The plain-vs-prebuilt delta at
+      // each replication is the measured value of the artifact split, and
+      // the prebuilt probes' growth is the serving-cost growth law.
+      // Keyed dirs like span_art_build; missing artifact fails loudly.
+      "span_lake_build" -> (() => {
+        Dedup.spanWindowSet(docs)
+          .write.mode("overwrite").parquet(s"$spanArtDir-lakewin")
+        spark.read.parquet(s"$spanArtDir-lakewin")
+          .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+          .where(col("nd") > 1).select(col("wh"))
+          .write.mode("overwrite").parquet(s"$spanArtDir-lakedup")
+      }),
+      "dup_span_share_prebuilt" -> (() => noop(Dedup.dupSpanSharePrebuilt(
+        docs, spark.read.parquet(s"$spanArtDir-lakewin"),
+        spark.read.parquet(s"$spanArtDir-lakedup")))),
+      "scrub_dup_spans_prebuilt" -> (() => noop(Dedup.scrubDupSpansPrebuilt(
+        docs, spark.read.parquet(s"$spanArtDir-lakewin"),
+        spark.read.parquet(s"$spanArtDir-lakedup")))),
       // incremental span ingest, split the way production pays it: the
       // 9/10-history window artifact lands once ("span_art_build" — the
       // per-refresh cost, ∝ history tokens), then the daily batch probes

@@ -73,6 +73,9 @@ class IncrementalDrillSpec extends SparkSpec {
     val skDir = s"$artRoot/sketches"   // per-frame phash sketches, append-only
     val setDir = s"$artRoot/shingle-sets"      // (doc_id, lang, sh) append-only
     def labelDir(day: Int) = s"$artRoot/labels-day$day" // REWRITE artifact, versioned per day
+    // post-ingest class quotient, versioned per day (r18: the
+    // phashClassesMerged refresh artifact the serving form reads)
+    def quotDir(day: Int) = s"$artRoot/quotient-day$day"
     val ivfRoot = s"$artRoot/ivf"      // versioned index root with LATEST pointer
 
     // ---- day 0 bootstrap: empty history everywhere; the incremental forms
@@ -86,6 +89,9 @@ class IncrementalDrillSpec extends SparkSpec {
     Dedup.spanWindowSet(d0).write.mode("overwrite").parquet(winDir)
     Multimodal.phashFrames(d0, carry = Seq("lang"))
       .write.mode("overwrite").parquet(skDir)
+    // day-0 quotient: the batch IS the corpus
+    Multimodal.sketchClasses(Multimodal.phashFrames(d0, carry = Seq("lang")))
+      .write.mode("overwrite").parquet(quotDir(0))
     Dedup.shingleSetsOf(d0).write.mode("overwrite").parquet(setDir)
     Dedup.nearDupClusters(d0, 0.5).write.mode("overwrite").parquet(labelDir(0))
     // day-0 candidate pairs: new×new = the full banding of slice 0
@@ -201,6 +207,35 @@ class IncrementalDrillSpec extends SparkSpec {
           r.getAs[Long]("dhash"))).toSet
       assert(skArt == skFull, s"day $day: sketch artifact diverged " +
         s"(${skArt.size} vs ${skFull.size})")
+
+      // ---------------- media quotient refresh chain (r18): the post-ingest
+      // quotient artifact composes DAY OVER DAY — merged(d) = flip-merge of
+      // batch(d)'s quotient into merged(d-1) — and the serving probe reads
+      // it. Two invariants per day: (a) the prebuilt probe through the
+      // chained artifact equals the full recompute restricted to the batch,
+      // and (b) the chained quotient equals the one-shot quotient over
+      // everything ingested so far — i.e. the disjoint merge ASSOCIATES
+      // across ingest days, which is what lets a daily refresh never touch
+      // more than O(batch) on top of the stored artifact.
+      val mergedQ = Multimodal.mergeDisjointClassesIncremental(
+        Multimodal.sketchClasses(Multimodal.phashFrames(batch, carry = Seq("lang"))),
+        spark.read.parquet(quotDir(day - 1)))
+      val mediaPre = Multimodal.frameDupShareIncrementalPrebuilt(
+          batch, skHist, mergedQ)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getAs[Double]("dup_frame_share"))).toSet
+      assert(mediaPre == mediaWant, s"day $day: prebuilt media probe " +
+        s"diverged (${mediaPre.size} vs ${mediaWant.size} docs)")
+      mergedQ.write.mode("overwrite").parquet(quotDir(day))
+      graft.CacheRegistry.release()
+      val quotArt = spark.read.parquet(quotDir(day)).collect()
+        .map(_.toString).toSet
+      val quotWant = Multimodal.sketchClasses(
+          Multimodal.phashFrames(cumDocs, carry = Seq("lang")))
+        .collect().map(_.toString).toSet
+      assert(quotArt == quotWant, s"day $day: chained quotient diverged " +
+        s"from the one-shot quotient (${quotArt.size} vs ${quotWant.size})")
+      graft.CacheRegistry.release()
 
       // ---------------- near-dup clustering: probe the shingle-set
       // artifact + yesterday's labeling (the SIXTH modality, r13 — and the
