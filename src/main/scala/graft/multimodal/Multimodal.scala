@@ -693,12 +693,45 @@ object Multimodal {
     * O(batch) probe contract). Output ≡ [[frameDupShareIncremental]] ≡
     * full recompute restricted to batch docs (PhashSpec pins the chain);
     * `historySketches` feeds only the debug disjointness assertion. */
+  /** Schema-metadata keys stamping WHICH batch a prebuilt merged quotient
+    * folded in ([[graft.sources.IncrementalHistory.phashClassesMerged]]):
+    * batch doc count + bit_xor of batch doc_ids. */
+  val BatchCountKey = "graft.batch.count"
+  val BatchXorKey = "graft.batch.xor"
+
   def frameDupShareIncrementalPrebuilt(newDocs: DataFrame,
       historySketches: DataFrame, mergedClasses: DataFrame,
       maxHamming: Int = 3, stride: Int = PhashStride,
-      cells: Int = PhashCells): DataFrame =
+      cells: Int = PhashCells): DataFrame = {
+    // debug-gated batch-identity assertion (the disjointness check's twin,
+    // r18): the merged quotient bakes ONE batch in, and probing it with a
+    // different batch is silently unsound — the foreign batch's own
+    // contribution to the corpus universe is missing, so its dup shares
+    // under-count. When the artifact declares its batch signature (count +
+    // doc_id xor, stamped at refresh) and the debug property is on, verify
+    // the probe's batch IS that batch. Production timing never pays the
+    // O(batch) aggregate; in-session quotients without metadata skip.
+    if (sys.props.get(DebugAssertDisjointProp).contains("true")) {
+      mergedClasses.schema.fields.find(_.name == "n_docs")
+        .filter(f => f.metadata.contains(BatchCountKey) &&
+          f.metadata.contains(BatchXorKey))
+        .foreach { f =>
+          val sig = newDocs.agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
+          val (n, x) = (sig.getLong(0),
+            if (sig.isNullAt(1)) 0L else sig.getLong(1))
+          require(n == f.metadata.getLong(BatchCountKey) &&
+            x == f.metadata.getLong(BatchXorKey),
+            s"frameDupShareIncrementalPrebuilt: the merged quotient was " +
+              s"built for a different batch (count/xor " +
+              s"${f.metadata.getLong(BatchCountKey)}/" +
+              s"${f.metadata.getLong(BatchXorKey)} vs $n/$x) — probing it " +
+              "with this batch under-counts its dup shares; rebuild the " +
+              "artifact for this batch or use frameDupShareIncremental")
+        }
+    }
     frameDupShareIncImpl(newDocs, historySketches, maxHamming, stride, cells,
       (_, _) => mergedClasses)
+  }
 
   private def frameDupShareIncImpl(newDocs: DataFrame,
       historySketches: DataFrame, maxHamming: Int, stride: Int, cells: Int,

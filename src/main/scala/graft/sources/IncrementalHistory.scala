@@ -117,11 +117,25 @@ object IncrementalHistory {
       ArtifactMemo.getOrBuild(cache, s"phash_classes_merged#$sfDir") {
         val dir = artifactDir(sfDir, "phash_classes_merged")
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val batch = batchDocs(docs)
         val batchQ = graft.multimodal.Multimodal.sketchClasses(
-          graft.multimodal.Multimodal.phashFrames(
-            batchDocs(docs), carry = Seq("lang")))
+          graft.multimodal.Multimodal.phashFrames(batch, carry = Seq("lang")))
+        // stamp WHICH batch this quotient merged (count + doc_id xor) into
+        // the artifact's schema metadata — the τ-pin move (ADVICE r17 #3),
+        // media edition: a probe with a DIFFERENT batch is silently unsound
+        // (the foreign batch's own contribution to the corpus universe is
+        // missing), so the serving form's debug assertion can check identity
+        // instead of trusting convention
+        val sig = batch.agg(count(lit(1)),
+          expr("bit_xor(doc_id)")).head()
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(graft.multimodal.Multimodal.BatchCountKey, sig.getLong(0))
+          .putLong(graft.multimodal.Multimodal.BatchXorKey,
+            if (sig.isNullAt(1)) 0L else sig.getLong(1))
+          .build()
         graft.multimodal.Multimodal.mergeDisjointClassesIncremental(
             batchQ, phashClasses(spark, sfDir))
+          .withColumn("n_docs", col("n_docs").as("n_docs", m))
           .write.mode("overwrite").parquet(dir)
         dir
       })

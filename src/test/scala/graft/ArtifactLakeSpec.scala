@@ -100,4 +100,45 @@ class ArtifactLakeSpec extends SparkSpec {
         s"${got.size} vs ${want.size} classes")
     assert(got.nonEmpty)
   }
+
+  test("phashClassesMerged refuses a probe with a different batch (debug-gated)") {
+    // the τ-pin move, media edition (r18): the merged quotient bakes ONE
+    // batch in; probing it with another batch silently under-counts that
+    // batch's dup shares. The artifact stamps its batch signature (count +
+    // doc_id xor) in schema metadata, and the serving form's debug
+    // assertion verifies identity.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val merged = graft.sources.IncrementalHistory.phashClassesMerged(spark, sf0001)
+    val rightBatch = graft.sources.IncrementalHistory.batchDocs(docs)
+    val histSk = graft.sources.IncrementalHistory.phashSketches(spark, sf0001)
+    System.setProperty(graft.multimodal.Multimodal.DebugAssertDisjointProp, "true")
+    try {
+      // the canonical batch passes (and the disjointness check runs too)
+      graft.multimodal.Multimodal.frameDupShareIncrementalPrebuilt(
+        rightBatch, histSk, merged).collect()
+      graft.CacheRegistry.release()
+      // a foreign batch (the history slice) must fail LOUDLY, before the
+      // disjointness check can even look at it
+      val ex = intercept[IllegalArgumentException](
+        graft.multimodal.Multimodal.frameDupShareIncrementalPrebuilt(
+          graft.sources.IncrementalHistory.historyDocs(docs), histSk, merged))
+      assert(ex.getMessage.contains("different batch"), ex.getMessage)
+    } finally {
+      System.clearProperty(graft.multimodal.Multimodal.DebugAssertDisjointProp)
+      graft.CacheRegistry.release()
+    }
+    // without metadata (an in-session quotient) the check skips — the
+    // drill's derive-and-chain path stays usable under the debug property
+    val inSession = graft.multimodal.Multimodal.sketchClasses(
+      graft.multimodal.Multimodal.phashFrames(docs, carry = Seq("lang")))
+    System.setProperty(graft.multimodal.Multimodal.DebugAssertDisjointProp, "true")
+    try {
+      graft.multimodal.Multimodal.frameDupShareIncrementalPrebuilt(
+        rightBatch, histSk, inSession).collect()
+    } finally {
+      System.clearProperty(graft.multimodal.Multimodal.DebugAssertDisjointProp)
+      graft.CacheRegistry.release()
+    }
+  }
 }
