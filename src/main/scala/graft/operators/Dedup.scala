@@ -171,6 +171,7 @@ object Dedup {
   def dupSpanSharePrebuilt(documents: DataFrame, spanSet: DataFrame,
       dupHashes: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
+    assertSpanCorpus(documents, spanSet, "dupSpanSharePrebuilt")
     val aff = spanSet.join(dupHashes, Seq("wh"), "left_semi")
       .select(col("doc_id")).distinct()
     val winsAff = documents_toks(
@@ -288,9 +289,47 @@ object Dedup {
     * with a covered position is affected by construction, so restricting
     * recovery to affected docs drops nothing. Measured at sf10: 10.8 →
     * 4.4-5.4 s warm. */
+  /** System property turning on the corpus-identity assertion inside the
+    * span-family prebuilt forms — the debug twin of
+    * [[graft.multimodal.Multimodal.DebugAssertDisjointProp]]: off by
+    * default (it costs one O(docs) aggregate); the suite turns it on. */
+  val DebugAssertSpanCorpusProp = "graft.debug.assertSpanCorpus"
+  /** Schema-metadata keys stamping WHICH corpus a span-lake artifact covers
+    * ([[graft.sources.SpanWindowLake.windows]]): doc count + doc_id xor. */
+  val CorpusCountKey = "graft.corpus.count"
+  val CorpusXorKey = "graft.corpus.xor"
+
+  /** Debug-gated corpus-identity assertion for the span prebuilt forms
+    * (r18, the batch-pin move): the artifacts cover ONE corpus, and probing
+    * them with a different documents frame is silently unsound — a doc
+    * absent from the artifact can neither be found affected nor contribute
+    * duplication, so shares under-count (or phantom-count, for a shrunk
+    * corpus). Skips when the artifact carries no signature (an in-session
+    * window set). */
+  private def assertSpanCorpus(documents: DataFrame, spanSet: DataFrame,
+      form: String): Unit =
+    if (sys.props.get(DebugAssertSpanCorpusProp).contains("true")) {
+      spanSet.schema.fields.find(_.name == "wh")
+        .filter(f => f.metadata.contains(CorpusCountKey) &&
+          f.metadata.contains(CorpusXorKey))
+        .foreach { f =>
+          val sig = documents.agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
+          val (n, x) = (sig.getLong(0),
+            if (sig.isNullAt(1)) 0L else sig.getLong(1))
+          require(n == f.metadata.getLong(CorpusCountKey) &&
+            x == f.metadata.getLong(CorpusXorKey),
+            s"$form: the span artifacts cover a different corpus (count/xor " +
+              s"${f.metadata.getLong(CorpusCountKey)}/" +
+              s"${f.metadata.getLong(CorpusXorKey)} vs $n/$x) — results " +
+              "would silently under- or phantom-count duplication; rebuild " +
+              "the span lake for this corpus")
+        }
+    }
+
   def scrubDupSpansPrebuilt(documents: DataFrame, spanSet: DataFrame,
       dupHashes: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
+    assertSpanCorpus(documents, spanSet, "scrubDupSpansPrebuilt")
     val aff = spanSet.join(dupHashes, Seq("wh"), "left_semi")
       .select(col("doc_id")).distinct()
     // position recovery: re-tokenize ONLY affected docs (the artifact keeps

@@ -53,7 +53,20 @@ object SpanWindowLake {
     * shape ([[graft.operators.Dedup.spanWindowSet]]). */
   def windows(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(build(spark, sfDir, "windows") { docs =>
+      // stamp WHICH corpus this window set covers (doc count + doc_id xor)
+      // into the artifact's schema metadata — the r18 identity-pin move
+      // (τ pin / batch pin): a serving query probing these artifacts with a
+      // DIFFERENT documents frame is silently unsound (missed or phantom
+      // duplication), so the prebuilt forms' debug assertion can check
+      // identity instead of trusting convention
+      val sig = docs.agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
+      val m = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong(graft.operators.Dedup.CorpusCountKey, sig.getLong(0))
+        .putLong(graft.operators.Dedup.CorpusXorKey,
+          if (sig.isNullAt(1)) 0L else sig.getLong(1))
+        .build()
       graft.operators.Dedup.spanWindowSet(docs)
+        .withColumn("wh", col("wh").as("wh", m))
     })
 
   /** Duplicated-hash compaction view `(wh)` — window hashes held by ≥ 2

@@ -82,6 +82,44 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == directWin, "rebuild after delete diverged")
   }
 
+  test("span-lake artifacts refuse a probe with a different corpus (debug-gated)") {
+    // the corpus-identity pin, span edition (r18): windows/dupHashes cover
+    // ONE corpus; probing them with a different documents frame silently
+    // under- or phantom-counts duplication
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val win = graft.sources.SpanWindowLake.windows(spark, sf0001)
+    val dup = graft.sources.SpanWindowLake.dupHashes(spark, sf0001)
+    System.setProperty(graft.operators.Dedup.DebugAssertSpanCorpusProp, "true")
+    try {
+      // the matching corpus passes, both forms
+      graft.operators.Dedup.dupSpanSharePrebuilt(docs, win, dup).collect()
+      graft.CacheRegistry.release()
+      graft.operators.Dedup.scrubDupSpansPrebuilt(docs, win, dup).collect()
+      graft.CacheRegistry.release()
+      // a different frame (here: a filtered corpus) fails loudly
+      val ex = intercept[IllegalArgumentException](
+        graft.operators.Dedup.dupSpanSharePrebuilt(
+          docs.where(col("doc_id") % 2 === 0), win, dup))
+      assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException](
+        graft.operators.Dedup.scrubDupSpansPrebuilt(
+          docs.limit(0), win, dup))
+      assert(ex2.getMessage.contains("different corpus"), ex2.getMessage)
+    } finally {
+      System.clearProperty(graft.operators.Dedup.DebugAssertSpanCorpusProp)
+      graft.CacheRegistry.release()
+    }
+    // an in-session window set carries no signature — the check skips
+    val inSession = graft.operators.Dedup.spanWindowSet(docs)
+    System.setProperty(graft.operators.Dedup.DebugAssertSpanCorpusProp, "true")
+    try graft.operators.Dedup.dupSpanSharePrebuilt(
+      docs.where(col("doc_id") % 2 === 0), inSession, dup).collect()
+    finally {
+      System.clearProperty(graft.operators.Dedup.DebugAssertSpanCorpusProp)
+      graft.CacheRegistry.release()
+    }
+  }
+
   test("phashClassesMerged artifact == full-corpus quotient (history ∪ batch)") {
     // the post-ingest quotient the r18 serving form reads: the flip merge
     // of the batch quotient into the history quotient must equal the plain
