@@ -169,9 +169,11 @@ object Bench {
 
   /** Flag verdict of the hash-key preflight (verdict r17 #3), factored pure
     * so the suite can pin all four branches without a 10⁹-key corpus: an
-    * audit that measures a collision throws IllegalArgumentException
-    * ([[GraftEngine.requireInjectiveCounts]]) → `hash_audit_failed`; one
-    * that cannot run (missing table, torn lake) → `hash_audit_error`; a
+    * audit that measures a collision throws the DEDICATED
+    * [[GraftEngine.HashCollisionException]] → `hash_audit_failed`; anything
+    * else that cannot run (missing table, torn lake, a `require` in the
+    * audit plumbing — ADVICE r18: a generic IAE match here misreported
+    * infrastructure errors as measured collisions) → `hash_audit_error`; a
     * disabled audit → `hash_audit_skipped` (never silently clean); a clean
     * audit → no flag. */
   private[graft] def hashAuditFlags(audit: () => Unit,
@@ -180,7 +182,7 @@ object Bench {
     else
       try { audit(); Nil }
       catch {
-        case e: IllegalArgumentException =>
+        case e: GraftEngine.HashCollisionException =>
           System.err.println(s"[bench] HASH AUDIT FAILED: ${e.getMessage}")
           Seq("hash_audit_failed")
         case scala.util.control.NonFatal(e) =>
@@ -545,6 +547,12 @@ object Bench {
       prewarm("span-lake") { // full-corpus span-window set + dup-hash view:
         // ingest-sink + compaction-view artifacts (SpanWindowLake scaladoc)
         graft.sources.SpanWindowLake.dupHashes(spark, benchDir)
+        // warm the always-on corpus-identity pin (ADVICE r18) for the frame
+        // the timed serving forms probe with, so the verdict is memoized
+        // before timing starts
+        graft.operators.Dedup.verifySpanCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.SpanWindowLake.windows(spark, benchDir))
         graft.CacheRegistry.release()
       }
     if (subsetNeeds("inc-history"))
@@ -553,6 +561,12 @@ object Bench {
         // query timing like the index builds — the incremental rows then time
         // only their O(batch) probe (verdict r11 #2)
         graft.sources.IncrementalHistory.buildAll(spark, benchDir)
+        // warm the always-on batch-identity pin (ADVICE r18) for the batch
+        // frame frame_dup_share_inc probes with
+        graft.multimodal.Multimodal.verifyMergedBatch(
+          graft.sources.IncrementalHistory.batchDocs(
+            spark.read.parquet(s"$benchDir/documents.parquet")),
+          graft.sources.IncrementalHistory.phashClassesMerged(spark, benchDir))
       }
 
     // cache-storage high-water across the run (bytes): with family-scoped

@@ -466,6 +466,15 @@ final class GraftEngine(val spark: SparkSession,
 }
 
 object GraftEngine {
+  /** The verdict of a MEASURED h60 collision — a dedicated type (ADVICE
+    * r18) so [[Bench]]'s preflight can map exactly this to
+    * `hash_audit_failed`: the old IllegalArgumentException match also
+    * caught unrelated `require`s in the audit plumbing (a bad frame shape),
+    * misreporting an audit-infrastructure error as a real collision on the
+    * record. Subclasses IAE so existing callers' catch sites keep working. */
+  final class HashCollisionException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** The collision branch of [[GraftEngine.auditHashKeys]], factored pure so
     * the suite can exercise it directly (an md5-60-bit collision cannot be
     * synthesized from test strings): `nKeys` distinct source keys hashing to
@@ -474,7 +483,7 @@ object GraftEngine {
     * composite-key remedy, never a silent count merge. */
   private[graft] def requireInjectiveCounts(family: String,
       nKeys: Long, nHashes: Long): Unit =
-    require(nKeys == nHashes,
+    if (nKeys != nHashes) throw new HashCollisionException(
       s"h60 collision measured in the $family key set: $nKeys distinct keys " +
         s"→ $nHashes distinct hashes. Hash-keyed results would merge " +
         "collided keys' counts; re-key this family on the (h60, h60b) " +

@@ -703,35 +703,40 @@ object Multimodal {
       historySketches: DataFrame, mergedClasses: DataFrame,
       maxHamming: Int = 3, stride: Int = PhashStride,
       cells: Int = PhashCells): DataFrame = {
-    // debug-gated batch-identity assertion (the disjointness check's twin,
-    // r18): the merged quotient bakes ONE batch in, and probing it with a
-    // different batch is silently unsound — the foreign batch's own
+    // batch-identity assertion (the disjointness check's twin, r18;
+    // always-on through [[graft.operators.CorpusPin]]'s per-JVM memo since
+    // ADVICE r18): the merged quotient bakes ONE batch in, and probing it
+    // with a different batch is silently unsound — the foreign batch's own
     // contribution to the corpus universe is missing, so its dup shares
     // under-count. When the artifact declares its batch signature (count +
-    // doc_id xor, stamped at refresh) and the debug property is on, verify
-    // the probe's batch IS that batch. Production timing never pays the
-    // O(batch) aggregate; in-session quotients without metadata skip.
-    if (sys.props.get(DebugAssertDisjointProp).contains("true")) {
-      mergedClasses.schema.fields.find(_.name == "n_docs")
-        .filter(f => f.metadata.contains(BatchCountKey) &&
-          f.metadata.contains(BatchXorKey))
-        .foreach { f =>
-          val sig = newDocs.agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
-          val (n, x) = (sig.getLong(0),
-            if (sig.isNullAt(1)) 0L else sig.getLong(1))
-          require(n == f.metadata.getLong(BatchCountKey) &&
-            x == f.metadata.getLong(BatchXorKey),
-            s"frameDupShareIncrementalPrebuilt: the merged quotient was " +
-              s"built for a different batch (count/xor " +
-              s"${f.metadata.getLong(BatchCountKey)}/" +
-              s"${f.metadata.getLong(BatchXorKey)} vs $n/$x) — probing it " +
-              "with this batch under-counts its dup shares; rebuild the " +
-              "artifact for this batch or use frameDupShareIncremental")
-        }
-    }
+    // doc_id xor, stamped at refresh), verify the probe's batch IS that
+    // batch — once per (stamp, batch plan) per JVM in production ([[
+    // verifyMergedBatch]] prewarms the verdict outside query timing), every
+    // call when the debug property is on. In-session quotients without
+    // metadata skip.
+    graft.operators.CorpusPin.check(newDocs, mergedClasses, "n_docs",
+      BatchCountKey, BatchXorKey, DebugAssertDisjointProp,
+      "frameDupShareIncrementalPrebuilt",
+      (sn, sx, n, x) =>
+        s"frameDupShareIncrementalPrebuilt: the merged quotient was built " +
+          s"for a different batch (count/xor $sn/$sx vs $n/$x) — probing " +
+          "it with this batch under-counts its dup shares; rebuild the " +
+          "artifact for this batch or use frameDupShareIncremental")
     frameDupShareIncImpl(newDocs, historySketches, maxHamming, stride, cells,
       (_, _) => mergedClasses)
   }
+
+  /** Prewarm hook for the always-on batch pin: runs
+    * [[frameDupShareIncrementalPrebuilt]]'s identity check for (newDocs,
+    * mergedClasses) so the first timed serving query finds the verdict
+    * memoized. Harnesses call it next to the history-artifact build. */
+  def verifyMergedBatch(newDocs: DataFrame, mergedClasses: DataFrame): Unit =
+    graft.operators.CorpusPin.check(newDocs, mergedClasses, "n_docs",
+      BatchCountKey, BatchXorKey, DebugAssertDisjointProp,
+      "frameDupShareIncrementalPrebuilt",
+      (sn, sx, n, x) =>
+        s"verifyMergedBatch: the merged quotient was built for a different " +
+          s"batch (count/xor $sn/$sx vs $n/$x)")
 
   private def frameDupShareIncImpl(newDocs: DataFrame,
       historySketches: DataFrame, maxHamming: Int, stride: Int, cells: Int,

@@ -172,14 +172,22 @@ object Dedup {
       dupHashes: DataFrame, window: Int = SpanWindow): DataFrame = {
     require(window >= 2, s"window must be >= 2 tokens: $window")
     assertSpanCorpus(documents, spanSet, "dupSpanSharePrebuilt")
-    val aff = spanSet.join(dupHashes, Seq("wh"), "left_semi")
+    // dedupe the caller's dup side before the LEFT join below (ADVICE r18):
+    // every in-repo call site passes the already-distinct compaction view,
+    // but this is public API and a non-distinct frame would fan the join out
+    // and silently inflate n_dup_windows — the one failure mode this family
+    // exists to prevent. The distinct is one exchange over the ≥2-owner
+    // hash set (the corpus' duplicated fraction), noise next to the probe;
+    // for the artifact-backed view Catalyst sees distinct-over-scan (no
+    // collapse available), which is the price of the guarantee.
+    val dup = dupHashes.select(col("wh")).distinct()
+    val aff = spanSet.join(dup, Seq("wh"), "left_semi")
       .select(col("doc_id")).distinct()
     val winsAff = documents_toks(
         documents.join(aff, Seq("doc_id"), "left_semi"), window)
       .select(col("doc_id"), explode(spanWindowHashes(col("w"), window)).as("wh"))
-    // dupHashes is distinct by construction, so the left join never fans out
     val affRows = winsAff
-      .join(dupHashes.withColumn("dup", lit(1)), Seq("wh"), "left")
+      .join(dup.withColumn("dup", lit(1)), Seq("wh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_windows"),
@@ -299,32 +307,32 @@ object Dedup {
   val CorpusCountKey = "graft.corpus.count"
   val CorpusXorKey = "graft.corpus.xor"
 
-  /** Debug-gated corpus-identity assertion for the span prebuilt forms
-    * (r18, the batch-pin move): the artifacts cover ONE corpus, and probing
-    * them with a different documents frame is silently unsound — a doc
-    * absent from the artifact can neither be found affected nor contribute
-    * duplication, so shares under-count (or phantom-count, for a shrunk
-    * corpus). Skips when the artifact carries no signature (an in-session
-    * window set). */
+  /** Corpus-identity assertion for the span prebuilt forms (r18 the
+    * debug-gated batch-pin move; ADVICE r18 made it ALWAYS-ON through
+    * [[CorpusPin]]'s per-JVM memo): the artifacts cover ONE corpus, and
+    * probing them with a different documents frame is silently unsound — a
+    * doc absent from the artifact can neither be found affected nor
+    * contribute duplication, so shares under-count (or phantom-count, for a
+    * shrunk corpus). The O(docs) signature aggregate runs once per
+    * (artifact stamp, documents plan) per JVM — [[verifySpanCorpus]] lets
+    * harnesses prewarm the verdict outside query timing — and on every call
+    * when [[DebugAssertSpanCorpusProp]] is set (the drill suites' posture).
+    * Skips when the artifact carries no signature (an in-session window
+    * set). */
   private def assertSpanCorpus(documents: DataFrame, spanSet: DataFrame,
       form: String): Unit =
-    if (sys.props.get(DebugAssertSpanCorpusProp).contains("true")) {
-      spanSet.schema.fields.find(_.name == "wh")
-        .filter(f => f.metadata.contains(CorpusCountKey) &&
-          f.metadata.contains(CorpusXorKey))
-        .foreach { f =>
-          val sig = documents.agg(count(lit(1)), expr("bit_xor(doc_id)")).head()
-          val (n, x) = (sig.getLong(0),
-            if (sig.isNullAt(1)) 0L else sig.getLong(1))
-          require(n == f.metadata.getLong(CorpusCountKey) &&
-            x == f.metadata.getLong(CorpusXorKey),
-            s"$form: the span artifacts cover a different corpus (count/xor " +
-              s"${f.metadata.getLong(CorpusCountKey)}/" +
-              s"${f.metadata.getLong(CorpusXorKey)} vs $n/$x) — results " +
-              "would silently under- or phantom-count duplication; rebuild " +
-              "the span lake for this corpus")
-        }
-    }
+    CorpusPin.check(documents, spanSet, "wh", CorpusCountKey, CorpusXorKey,
+      DebugAssertSpanCorpusProp, form,
+      (sn, sx, n, x) =>
+        s"$form: the span artifacts cover a different corpus (count/xor " +
+          s"$sn/$sx vs $n/$x) — results would silently under- or " +
+          "phantom-count duplication; rebuild the span lake for this corpus")
+
+  /** Prewarm hook for the always-on corpus pin: runs [[assertSpanCorpus]]'s
+    * check for (documents, spanSet) so the first timed serving query finds
+    * the verdict memoized. Harnesses call it next to the span-lake build. */
+  def verifySpanCorpus(documents: DataFrame, spanSet: DataFrame): Unit =
+    assertSpanCorpus(documents, spanSet, "verifySpanCorpus")
 
   def scrubDupSpansPrebuilt(documents: DataFrame, spanSet: DataFrame,
       dupHashes: DataFrame, window: Int = SpanWindow): DataFrame = {

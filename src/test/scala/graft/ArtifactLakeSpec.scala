@@ -120,6 +120,57 @@ class ArtifactLakeSpec extends SparkSpec {
     }
   }
 
+  test("identity pins are always-on (ADVICE r18): mismatches fail without the debug prop") {
+    // the r18 pins were debug-gated only — a production serving query with a
+    // mismatched frame still under-counted silently. CorpusPin makes the
+    // check always-on (memoized per (stamp, frame plan) per JVM), so the
+    // SAME mismatches fail with the property cleared.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val win = graft.sources.SpanWindowLake.windows(spark, sf0001)
+    val dup = graft.sources.SpanWindowLake.dupHashes(spark, sf0001)
+    assert(sys.props.get(graft.operators.Dedup.DebugAssertSpanCorpusProp).isEmpty)
+    try {
+      val ex = intercept[IllegalArgumentException](
+        graft.operators.Dedup.dupSpanSharePrebuilt(
+          docs.where(col("doc_id") % 2 === 1), win, dup))
+      assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+      // a matching probe verifies once and memoizes: the second call must
+      // not re-run the signature aggregate (observable as: the verdict
+      // survives even if the pin memo is the only thing consulted — pinned
+      // indirectly by both calls succeeding after one reset)
+      graft.operators.CorpusPin.reset()
+      graft.operators.Dedup.verifySpanCorpus(docs, win)
+      graft.operators.Dedup.dupSpanSharePrebuilt(docs, win, dup).collect()
+      graft.CacheRegistry.release()
+      // media edition: a foreign batch fails with the prop cleared too
+      val mdocs = docs.select(col("doc_id"), col("text"), col("lang"))
+      val merged = graft.sources.IncrementalHistory.phashClassesMerged(spark, sf0001)
+      val histSk = graft.sources.IncrementalHistory.phashSketches(spark, sf0001)
+      assert(sys.props.get(graft.multimodal.Multimodal.DebugAssertDisjointProp).isEmpty)
+      val ex2 = intercept[IllegalArgumentException](
+        graft.multimodal.Multimodal.frameDupShareIncrementalPrebuilt(
+          graft.sources.IncrementalHistory.historyDocs(mdocs), histSk, merged))
+      assert(ex2.getMessage.contains("different batch"), ex2.getMessage)
+    } finally graft.CacheRegistry.release()
+  }
+
+  test("dupSpanSharePrebuilt dedupes a non-distinct dup side (ADVICE r18)") {
+    // public-API robustness: a caller passing a non-distinct dup-hash frame
+    // must get the same counts as with the distinct view — the left join
+    // must not fan out and silently inflate n_dup_windows
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val win = graft.sources.SpanWindowLake.windows(spark, sf0001)
+    val dup = graft.sources.SpanWindowLake.dupHashes(spark, sf0001)
+    val want = rows(graft.operators.Dedup.dupSpanSharePrebuilt(docs, win, dup))
+    graft.CacheRegistry.release()
+    val got = rows(graft.operators.Dedup.dupSpanSharePrebuilt(
+      docs, win, dup.unionByName(dup))) // every dup hash twice
+    graft.CacheRegistry.release()
+    assert(got == want, s"non-distinct dup side changed the result: " +
+      s"${got.size} vs ${want.size} rows")
+    assert(want.nonEmpty)
+  }
+
   test("phashClassesMerged artifact == full-corpus quotient (history ∪ batch)") {
     // the post-ingest quotient the r18 serving form reads: the flip merge
     // of the batch quotient into the history quotient must equal the plain

@@ -153,8 +153,9 @@ class BenchFormatSpec extends AnyFunSuite {
     // clean audit → no flag (absence IS the clean result)
     assert(Bench.hashAuditFlags(() => (), enabled = true) === Nil)
     // a measured h60 collision (requireInjectiveCounts' declared failure
-    // path throws IllegalArgumentException) → hash_audit_failed rides the
-    // record instead of the run dying or the collision passing silently
+    // path throws the dedicated HashCollisionException) → hash_audit_failed
+    // rides the record instead of the run dying or the collision passing
+    // silently
     assert(Bench.hashAuditFlags(
       () => GraftEngine.requireInjectiveCounts("test-family", 10L, 9L),
       enabled = true) === Seq("hash_audit_failed"))
@@ -162,6 +163,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // verdict — distinguishable from a measured collision
     assert(Bench.hashAuditFlags(
       () => throw new RuntimeException("no such table"),
+      enabled = true) === Seq("hash_audit_error"))
+    // ADVICE r18: an IllegalArgumentException from the audit PLUMBING (a
+    // require on a bad frame shape) is an infrastructure error, NOT a
+    // measured collision — it must not put hash_audit_failed on the record
+    assert(Bench.hashAuditFlags(
+      () => require(false, "bad frame shape"),
       enabled = true) === Seq("hash_audit_error"))
     // an opted-out audit must not masquerade as clean
     assert(Bench.hashAuditFlags(() => (), enabled = false)

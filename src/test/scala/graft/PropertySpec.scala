@@ -426,9 +426,20 @@ class PropertySpec extends SparkSpec {
     // the only double Divides allowed are the exact ones: the per-row
     // ⌊m/1e6⌋ recovery (an exact multiple of 1e6, ≤ 2^53) and the final
     // sub-unit remainder /1e6 (a value in [0,1e6)) — both literal-1e6
-    // denominators. Any OTHER Divide would be a rounding carry.
+    // denominators, matched STRUCTURALLY (ADVICE r18: the old
+    // toString-contains("1000000") check would also pass an erroneous
+    // denominator merely containing that substring, e.g. 21000000.0).
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.DoubleType
+    def isLiteralMillion(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e match {
+        case Literal(1000000.0, DoubleType) => true
+        case Literal(1000000L, _) => true
+        case c: Cast => isLiteralMillion(c.child)
+        case _ => false
+      }
     val divs = exprs.flatMap(_.collect { case d: Divide => d })
-    val badDivs = divs.filterNot(_.right.toString.contains("1000000"))
+    val badDivs = divs.filterNot(d => isLiteralMillion(d.right))
     assert(badDivs.isEmpty,
       s"unexpected double Divide in exactSum tree: $badDivs")
     val got = df.head().getDouble(0)
