@@ -40,6 +40,26 @@ class QualitySpec extends SparkSpec {
       "approx variant must not buffer the group's ratio list:\n" + plan.take(600))
   }
 
+  test("q14 histogram-cumsum walk == plain percentile() bit-for-bit (r19)") {
+    // the r19 rewrite: eventPercentiles now runs the lattice-histogram rank
+    // walk (groupBy (type, value) → per-type running window over DISTINCT
+    // values → Spark's own interpolation formula); the plain percentile()
+    // formulation stays as the independent parity arm. Bit-identical, not
+    // tolerance-based: the walk mirrors Percentile.getPercentile verbatim.
+    val hist = graft.operators.Relational.eventPercentiles(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val sorted = graft.operators.Relational.eventPercentilesSorted(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(hist == sorted, s"histogram walk diverged:\n$hist\nvs\n$sorted")
+    assert(hist.size == 5)
+    // and the plan is the point: no TypedImperativeAggregate percentile
+    // buffer anywhere — every stage is a codegen'd hash aggregate / window
+    val plan = graft.operators.Relational.eventPercentiles(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"),
+      "histogram form must not fall back to percentile():\n" + plan.take(600))
+  }
+
   test("event-percentile approx twin tracks the exact q14 report (r15)") {
     val exact = graft.operators.Relational.eventPercentiles(spark, sf0001)
       .collect().map(r => r.getString(0) -> r).toMap
