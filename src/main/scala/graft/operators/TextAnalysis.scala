@@ -877,8 +877,19 @@ object TextAnalysis {
     pairAgg.crossJoin(tokAgg)
   }
 
+  /** The per-doc bigram-hash count table `(doc_id, bh, xh, c)` — the shared
+    * upstream of [[bigramLogprob]] (in-query, persisted by the caller) and
+    * the [[graft.sources.BigramLmLake]] refresh build (r19). Strings die at
+    * the MAP side (r15): the aggregate keys on the 60-bit hash pair, so the
+    * bigram text never enters an exchange, a cached row, or the per-doc
+    * fold array. */
+  private[graft] def bigramPerDocCounts(documents: DataFrame): DataFrame =
+    adjacentPairs(documents)
+      .groupBy(col("doc_id"), h60(col("p.bigram")).as("bh"),
+        h60(col("p.x")).as("xh"))
+      .agg(count(lit(1)).as("c"))
+
   def bigramLogprob(documents: DataFrame): DataFrame = {
-    val pairs = adjacentPairs(documents)
     // Strings die at the MAP side (r15): the per-doc aggregate keys on the
     // 60-bit hash pair, so the bigram text never enters an exchange, a
     // cached row, or the per-doc fold array — at sf30 the string-keyed form
@@ -888,12 +899,52 @@ object TextAnalysis {
     // SAME md5-prefix key (h60Sql) — engine-identical order under the
     // family's audited injectivity contract ([[bigramHashAudit]]; a
     // collision would merge counts in BOTH the old and this form).
-    val perDoc = graft.CacheRegistry.persist(pairs
-      .groupBy(col("doc_id"), h60(col("p.bigram")).as("bh"),
-        h60(col("p.x")).as("xh"))
-      .agg(count(lit(1)).as("c")))
+    val perDoc = graft.CacheRegistry.persist(bigramPerDocCounts(documents))
     val bc = perDoc.groupBy(col("bh")).agg(sum(col("c")).as("b"))
     val lm = perDoc.groupBy(col("xh")).agg(sum(col("c")).as("lx"))
+    scoreBigrams(perDoc, bc, lm)
+  }
+
+  /** [[bigramLogprob]] over the PREBUILT [[graft.sources.BigramLmLake]]
+    * artifacts — the serving form (verdict r18 #1): the pair explode and
+    * all three count tables are refresh-time work (the sink + its
+    * compaction views), so the timed query pays only the score joins and
+    * the per-doc sorted fold. Row-identical to [[bigramLogprob]]
+    * (ArtifactLakeSpec pins it at fixture scale and the lake drill's
+    * rebuild path; sf10 solo 8.7 → 4.3 s): the score of a
+    * (doc, bigram) row is a deterministic function of the three tables,
+    * which the artifacts materialize unchanged. `documents` feeds only the
+    * always-on corpus-identity pin ([[graft.operators.CorpusPin]]) — a
+    * probe against artifacts covering a DIFFERENT corpus would silently
+    * misscore every doc. */
+  def bigramLogprobPrebuilt(documents: DataFrame, perDoc: DataFrame,
+      bc: DataFrame, lm: DataFrame): DataFrame = {
+    graft.operators.CorpusPin.check(documents, perDoc, "bh",
+      graft.operators.Dedup.CorpusCountKey, graft.operators.Dedup.CorpusXorKey,
+      graft.operators.Dedup.DebugAssertSpanCorpusProp, "bigramLogprobPrebuilt",
+      (sn, sx, n, x) =>
+        s"bigramLogprobPrebuilt: the bigram-LM artifacts cover a different " +
+          s"corpus (count/xor $sn/$sx vs $n/$x) — every doc would silently " +
+          "misscore; rebuild the bigram lake for this corpus")
+    scoreBigrams(perDoc, bc, lm)
+  }
+
+  /** Prewarm hook for the always-on corpus pin ([[graft.operators
+    * .CorpusPin]]): runs [[bigramLogprobPrebuilt]]'s identity check so the
+    * first timed serving query finds the verdict memoized. */
+  def verifyBigramCorpus(documents: DataFrame, perDoc: DataFrame): Unit =
+    graft.operators.CorpusPin.check(documents, perDoc, "bh",
+      graft.operators.Dedup.CorpusCountKey, graft.operators.Dedup.CorpusXorKey,
+      graft.operators.Dedup.DebugAssertSpanCorpusProp, "bigramLogprobPrebuilt",
+      (sn, sx, n, x) =>
+        s"verifyBigramCorpus: the bigram-LM artifacts cover a different " +
+          s"corpus (count/xor $sn/$sx vs $n/$x)")
+
+  /** The scoring tail shared by both [[bigramLogprob]] forms: join the
+    * per-doc counts to the corpus tables, fold `c·ln(B/L)` per doc in
+    * sorted (bh, wlp) order (the family's determinism contract). */
+  private def scoreBigrams(perDoc: DataFrame, bc: DataFrame,
+      lm: DataFrame): DataFrame = {
     val scored = perDoc
       .join(bc, Seq("bh"))
       .join(lm, Seq("xh"))

@@ -82,6 +82,43 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == directWin, "rebuild after delete diverged")
   }
 
+  test("BigramLmLake artifacts: prebuilt == plain; views derive from perDoc; rebuilds; pin refuses") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val direct = rows(graft.operators.TextAnalysis.bigramLogprob(docs))
+    graft.CacheRegistry.release()
+    graft.sources.BigramLmLake.reset()
+    val pd = graft.sources.BigramLmLake.perDoc(spark, sf0001)
+    val bc = graft.sources.BigramLmLake.counts(spark, sf0001)
+    val lm = graft.sources.BigramLmLake.marginals(spark, sf0001)
+    // the serving form over the artifacts == the in-query form
+    val served = rows(graft.operators.TextAnalysis
+      .bigramLogprobPrebuilt(docs, pd, bc, lm))
+    assert(served == direct,
+      s"prebuilt diverged: ${served.size} vs ${direct.size}")
+    assert(served.nonEmpty)
+    // the derived views must be rollups OF the perDoc artifact
+    assert(rows(bc) == rows(pd.groupBy(col("bh")).agg(sum(col("c")).as("b"))),
+      "counts view diverged from perDoc rollup")
+    assert(rows(lm) == rows(pd.groupBy(col("xh")).agg(sum(col("c")).as("lx"))),
+      "marginals view diverged from perDoc rollup")
+    graft.CacheRegistry.release()
+    // identity pin (always-on): a different corpus frame fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.bigramLogprobPrebuilt(
+        docs.where(col("doc_id") % 3 === 0), pd, bc, lm))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    // delete + reset: next read must rebuild from source
+    val dir = new java.io.File("target/bigram-lake")
+    if (dir.exists()) rm(dir)
+    graft.sources.BigramLmLake.reset()
+    val rebuilt = rows(graft.operators.TextAnalysis.bigramLogprobPrebuilt(docs,
+      graft.sources.BigramLmLake.perDoc(spark, sf0001),
+      graft.sources.BigramLmLake.counts(spark, sf0001),
+      graft.sources.BigramLmLake.marginals(spark, sf0001)))
+    graft.CacheRegistry.release()
+    assert(rebuilt == direct, "rebuild after delete diverged")
+  }
+
   test("span-lake artifacts refuse a probe with a different corpus (debug-gated)") {
     // the corpus-identity pin, span edition (r18): windows/dupHashes cover
     // ONE corpus; probing them with a different documents frame silently
