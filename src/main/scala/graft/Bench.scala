@@ -566,6 +566,16 @@ object Bench {
           graft.sources.BigramLmLake.perDoc(spark, benchDir))
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("contam-lake"))
+      prewarm("contam-lake") { // split-frozen shingle postings + test class
+        // postings + membership set (ShinglePostingLake scaladoc); warm the
+        // corpus pin for the timed frame
+        graft.sources.ShinglePostingLake.testShingles(spark, benchDir)
+        graft.operators.Dedup.verifyPostingCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.ShinglePostingLake.postings(spark, benchDir))
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("inc-history"))
       prewarm("inc-history") { // daily-ingest history artifacts (hash table,
         // band table, span-window set): the once-per-refresh build, outside

@@ -1310,6 +1310,116 @@ object Dedup {
     nSh.join(nTd, Seq("doc_id"))
   }
 
+  /** Schema-metadata key stamping WHICH split specification a
+    * [[graft.sources.ShinglePostingLake]] artifact froze (salt + ratios) —
+    * the τ-pin move, split edition (verdict r18 #2): the test-side class
+    * postings are only sound for the split spec they were built under. */
+  val SplitSpecKey = "graft.split.spec"
+
+  /** Full-corpus shingle postings with the FROZEN split assignment
+    * `(doc_id, split, s)` — the [[graft.sources.ShinglePostingLake]] build
+    * shape: one shingle pass (the ingest sink — in production the
+    * [[graft.streaming.EventStreams.shingleSetStream]]'s accumulated sink
+    * explodes to exactly this, and the split column is a pure projection
+    * of doc_id)
+    * joined to the deterministic split assignment. Refresh-time only —
+    * no persist; the lake writes it partitioned by split so serving scans
+    * prune to their split's directories. */
+  private[graft] def shinglePostingsWithSplit(documents: DataFrame): DataFrame = {
+    val splits = TextAnalysis.trainValTestSplit(documents)
+      .select(col("doc_id"), col("split"))
+    shingledDocsRaw(documents).join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), explode(col("sh")).as("s"))
+  }
+
+  /** The test-side shingle-set CLASS postings `(n_docs, cid, s)` derived
+    * from the POSTING artifact's test partition (never from documents — a
+    * rebuild never re-tokenizes, the [[graft.sources.SpanWindowLake
+    * .dupHashes]] posture): reconstruct each test doc's distinct sorted
+    * shingle set from its postings (exactly [[shingledDocs]]' `sh` — the
+    * postings explode that array), quotient docs by identical set, explode
+    * each class's set once. Class id = the class's MIN doc_id
+    * (deterministic, collision-free — [[benchmarkContamination]]'s
+    * contract). */
+  private[graft] def testClassesFromPostings(postings: DataFrame): DataFrame =
+    postings.where(col("split") === "test")
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("s"))).as("sh"))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("cid"))
+      .select(col("n_docs"), col("cid"), explode(col("sh")).as("s"))
+
+  /** [[benchmarkContamination]] over the PREBUILT [[graft.sources
+    * .ShinglePostingLake]] artifacts — the serving form (verdict r18 #2):
+    * the full-corpus shingle pass and the test-side class quotient are
+    * refresh-time work frozen per (corpus version, split spec), so the
+    * timed query pays only the membership probe + the two rollups the row
+    * exists to measure. Plan shape: the train scan PRUNES to its split
+    * partition directories; the membership semi-join broadcasts the test
+    * shingle set (the fixed benchmark suite — KBs at 100 TB); the surviving
+    * ~leaked postings persist once and feed both aggregates, so the class
+    * join shuffles only matching rows, never the train split. Row-identical
+    * to [[benchmarkContamination]] (ArtifactLakeSpec pins it). `documents`
+    * feeds only the always-on corpus pin; the split-spec pin is a metadata
+    * equality — free. */
+  def benchmarkContaminationPrebuilt(documents: DataFrame, postings: DataFrame,
+      classPost: DataFrame, testShingles: DataFrame): DataFrame = {
+    CorpusPin.check(documents, postings, "s", CorpusCountKey, CorpusXorKey,
+      DebugAssertSpanCorpusProp, "benchmarkContaminationPrebuilt",
+      (sn, sx, n, x) =>
+        s"benchmarkContaminationPrebuilt: the posting artifacts cover a " +
+          s"different corpus (count/xor $sn/$sx vs $n/$x) — contamination " +
+          "flags would silently under-count; rebuild the posting lake")
+    postings.schema.fields.find(_.name == "s")
+      .filter(_.metadata.contains(SplitSpecKey))
+      .foreach { f =>
+        val stamped = f.metadata.getString(SplitSpecKey)
+        require(stamped == TextAnalysis.splitSpecTag,
+          s"benchmarkContaminationPrebuilt: the posting artifacts froze " +
+            s"split spec '$stamped' but the engine's is " +
+            s"'${TextAnalysis.splitSpecTag}' — the test side would be a " +
+            "different doc set; rebuild the posting lake under this spec")
+      }
+    // membership-filter FIRST: only postings sharing a test shingle can
+    // contribute to either aggregate, so the class fan-out join below works
+    // on the leaked fraction, never the train split (semi-joins cannot fan
+    // out, so no distinct guard is needed on the test set). Both test-side
+    // artifacts ride the BROADCAST side explicitly: the operator's declared
+    // production posture is a FIXED benchmark suite (its class postings are
+    // KBs–MBs at any corpus scale), and at the synthetic gate scales the
+    // tables sit just past the 10 MB auto threshold — without the hint both
+    // joins shuffled the whole train posting scan (the 6.1 s sf10 reading;
+    // hinted: the train side never exchanges before its rollups).
+    val leaked = graft.CacheRegistry.persist(
+      postings.where(col("split") === "train")
+        .join(broadcast(testShingles), Seq("s"), "left_semi")
+        .select(col("doc_id"), col("s")))
+    // count, not countDistinct: the posting artifact is per-doc DISTINCT by
+    // construction (it explodes [[shingledDocs]]' array_distinct sets and
+    // the lake never rewrites rows), so the semi-join survivors stay
+    // distinct per doc and the plain count equals the plain form's
+    // countDistinct — without the Expand machinery over 10⁷ rows. This is a
+    // declared precondition of the PREBUILT form (callers pass lake
+    // artifacts); the in-query [[benchmarkContamination]] keeps
+    // countDistinct because its input contract is any documents frame.
+    val nSh = leaked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val nTd = leaked.join(broadcast(classPost), Seq("s"))
+      .select(col("doc_id"), col("cid"), col("n_docs")).distinct()
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_docs")).cast("long").as("n_test_docs"))
+    nSh.join(nTd, Seq("doc_id"))
+  }
+
+  /** Prewarm hook for the always-on corpus pin: memoizes
+    * [[benchmarkContaminationPrebuilt]]'s identity verdict for
+    * (documents, postings) outside query timing. */
+  def verifyPostingCorpus(documents: DataFrame, postings: DataFrame): Unit =
+    CorpusPin.check(documents, postings, "s", CorpusCountKey, CorpusXorKey,
+      DebugAssertSpanCorpusProp, "benchmarkContaminationPrebuilt",
+      (sn, sx, n, x) =>
+        s"verifyPostingCorpus: the posting artifacts cover a different " +
+          s"corpus (count/xor $sn/$sx vs $n/$x)")
+
   /** Incremental exact dedup — the daily-ingest pattern: drop new docs whose
     * content hash already exists in the historical corpus, then dedup within
     * the batch itself (keep-min policy). `seen` is the (text_md5) column of

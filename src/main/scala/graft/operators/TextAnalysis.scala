@@ -1059,6 +1059,13 @@ object TextAnalysis {
   /** Salt for [[trainValTestSplit]] — changing it re-rolls every assignment. */
   val SplitSalt = "graftsplit"
 
+  /** The split specification tag stamped into split-dependent artifacts
+    * ([[graft.operators.Dedup.SplitSpecKey]]): salt + threshold layout of
+    * [[splitFor]]. Rendering the ratios here means a future threshold edit
+    * changes the tag, and every artifact frozen under the old spec refuses
+    * its probe instead of silently serving a different test-doc set. */
+  def splitSpecTag: String = s"$SplitSalt#train<80,val<90,test<100"
+
   /** The split label for a doc id — the ONE place the salted-hash bucket and
     * the 80/10/10 thresholds live; [[trainValTestSplit]] (batch + oracle
     * parity) and the streaming curation ingest both render this column, so

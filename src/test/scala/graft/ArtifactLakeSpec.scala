@@ -119,6 +119,39 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == direct, "rebuild after delete diverged")
   }
 
+  test("ShinglePostingLake artifacts: prebuilt == plain; views derive from postings; pins refuse") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val direct = rows(graft.operators.Dedup.benchmarkContamination(docs))
+    graft.CacheRegistry.release()
+    graft.sources.ShinglePostingLake.reset()
+    val post = graft.sources.ShinglePostingLake.postings(spark, sf0001)
+    val cls = graft.sources.ShinglePostingLake.testClasses(spark, sf0001)
+    val mem = graft.sources.ShinglePostingLake.testShingles(spark, sf0001)
+    val served = rows(graft.operators.Dedup
+      .benchmarkContaminationPrebuilt(docs, post, cls, mem))
+    graft.CacheRegistry.release()
+    assert(served == direct,
+      s"prebuilt diverged: ${served.size} vs ${direct.size}")
+    assert(served.nonEmpty)
+    // the class view must be the quotient OF the posting artifact's test
+    // partition, and the membership set its distinct shingles
+    assert(rows(cls) ==
+      rows(graft.operators.Dedup.testClassesFromPostings(post)),
+      "class view diverged from posting rollup")
+    assert(rows(mem) == rows(cls.select(col("s")).distinct()),
+      "membership set diverged from class view")
+    // split-partitioned layout: the train scan must prune directories
+    val trainPlan = post.where(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(trainPlan.contains("PartitionFilters"), trainPlan.take(500))
+    // identity pin (always-on): a different corpus frame fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Dedup.benchmarkContaminationPrebuilt(
+        docs.where(col("doc_id") % 3 === 0), post, cls, mem))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    graft.CacheRegistry.release()
+  }
+
   test("span-lake artifacts refuse a probe with a different corpus (debug-gated)") {
     // the corpus-identity pin, span edition (r18): windows/dupHashes cover
     // ONE corpus; probing them with a different documents frame silently
