@@ -209,6 +209,82 @@ object Bpe {
     rules.toSeq
   }
 
+  /** DuckDB oracle for [[trainMergesBatched]] (r19, verdict r18 #4): the
+    * batched stale-count semantics are deterministic, so they replay —
+    * per round, the top-4·m candidate window under the total order
+    * (`row_number ... QUALIFY`), the GREEDY disjoint selection as a
+    * recursive CTE walking the window in rank order carrying the picked
+    * lists + used-symbol set (`list_contains` on lhs/rhs/merged — exactly
+    * [[trainMergesBatched]]'s eligibility test), then the corpus rewrite as
+    * `batchSize` CHAINED guarded single-merge folds (each the proven
+    * [[oracleSql]] fold, applied `pl[k]/pr[k]` in selection order — the
+    * Scala side's `foldLeft` of [[applyMerge]]). Rounds unroll to
+    * `totalMerges` (the worst legal case: one pick per round; a round that
+    * picks nothing has an empty candidate window and no-ops), with `m_r =
+    * least(batchSize, totalMerges − Σ prior picks)` computed from the prior
+    * rounds' picked lists. CTEs are MATERIALIZED: the round chain
+    * references each stage multiple times and DuckDB's default inlining
+    * re-evaluates the whole prefix exponentially (measured: fd exhaustion
+    * at 8 rounds). Validated against an independent reference
+    * implementation at sf0.001/0.01/0.1 before wiring (BpeSpec pins the
+    * Spark side). */
+  def oracleSqlBatched(table: String, totalMerges: Int, batchSize: Int): String = {
+    val base =
+      s"""s0 AS MATERIALIZED (SELECT array_to_string(string_split(word, ''), ' ') AS s, cnt FROM (
+         |  SELECT word, COUNT(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM $table)
+         |  GROUP BY word))""".stripMargin
+    def priorPicks(r: Int): String =
+      (1 until r).map(q => s"(SELECT len(pl) FROM g$q)")
+        .mkString(" + ") match { case "" => "0"; case s => s }
+    def foldExpr: String =
+      (1 to batchSize).foldLeft("s") { (e, k) =>
+        val inner =
+          s"""list_reduce(string_split($e, ' '), (acc, x) ->
+             |    CASE WHEN (acc = pl[$k] OR ends_with(acc, ' ' || pl[$k])) AND x = pr[$k]
+             |         THEN acc || pr[$k] ELSE acc || ' ' || x END)""".stripMargin
+        s"(CASE WHEN len(pl) >= $k THEN $inner ELSE $e END)"
+      }
+    val roundCtes = (1 to totalMerges).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS MATERIALIZED (SELECT pr[1] AS lhs, pr[2] AS rhs, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS pr, cnt
+         |    FROM (SELECT string_split(s, ' ') AS l, cnt FROM $prev))
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT least($batchSize, $totalMerges - (${priorPicks(r)})) AS m),
+         |c$r AS MATERIALIZED (SELECT lhs, rhs, n,
+         |    row_number() OVER (ORDER BY n DESC, lhs ASC, rhs ASC) AS rn
+         |  FROM p$r QUALIFY rn <= 4 * (SELECT m FROM m$r)),
+         |sel$r(i, pl, pr, pn, used) AS (
+         |  SELECT 0, CAST([] AS VARCHAR[]), CAST([] AS VARCHAR[]),
+         |    CAST([] AS BIGINT[]), CAST([] AS VARCHAR[])
+         |  UNION ALL
+         |  SELECT sel$r.i + 1,
+         |    CASE WHEN ok THEN list_append(pl, c.lhs) ELSE pl END,
+         |    CASE WHEN ok THEN list_append(pr, c.rhs) ELSE pr END,
+         |    CASE WHEN ok THEN list_append(pn, c.n) ELSE pn END,
+         |    CASE WHEN ok THEN list_concat(used, [c.lhs, c.rhs, c.lhs || c.rhs]) ELSE used END
+         |  FROM sel$r, c$r c,
+         |    LATERAL (SELECT len(sel$r.pl) < (SELECT m FROM m$r)
+         |      AND NOT list_contains(sel$r.used, c.lhs)
+         |      AND NOT list_contains(sel$r.used, c.rhs)
+         |      AND NOT list_contains(sel$r.used, c.lhs || c.rhs) AS ok)
+         |  WHERE c.rn = sel$r.i + 1),
+         |g$r AS MATERIALIZED (SELECT pl, pr, pn FROM sel$r ORDER BY i DESC LIMIT 1),
+         |s$r AS MATERIALIZED (SELECT $foldExpr AS s, cnt FROM $prev, g$r)""".stripMargin
+    }
+    val union = (1 to totalMerges).map { r =>
+      s"""SELECT (${priorPicks(r)}) + generate_subscripts(pl, 1) AS merge_rank,
+         |  unnest(pl) AS lhs, unnest(pr) AS rhs,
+         |  unnest(list_zip(pl, pr)) AS z, unnest(pn) AS n FROM g$r""".stripMargin
+    }.mkString("\n UNION ALL ")
+    s"""WITH RECURSIVE $base,
+       |${roundCtes.mkString(",\n")}
+       |SELECT CAST(merge_rank AS INT) AS merge_rank, lhs, rhs,
+       |  z[1] || z[2] AS merged, n
+       |FROM ($union) ORDER BY merge_rank""".stripMargin
+  }
+
   /** DuckDB oracle: the identical K-round computation unrolled — symbol
     * sequences as space-joined strings, the greedy merge as a `list_reduce`
     * fold appending `rhs` (no space) when the accumulator's last
