@@ -76,6 +76,10 @@ class IncrementalDrillSpec extends SparkSpec {
     // post-ingest class quotient, versioned per day (r18: the
     // phashClassesMerged refresh artifact the serving form reads)
     def quotDir(day: Int) = s"$artRoot/quotient-day$day"
+    // span-lake owner-count view, versioned per day (r19 #7: the SpanWindow
+    // Lake compaction chain — dupHashes derives from a chained per-hash
+    // distinct-doc count, not a per-day rebuild)
+    def cntDir(day: Int) = s"$artRoot/span-counts-day$day"
     val ivfRoot = s"$artRoot/ivf"      // versioned index root with LATEST pointer
 
     // ---- day 0 bootstrap: empty history everywhere; the incremental forms
@@ -87,6 +91,10 @@ class IncrementalDrillSpec extends SparkSpec {
       .write.mode("overwrite").parquet(seenDir)
     Dedup.lshBuckets(d0).write.mode("overwrite").parquet(bandDir)
     Dedup.spanWindowSet(d0).write.mode("overwrite").parquet(winDir)
+    // day-0 span owner counts: the batch IS the corpus
+    Dedup.spanWindowSet(d0).groupBy(col("wh"))
+      .agg(count(lit(1)).cast("long").as("nd"))
+      .write.mode("overwrite").parquet(cntDir(0))
     Multimodal.phashFrames(d0, carry = Seq("lang"))
       .write.mode("overwrite").parquet(skDir)
     // day-0 quotient: the batch IS the corpus
@@ -182,6 +190,36 @@ class IncrementalDrillSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(winArt == winFull, s"day $day: window artifact diverged " +
         s"(${winArt.size} vs ${winFull.size})")
+      graft.CacheRegistry.release()
+
+      // ---------------- span serving-artifact chain (r19 #7, the merged-
+      // quotient statement for the span lake): the dup-hash compaction view
+      // derives from a CHAINED per-hash owner count — counts(d) =
+      // counts(d−1) ⊕ batch's distinct-doc counts, sound because daily doc
+      // sets are disjoint so owner counts ADD (the flip-merge associativity
+      // argument, span edition) — never from a per-day rebuild. Assert (a)
+      // the chained counts equal the one-shot rollup of the appended window
+      // artifact, and (b) the PREBUILT serving form probing the chained
+      // artifacts equals the full recompute — the chain actually serves.
+      Dedup.spanWindowSet(batch).groupBy(col("wh"))
+        .agg(count(lit(1)).cast("long").as("nd"))
+        .unionByName(spark.read.parquet(cntDir(day - 1)))
+        .groupBy(col("wh")).agg(sum(col("nd")).cast("long").as("nd"))
+        .write.mode("overwrite").parquet(cntDir(day))
+      val cntArt = spark.read.parquet(cntDir(day)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cntWant = spark.read.parquet(winDir).groupBy(col("wh"))
+        .agg(count(lit(1)).cast("long").as("nd")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cntArt == cntWant, s"day $day: chained span owner counts " +
+        s"diverged from the one-shot rollup (${cntArt.size} vs ${cntWant.size})")
+      val dupChained = spark.read.parquet(cntDir(day))
+        .where(col("nd") > 1).select(col("wh"))
+      val servedSpan = spanKey(Dedup.dupSpanSharePrebuilt(cumDocs,
+        spark.read.parquet(winDir), dupChained))
+      val servedWant = spanKey(Dedup.dupSpanShare(cumDocs))
+      assert(servedSpan == servedWant, s"day $day: serving form over the " +
+        s"chained artifacts diverged (${servedSpan.size} vs ${servedWant.size})")
       graft.CacheRegistry.release()
 
       // ---------------- media dedup: probe the sketch artifact, append
