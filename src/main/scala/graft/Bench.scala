@@ -566,6 +566,18 @@ object Bench {
           graft.sources.BigramLmLake.perDoc(spark, benchDir))
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("unigram-lake"))
+      prewarm("unigram-lake") { // per-doc token counts + corpus tf and
+        // total tables: the unigram LM family's ingest sink + compaction
+        // views (UnigramLmLake scaladoc); warm the corpus pin for the
+        // timed frame
+        graft.sources.UnigramLmLake.tf(spark, benchDir)
+        graft.sources.UnigramLmLake.totals(spark, benchDir)
+        graft.operators.TextAnalysis.verifyUnigramCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.UnigramLmLake.perDoc(spark, benchDir))
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("contam-lake"))
       prewarm("contam-lake") { // split-frozen shingle postings + test class
         // postings + membership set (ShinglePostingLake scaladoc); warm the

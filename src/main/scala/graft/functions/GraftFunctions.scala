@@ -197,6 +197,13 @@ object GraftFunctions {
   def minhashSignature(shingles: Column): Column =
     ExpressionUtils.column(MinhashSignature(ExpressionUtils.expression(shingles)))
 
+  /** The K=8 MinHash signature DIRECTLY from the token array — value-
+    * identical to `minhashSignature(shingles3(tokens))` without the shingle
+    * string/distinct-set materialization ([[MinhashSignatureTokens]] has the
+    * equivalence argument); null below 3 tokens. */
+  def minhashSignatureTokens(tokens: Column): Column =
+    ExpressionUtils.column(MinhashSignatureTokens(ExpressionUtils.expression(tokens)))
+
   /** MinHash value j over a shingle array: min over shingles of
     * (a_j·h32(s)+b_j) mod P. NULL when the shingle set is empty. Computed with
     * higher-order functions — no explode, no shuffle: at 100 TB this stays
@@ -290,6 +297,13 @@ object GraftFunctions {
     * [[TokenStatsExpr]] has the equivalence argument per field). */
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(text), stopwords))
+
+  /** The per-doc entropy aggregate — `STRUCT<n_tokens, n_types, fold>` with
+    * `fold` = Σ c·ln(c) over distinct tokens in ascending binary token
+    * order — in one byte pass ([[TokenEntropyExpr]] has the bit-identity
+    * argument against the explode → groupBy → sorted-fold chain). */
+  def tokenEntropyStats(text: Column): Column =
+    ExpressionUtils.column(TokenEntropyExpr(ExpressionUtils.expression(text)))
 
   /** The composed Column formulation (pre-r10 implementation) — retained as
     * the executable spec [[langId]] is parity-tested against, at any

@@ -249,6 +249,51 @@ object PortableHash {
       .fromPrimitiveArray(mins)
   }
 
+  /** One-pass K=8 MinHash signature DIRECTLY over the token array (r19
+    * optimization round): streams each 3-token window's bytes
+    * (`tok ' ' tok ' ' tok`) straight into the digest instead of first
+    * materializing the shingle strings. Value-identical to
+    * `minhashSig(shingles3(tokens))` — md5 runs over the same byte sequence
+    * each window (concat with ' ' separators IS that byte sequence; tokens
+    * come from a single-space split so they never contain the separator),
+    * and dropping `array_distinct` cannot change a MINIMUM (min over a
+    * multiset equals min over its support). What the fused form removes,
+    * per window: one 3-token UTF8String concat build, one array_distinct
+    * hash-set insert, and one getBytes copy (token bytes are fetched once
+    * per doc, not once per window per slot). Callers guard n >= 3
+    * ([[MinhashSignatureTokens]] returns null below that, matching
+    * `shingles3`'s empty array → [[MinhashSignature]]'s null). */
+  def minhashSigTokens(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    val k = MinhashA.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val m = md.get()
+    val dig = new Array[Byte](16)
+    var s = 0
+    while (s + 2 < n) {
+      m.reset()
+      m.update(toks(s)); m.update(SpaceByte)
+      m.update(toks(s + 1)); m.update(SpaceByte)
+      m.update(toks(s + 2))
+      m.digest(dig, 0, 16)
+      val h = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      var j = 0
+      while (j < k) {
+        val v = (MinhashA(j) * h + MinhashB(j)) % MinhashP
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
   /** One-pass SimHash32 over an ARRAY<STRING> (see [[SimHash32]]). */
   def simhash32(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = arr.numElements()
@@ -376,6 +421,47 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
        """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+/** `minhash_sig_tokens(ARRAY<STRING>) -> ARRAY<BIGINT>[8]`: the K=8 MinHash
+  * signature computed DIRECTLY from the token array in one pass
+  * ([[PortableHash.minhashSigTokens]]) — value-identical to
+  * `minhash_sig(shingles3(tokens))` without materializing the shingle
+  * strings or the distinct set (duplicates cannot change a minimum). NULL
+  * below 3 tokens, matching `shingles3`'s empty array →
+  * [[MinhashSignature]]'s null (and `shingles3`'s null-input → empty-array
+  * path collapses to plain null propagation here). */
+case class MinhashSignatureTokens(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_tokens expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr.numElements() < 3) null else PortableHash.minhashSigTokens(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |if ($c.numElements() < 3) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.PortableHash.minhashSigTokens($c);
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureTokens =
     copy(child = newChild)
 }
 

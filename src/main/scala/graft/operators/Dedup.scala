@@ -45,7 +45,13 @@ object Dedup {
     * elimination); measured 8× slower.
     */
   def minhashSignatures(documents: DataFrame): DataFrame = {
-    val sig = minhashSignature(shingles3(tokens(col("text"))))
+    // r19 optimization round: the signature streams each 3-token window's
+    // bytes straight into the digest ([[graft.functions
+    // .MinhashSignatureTokens]]) instead of materializing the distinct
+    // shingle-string array first — value-identical (same md5 byte sequence
+    // per window; duplicates cannot change a minimum; PortableHashSpec pins
+    // fused ≡ minhashSignature∘shingles3 on random docs and the corpus)
+    val sig = minhashSignatureTokens(tokens(col("text")))
     documents
       .select(col("doc_id"), explode(array(struct(sig.as("sig")))).as("w"))
       .select((col("doc_id") +:

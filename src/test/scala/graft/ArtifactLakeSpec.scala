@@ -119,6 +119,43 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == direct, "rebuild after delete diverged")
   }
 
+  test("UnigramLmLake artifacts: prebuilt == plain; views derive from perDoc; rebuilds; pin refuses") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val direct = rows(graft.operators.TextAnalysis.unigramLogprob(docs))
+    graft.CacheRegistry.release()
+    graft.sources.UnigramLmLake.reset()
+    val pd = graft.sources.UnigramLmLake.perDoc(spark, sf0001)
+    val tf = graft.sources.UnigramLmLake.tf(spark, sf0001)
+    val tot = graft.sources.UnigramLmLake.totals(spark, sf0001)
+    // the serving form over the artifacts == the in-query form
+    val served = rows(graft.operators.TextAnalysis
+      .unigramLogprobPrebuilt(docs, pd, tf, tot))
+    assert(served == direct,
+      s"prebuilt diverged: ${served.size} vs ${direct.size}")
+    assert(served.nonEmpty)
+    // the derived views must be rollups OF the perDoc artifact
+    assert(rows(tf) == rows(pd.groupBy(col("th")).agg(sum(col("c")).as("n"))),
+      "tf view diverged from perDoc rollup")
+    assert(rows(tot) == rows(tf.agg(sum(col("n")).as("total"))),
+      "totals view diverged from tf rollup")
+    graft.CacheRegistry.release()
+    // identity pin (always-on): a different corpus frame fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.unigramLogprobPrebuilt(
+        docs.where(col("doc_id") % 3 === 0), pd, tf, tot))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    // delete + reset: next read must rebuild from source
+    val dir = new java.io.File("target/unigram-lake")
+    if (dir.exists()) rm(dir)
+    graft.sources.UnigramLmLake.reset()
+    val rebuilt = rows(graft.operators.TextAnalysis.unigramLogprobPrebuilt(docs,
+      graft.sources.UnigramLmLake.perDoc(spark, sf0001),
+      graft.sources.UnigramLmLake.tf(spark, sf0001),
+      graft.sources.UnigramLmLake.totals(spark, sf0001)))
+    graft.CacheRegistry.release()
+    assert(rebuilt == direct, "rebuild after delete diverged")
+  }
+
   test("ShinglePostingLake artifacts: prebuilt == plain; views derive from postings; pins refuse") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val direct = rows(graft.operators.Dedup.benchmarkContamination(docs))

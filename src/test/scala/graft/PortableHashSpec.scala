@@ -31,6 +31,34 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("minhashSigTokens == minhashSignature∘shingles3 (fused kernel identity)") {
+    // r19 optimization round: the fused form streams window bytes straight
+    // into the digest and skips array_distinct — identical because md5 sees
+    // the same byte sequence per window and duplicates cannot change a
+    // minimum. Random docs (incl. heavy duplication, <3-token edge, empty
+    // tokens) + the real corpus.
+    import graft.functions.GraftFunctions.{minhashSignature, minhashSignatureTokens, shingles3, tokens}
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "the", "of", "x1", "", "zz")
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("", "a", "a b", "a b c", "a a a a a", "x1 x1 x1 x1")
+    val df = docs.toDF("text").select(
+      minhashSignatureTokens(tokens(col("text"))).as("fused"),
+      minhashSignature(shingles3(tokens(col("text")))).as("composed"))
+    val bad = df.where(
+      (col("fused").isNull =!= col("composed").isNull) ||
+        (col("fused").isNotNull && col("fused") =!= col("composed"))).collect()
+    assert(bad.isEmpty, s"fused minhash diverged: ${bad.take(3).mkString(", ")}")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      minhashSignatureTokens(tokens(col("text"))).as("fused"),
+      minhashSignature(shingles3(tokens(col("text")))).as("composed"))
+    val badC = corpus.where(
+      (col("fused").isNull =!= col("composed").isNull) ||
+        (col("fused").isNotNull && col("fused") =!= col("composed"))).collect()
+    assert(badC.isEmpty, s"fused minhash diverged on corpus: ${badC.take(3).mkString(", ")}")
+  }
+
   test("h60b matches md5 hex chars 16..30 — the composite-widening key") {
     // verdict r16 #6: the escape hatch must be oracle-mirrorable via
     // substr(md5(s), 16, 15), exactly as h60 mirrors chars 1..15

@@ -106,6 +106,86 @@ class TokenStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  // ---- TokenEntropyExpr (r19 optimization round): the one-pass entropy
+  // kernel vs the explode → groupBy → sorted-fold chain it replaced. The
+  // fold is BIT-exact by contract (Σ c·ln c accumulated in ascending binary
+  // token order — the family's sorted-fold determinism key), so the model
+  // below replays that exact addition order.
+
+  private def entropyWalk(s: String): (Long, Long, Double) = {
+    val r = graft.functions.TokenEntropyExpr.stats(UTF8String.fromString(s))
+    (r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  private def entropyRef(s: String): (Long, Long, Double) = {
+    val w = s.split(" ", -1).toSeq
+    val counts = w.groupBy(identity).map { case (t, g) =>
+      (t.getBytes("UTF-8"), g.size) }.toSeq
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(a._1, b._1) < 0)
+    var acc = 0.0
+    counts.foreach { case (_, c) => acc += c.toDouble * math.log(c.toDouble) }
+    (w.size.toLong, counts.size.toLong, acc)
+  }
+
+  test("entropy hand cases vs a plain-Scala model of the sorted fold") {
+    val cases = Seq(
+      "", " ", "  ", "a", "a b", "a a", "a  a", "the cat and the dog",
+      "x x x x x", " leading", "trailing ", "a of to in and the",
+      "café café naïve", "中文 中文 tokens", "emoji 😀 😀",
+      "the the the a a of", "one", "a b c d e f g h i j",
+      "z y x w v u a a a b b c") // reverse-sorted input exercises the sort
+    cases.foreach { s =>
+      val (got, want) = (entropyWalk(s), entropyRef(s))
+      assert(got._1 == want._1 && got._2 == want._2, s"counts mismatch on '$s'")
+      // the fold must match BIT-exactly — it feeds a 6-dp round
+      assert(java.lang.Double.doubleToLongBits(got._3) ==
+        java.lang.Double.doubleToLongBits(want._3), s"fold bits differ on '$s'")
+    }
+  }
+
+  test("property: entropy walk == model (bit-exact fold) on branch-exercising strings") {
+    val word = Gen.frequency(
+      5 -> Gen.oneOf("x", "yy", "zzz", "the", "a", "of", "and", "to", "in"),
+      2 -> Gen.alphaNumStr.map(_.take(8)),
+      1 -> Gen.oneOf("café", "中文", "😀", ""))
+    val texts = Gen.chooseNum(0, 30).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    forAll(texts) { s =>
+      val (got, want) = (entropyWalk(s), entropyRef(s))
+      assert(got._1 == want._1 && got._2 == want._2, s"counts mismatch on '$s'")
+      assert(java.lang.Double.doubleToLongBits(got._3) ==
+        java.lang.Double.doubleToLongBits(want._3), s"fold bits differ on '$s'")
+    }
+  }
+
+  test("DataFrame identity: tokenEntropy == composed (shuffled) form on real docs") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = TextAnalysis.tokenEntropy(docs)
+    val slow = TextAnalysis.tokenEntropyComposed(docs)
+    // names+types (not nullability: `count` is non-nullable where a struct
+    // field fanned out through explode is not — the gate compares names,
+    // types and values)
+    assert(fast.schema.map(f => (f.name, f.dataType)) ==
+      slow.schema.map(f => (f.name, f.dataType)))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  test("tokenEntropy's rewired plan has zero exchanges (the 100 TB point)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plan = TextAnalysis.tokenEntropy(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("tokenEntropy drops null-text docs exactly like the explode form") {
+    import spark.implicits._
+    val df = Seq[(Integer, String)]((1, "a b a"), (2, null)).toDF("doc_id", "text")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val fast = TextAnalysis.tokenEntropy(df).collect()
+    val slow = TextAnalysis.tokenEntropyComposed(df).collect()
+    assert(fast.map(_.toString).sorted.sameElements(slow.map(_.toString).sorted))
+    assert(fast.length == 1 && fast(0).getLong(0) == 1L)
+  }
+
   test("null text propagates as a null stats struct") {
     import spark.implicits._
     val df = Seq[(Integer, String)]((1, "a b"), (2, null)).toDF("id", "text")
