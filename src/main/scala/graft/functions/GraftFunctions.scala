@@ -298,6 +298,12 @@ object GraftFunctions {
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(text), stopwords))
 
+  /** The two word-3-shingle counts — `STRUCT<n_shingles, n_uniq>` — in one
+    * byte pass ([[ShingleStatsExpr]] has the equivalence argument against
+    * `size(shingles3Raw(w))` / `size(array_distinct(shingles3Raw(w)))`). */
+  def shingleStats(text: Column): Column =
+    ExpressionUtils.column(ShingleStatsExpr(ExpressionUtils.expression(text)))
+
   /** The per-doc entropy aggregate — `STRUCT<n_tokens, n_types, fold>` with
     * `fold` = Σ c·ln(c) over distinct tokens in ascending binary token
     * order — in one byte pass ([[TokenEntropyExpr]] has the bit-identity

@@ -70,13 +70,24 @@ object CorpusPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
     val survivors = graft.CacheRegistry.persist(
       exactDeduped.join(dropped, Seq("doc_id"), "left_anti"))
-    val pii = TextAnalysis.piiScrub(survivors)
-      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"))
-    val splits = TextAnalysis.trainValTestSplit(survivors)
-      .select(col("doc_id"), col("split"))
-    survivors.select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(pii, Seq("doc_id"))
-      .join(splits, Seq("doc_id"))
+    // The three final branches (manifest columns, PII audit, split
+    // assignment) are all PER-ROW projections of the same survivors frame —
+    // the r19 optimization round collapses the two doc_id re-join branches
+    // into one join-free projection (two joins + their exchanges gone;
+    // value-identical: the joins were 1:1 on a unique key and every joined
+    // column is a deterministic function of the survivor row). The PII
+    // struct fans out behind the usual Generate barrier so the one-pass
+    // matcher kernel runs once per row, not once per referenced field.
+    val staged = survivors.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      explode(array(
+        graft.functions.GraftFunctions.piiScrubSeq(col("text")))).as("c"))
+    staged.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      col("c.n_emails").cast("int").as("n_emails"),
+      col("c.n_ips").cast("int").as("n_ips"),
+      col("c.n_phones").cast("int").as("n_phones"),
+      TextAnalysis.splitFor(col("doc_id")).as("split"))
   }
 
   /** DuckDB oracle: the same five stages as CTEs, reusing each stage's

@@ -203,19 +203,23 @@ object TextAnalysis {
     // `n_tokens` its token count, so the explode→groupBy→groupBy→join of
     // the composed form (one shuffled row per (doc, distinct token) — a
     // corpus-sized exchange at 100 TB) collapses to a single zero-shuffle
-    // projection; only the shingle ratio still folds over an array
+    // projection. r19 optimization round: the shingle ratio's two counts
+    // come from the one-pass [[graft.functions.ShingleStatsExpr]] kernel —
+    // the per-window shingle-string array + array_distinct hash-set build
+    // left the row (value-identical field by field; TokenStatsSpec pins the
+    // operator against the composed spec).
     val staged = documents.select(
       col("doc_id"),
       explode(array(struct(
-        shingles3Raw(tokens(col("text"))).as("sh"),
+        shingleStats(col("text")).as("ss"),
         tokenStats(col("text"), Stopwords).as("ts")))).as("c"))
     staged.select(
       col("doc_id"),
       col("c.ts.n_tokens").cast("long").as("n_tokens"),
       round(col("c.ts.mode_count").cast("double") /
         col("c.ts.n_tokens"), 6).as("top_tok_ratio"),
-      when(size(col("c.sh")) > 0,
-        round(size(array_distinct(col("c.sh"))).cast("double") / size(col("c.sh")), 6))
+      when(col("c.ss.n_shingles") > 0,
+        round(col("c.ss.n_uniq").cast("double") / col("c.ss.n_shingles"), 6))
         .as("uniq_shingle_ratio"))
   }
 

@@ -106,6 +106,46 @@ class TokenStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  // ---- ShingleStatsExpr (r19 optimization round): the one-pass shingle
+  // count kernel vs the shingles3Raw + array_distinct chain it replaced.
+
+  private def shingleWalk(s: String): (Int, Int) = {
+    val r = graft.functions.ShingleStatsExpr.stats(UTF8String.fromString(s))
+    (r.getInt(0), r.getInt(1))
+  }
+
+  private def shingleRef(s: String): (Int, Int) = {
+    val w = s.split(" ", -1).toSeq
+    if (w.size < 3) (0, 0)
+    else {
+      val sh = w.sliding(3).map(_.mkString(" ")).toSeq
+      (sh.size, sh.distinct.size)
+    }
+  }
+
+  test("shingle stats hand cases vs the shingles3Raw model") {
+    val cases = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a b c d", "a a a a a",
+      "x y x y x y", "the cat and the cat and", "a  b  c", "  ",
+      "ab c d vs a bc d", "中文 中文 tokens 中文 中文 tokens")
+    cases.foreach { s =>
+      assert(shingleWalk(s) == shingleRef(s),
+        s"mismatch on '$s': ${shingleWalk(s)} vs ${shingleRef(s)}")
+    }
+  }
+
+  test("property: shingle stats == model on branch-exercising strings") {
+    val word = Gen.frequency(
+      5 -> Gen.oneOf("x", "yy", "ab", "a", "b", "c"),
+      2 -> Gen.alphaNumStr.map(_.take(6)),
+      1 -> Gen.oneOf("café", "中文", "")) // multi-byte + empty tokens
+    val texts = Gen.chooseNum(0, 24).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    forAll(texts) { s =>
+      assert(shingleWalk(s) == shingleRef(s), s"mismatch on '$s'")
+    }
+  }
+
   // ---- TokenEntropyExpr (r19 optimization round): the one-pass entropy
   // kernel vs the explode → groupBy → sorted-fold chain it replaced. The
   // fold is BIT-exact by contract (Σ c·ln c accumulated in ascending binary
