@@ -238,6 +238,17 @@ object GraftFunctions {
     * fingerprint order-sensitive — the portable analog of a rolling hash.
     */
   def fingerprint(words: Column): Column =
+    // r19 optimization round: one-pass fused kernel (no per-token concat
+    // build, no interpreted HOF lambdas — [[PositionalFingerprint]] has the
+    // value-identity argument; the composed chain below stays as the
+    // executable spec PortableHashSpec pins it against)
+    ExpressionUtils.column(
+      PositionalFingerprint(ExpressionUtils.expression(words)))
+
+  /** The composed formulation (pre-r19) — retained as the executable spec
+    * [[fingerprint]] is parity-tested against (PortableHashSpec); also the
+    * shape the DuckDB oracle replays (1-based generate_subscripts). */
+  private[graft] def fingerprintComposed(words: Column): Column =
     aggregate(
       // index-lambda transform: `words` is a direct child (evaluated once per
       // row); i is 0-based so hash (i+1)#token for parity with the 1-based
@@ -297,6 +308,15 @@ object GraftFunctions {
     * [[TokenStatsExpr]] has the equivalence argument per field). */
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     ExpressionUtils.column(TokenStatsExpr(ExpressionUtils.expression(text), stopwords))
+
+  /** Every sliding chunk window's (chunk_idx, n_chunk_tokens, chunk_h60)
+    * over an ARRAY<STRING> column, one pass ([[ChunkWindowHashes]]) —
+    * value-identical to the compositional sequence/slice/array_join/h60
+    * chain (see the expression scaladoc). The chunking family's window
+    * builder. */
+  def chunkWindowHashes(toks: Column, c: Int, s: Int): Column =
+    ExpressionUtils.column(
+      ChunkWindowHashes(ExpressionUtils.expression(toks), c, s))
 
   /** The two word-3-shingle counts — `STRUCT<n_shingles, n_uniq>` — in one
     * byte pass ([[ShingleStatsExpr]] has the equivalence argument against

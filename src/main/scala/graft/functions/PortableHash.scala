@@ -294,6 +294,83 @@ object PortableHash {
       .fromPrimitiveArray(mins)
   }
 
+  /** One-pass order-sensitive doc fingerprint over an ARRAY<STRING> of
+    * tokens (r19 optimization round): XOR over positions of
+    * `h60("<i+1>#<token>")`, streaming the position digits, the '#' and the
+    * token bytes straight into the digest — value-identical to the
+    * interpreted `aggregate(transform(words, (w, i) -> h60(concat(...))),
+    * 0L, xor)` chain it replaces (md5 over the same byte sequence per
+    * position; XOR is order-insensitive so the fold order is moot), without
+    * the per-token concat string build or the two HOF lambda evaluations
+    * per element. */
+  def positionalFingerprint(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val m = md.get()
+    val dig = new Array[Byte](16)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      m.reset()
+      m.update(java.lang.Integer.toString(i + 1).getBytes)
+      m.update('#'.toByte)
+      m.update(arr.getUTF8String(i).getBytes)
+      m.digest(dig, 0, 16)
+      acc ^= h60FromDigest(dig)
+      i += 1
+    }
+    acc
+  }
+
+  /** Every sliding chunk window's (chunk_idx, n_chunk_tokens, chunk_h60) in
+    * ONE pass over an ARRAY<STRING> token list (r19 optimization round —
+    * the [[spanWindowHashes]] treatment applied to the chunker): window i
+    * covers tokens [i·s, i·s+c) (truncated at the end), i = 0 .. (n > c ?
+    * ceil((n−c)/s) : 0). Value-identical to the compositional
+    * `transform(sequence(0, lastIdx), i -> struct(i, size(slice(w, i·s+1, c)),
+    * h60(array_join(slice(w, i·s+1, c), " "))))` chain — each window's
+    * digest runs over the same byte sequence (array_join skips null
+    * elements with no separator, mirrored here), `n_chunk_tokens` counts
+    * all elements of the slice including nulls — without the per-window
+    * slice ArrayData copy, the array_join string build, or the interpreted
+    * HOF evaluation. Token bytes are fetched once per row. */
+  def chunkWindowHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: Int, s: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val lastIdx = if (n > c) (n - c + s - 1) / s else 0
+    val rows = new Array[Any](lastIdx + 1)
+    val m = md.get()
+    val dig = new Array[Byte](16)
+    var w = 0
+    while (w <= lastIdx) {
+      val start = w * s
+      val end = math.min(start + c, n)
+      m.reset()
+      var j = start
+      var first = true
+      while (j < end) {
+        val t = toks(j)
+        if (t != null) {
+          if (!first) m.update(SpaceByte)
+          m.update(t)
+          first = false
+        }
+        j += 1
+      }
+      m.digest(dig, 0, 16)
+      rows(w) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](w, math.max(end - start, 0),
+          h60FromDigest(dig)))
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** One-pass SimHash32 over an ARRAY<STRING> (see [[SimHash32]]). */
   def simhash32(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = arr.numElements()
@@ -424,6 +501,35 @@ case class MinhashSignature(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `positional_fingerprint(ARRAY<STRING>) -> BIGINT`: the order-sensitive
+  * per-doc fingerprint (XOR over positions of `h60("<i+1>#<token>")`) in one
+  * pass ([[PortableHash.positionalFingerprint]]) — value-identical to the
+  * interpreted transform+aggregate HOF chain (PortableHashSpec pins it);
+  * null-propagating like that chain. */
+case class PositionalFingerprint(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "positional_fingerprint"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"positional_fingerprint expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.positionalFingerprint(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PortableHash.positionalFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalFingerprint =
+    copy(child = newChild)
+}
+
 /** `minhash_sig_tokens(ARRAY<STRING>) -> ARRAY<BIGINT>[8]`: the K=8 MinHash
   * signature computed DIRECTLY from the token array in one pass
   * ([[PortableHash.minhashSigTokens]]) — value-identical to
@@ -497,6 +603,47 @@ case class SpanWindowHashes(child: Expression, window: Int)
       c => s"graft.functions.PortableHash.spanWindowHashes($c, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): SpanWindowHashes =
+    copy(child = newChild)
+}
+
+/** `chunk_window_hashes(ARRAY<STRING>, c, s) ->
+  * ARRAY<STRUCT<chunk_idx: INT, n_chunk_tokens: INT, chunk_h60: BIGINT>>`:
+  * every sliding chunk window's index, token count and portable h60 in one
+  * pass (see [[PortableHash.chunkWindowHashes]]) — the chunking family's
+  * window builder. `c`/`s` are construction-time constants carried by the
+  * plan (the [[SpanWindowHashes]] convention). Value-identical to the
+  * compositional sequence/slice/array_join/h60 chain it replaces, so the
+  * chunk family's oracles are untouched (TextPipelineSpec/PortableHashSpec
+  * gate the identity). */
+case class ChunkWindowHashes(child: Expression, c: Int, s: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  require(c > 0 && s > 0 && s <= c, s"need 0 < stride <= window, got ($c, $s)")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("n_chunk_tokens", IntegerType, nullable = false),
+      StructField("chunk_h60", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "chunk_window_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_window_hashes expects ARRAY<STRING>, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHash.chunkWindowHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], c, s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.PortableHash.chunkWindowHashes($x, $c, $s)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkWindowHashes =
     copy(child = newChild)
 }
 

@@ -346,6 +346,24 @@ object TextAnalysis {
   def chunk(documents: DataFrame,
       c: Int = ChunkTokens, s: Int = ChunkStride): DataFrame = {
     require(c > 0 && s > 0 && s <= c, s"need 0 < stride <= window, got ($c, $s)")
+    // r19 optimization round: the window enumeration + per-window slice copy
+    // + array_join string build + h60 collapse into the one-pass
+    // [[graft.functions.ChunkWindowHashes]] kernel (value-identical — see
+    // its scaladoc; the composed form below stays as the executable spec)
+    documents
+      .select(col("doc_id"),
+        explode(chunkWindowHashes(tokens(col("text")), c, s)).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx").as("chunk_idx"),
+        col("ch.n_chunk_tokens").as("n_chunk_tokens"),
+        col("ch.chunk_h60").as("chunk_h60"))
+  }
+
+  /** The composed formulation (pre-r19) — retained as the executable spec
+    * [[chunk]] is parity-tested against (TextPipelineSpec); also the shape
+    * the DuckDB oracle replays. */
+  private[graft] def chunkComposed(documents: DataFrame,
+      c: Int = ChunkTokens, s: Int = ChunkStride): DataFrame = {
+    require(c > 0 && s > 0 && s <= c, s"need 0 < stride <= window, got ($c, $s)")
     val staged = documents.select(
       col("doc_id"),
       explode(array(struct(tokens(col("text")).as("w")))).as("t"))

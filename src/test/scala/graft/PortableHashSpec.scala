@@ -59,6 +59,26 @@ class PortableHashSpec extends SparkSpec {
     assert(badC.isEmpty, s"fused minhash diverged on corpus: ${badC.take(3).mkString(", ")}")
   }
 
+  test("positionalFingerprint == composed transform+aggregate chain") {
+    // r19 optimization round: fused kernel identity on random token lists
+    // (incl. empties, dup tokens, multi-byte) + the real corpus
+    import graft.functions.GraftFunctions.{fingerprint, fingerprintComposed, tokens}
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "bb", "ccc", "the", "", "中文", "x1")
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("", "a", "a a", "a b a b")
+    val df = docs.toDF("text").select(
+      fingerprint(tokens(col("text"))).as("fused"),
+      fingerprintComposed(tokens(col("text"))).as("composed"))
+    val bad = df.where(col("fused") =!= col("composed")).collect()
+    assert(bad.isEmpty, s"fused fingerprint diverged: ${bad.take(3).mkString(", ")}")
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      fingerprint(tokens(col("text"))).as("fused"),
+      fingerprintComposed(tokens(col("text"))).as("composed"))
+    assert(corpus.where(col("fused") =!= col("composed")).isEmpty)
+  }
+
   test("h60b matches md5 hex chars 16..30 — the composite-widening key") {
     // verdict r16 #6: the escape hatch must be oracle-mirrorable via
     // substr(md5(s), 16, 15), exactly as h60 mirrors chars 1..15

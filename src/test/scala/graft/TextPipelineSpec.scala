@@ -241,6 +241,20 @@ class TextPipelineSpec extends SparkSpec {
       "distinct windows over distinct tokens must hash distinctly")
   }
 
+  test("chunk == composed form (fused window kernel identity, r19)") {
+    // odd window/stride + the real corpus: every (idx, count, hash) must be
+    // identical to the sequence/slice/array_join/h60 chain the oracle replays
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for ((c, s) <- Seq((4, 3), (7, 7), (64, 48))) {
+      val fast = TextAnalysis.chunk(docs, c = c, s = s)
+      val slow = TextAnalysis.chunkComposed(docs, c = c, s = s)
+      assert(fast.schema.map(f => (f.name, f.dataType)) ==
+        slow.schema.map(f => (f.name, f.dataType)))
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"chunk diverged at (c=$c, s=$s)")
+    }
+  }
+
   test("boilerplate: flags chunks repeated across docs, not within one doc") {
     val shared = (1 to TextAnalysis.BoilerplateTokens).map(i => s"w$i").mkString(" ")
     val docs = Seq(
