@@ -561,9 +561,11 @@ object Bench {
         // (BigramLmLake scaladoc); warm the corpus pin for the timed frame
         graft.sources.BigramLmLake.counts(spark, benchDir)
         graft.sources.BigramLmLake.marginals(spark, benchDir)
+        // the serving row probes the doc_id-bucketed sink layout (r19);
+        // warm the pin against THAT frame so its verdict is memoized
         graft.operators.TextAnalysis.verifyBigramCorpus(
           spark.read.parquet(s"$benchDir/documents.parquet"),
-          graft.sources.BigramLmLake.perDoc(spark, benchDir))
+          graft.sources.BigramLmLake.perDocBucketed(spark, benchDir))
         graft.CacheRegistry.release()
       }
     if (subsetNeeds("unigram-lake"))
@@ -573,9 +575,10 @@ object Bench {
         // timed frame
         graft.sources.UnigramLmLake.tf(spark, benchDir)
         graft.sources.UnigramLmLake.totals(spark, benchDir)
+        // pin warmed against the bucketed sink layout the serving row reads
         graft.operators.TextAnalysis.verifyUnigramCorpus(
           spark.read.parquet(s"$benchDir/documents.parquet"),
-          graft.sources.UnigramLmLake.perDoc(spark, benchDir))
+          graft.sources.UnigramLmLake.perDocBucketed(spark, benchDir))
         graft.CacheRegistry.release()
       }
     if (subsetNeeds("contam-lake"))

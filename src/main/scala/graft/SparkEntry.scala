@@ -579,8 +579,10 @@ object SparkEntry {
       // compaction views); the timed row pays only the score join + the
       // per-doc sorted fold. Row-identical to TextAnalysis.unigramLogprob
       // (ArtifactLakeSpec pins it); oracle replays from source
+      // sink read through the doc_id-bucketed layout — no fold exchange,
+      // same as bigram_logprob
       TextAnalysis.unigramLogprobPrebuilt(tbl(s, d, "documents"),
-        graft.sources.UnigramLmLake.perDoc(s, d),
+        graft.sources.UnigramLmLake.perDocBucketed(s, d),
         graft.sources.UnigramLmLake.tf(s, d),
         graft.sources.UnigramLmLake.totals(s, d))
         .orderBy(col("doc_id"))),
@@ -622,8 +624,11 @@ object SparkEntry {
       // compaction views); the timed row pays only the score joins + the
       // per-doc sorted fold. Row-identical to TextAnalysis.bigramLogprob
       // (ArtifactLakeSpec pins it); oracle replays from source
+      // r19 optimization round: the sink is read through its doc_id-BUCKETED
+      // layout, so the per-doc fold needs no exchange (guide §2.4) — the
+      // count sides broadcast and the only shuffle left is the dump orderBy
       TextAnalysis.bigramLogprobPrebuilt(tbl(s, d, "documents"),
-        graft.sources.BigramLmLake.perDoc(s, d),
+        graft.sources.BigramLmLake.perDocBucketed(s, d),
         graft.sources.BigramLmLake.counts(s, d),
         graft.sources.BigramLmLake.marginals(s, d))
         .orderBy(col("doc_id"))),

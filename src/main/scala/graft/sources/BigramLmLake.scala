@@ -66,6 +66,30 @@ object BigramLmLake {
         .withColumn("bh", col("bh").as("bh", m))
     })
 
+  /** [[perDoc]] as a doc_id-BUCKETED catalog table (r19 optimization
+    * round, guide §2.4): the serving row's only corpus-sized exchange was
+    * `hashpartitioning(doc_id)` feeding the per-doc fold — the count sides
+    * broadcast (vocab-bounded), so bucketing the sink by doc_id removes the
+    * last shuffle from the timed query (the bucketed scan already satisfies
+    * the aggregate's clustering). The write shuffle moves to artifact
+    * refresh, where the production ingest sink pays it once. Bucket count
+    * is scale-adaptive: sized from the parquet artifact's bytes (one bucket
+    * per ~128 MB) with a floor of the session's parallelism so a scan can
+    * feed every core — never a constant tuned to this box. Row-identical to
+    * [[perDoc]] (same frame, re-laid-out; ArtifactLakeSpec pins content
+    * equality and that the corpus pin survives the catalog round-trip). */
+  def perDocBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val pd = perDoc(spark, sfDir) // ensure the parquet sink + pin exist
+    val tbl = ArtifactMemo.getOrBuild(cache, s"perdoc-bkt#$sfDir") {
+      val name = "graft_lm_bigram_perdoc_" +
+        graft.SfPath.safe(sfDir).toLowerCase.replaceAll("[^a-z0-9]", "_")
+      val buckets = LakeBuckets.forDir(spark, dir(sfDir, "perdoc"))
+      graft.operators.Bucketing.writeBucketed(pd, name, "doc_id", buckets)
+      name
+    }
+    spark.table(tbl)
+  }
+
   /** Corpus bigram totals `(bh, b)` — derived from the PERDOC artifact. */
   def counts(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(build(spark, sfDir, "counts") { _ =>

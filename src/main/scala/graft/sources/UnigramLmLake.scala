@@ -67,6 +67,24 @@ object UnigramLmLake {
         .withColumn("th", col("th").as("th", m))
     })
 
+  /** [[perDoc]] as a doc_id-BUCKETED catalog table — same rationale and
+    * sizing as [[BigramLmLake.perDocBucketed]] (guide §2.4): the serving
+    * row's only corpus-sized exchange was the doc_id hashpartitioning
+    * feeding the per-doc fold; the bucketed sink's scan satisfies the
+    * aggregate's clustering, so the timed query keeps only the oracle
+    * dump's orderBy. */
+  def perDocBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val pd = perDoc(spark, sfDir) // ensure the parquet sink + pin exist
+    val tbl = ArtifactMemo.getOrBuild(cache, s"perdoc-bkt#$sfDir") {
+      val name = "graft_lm_unigram_perdoc_" +
+        graft.SfPath.safe(sfDir).toLowerCase.replaceAll("[^a-z0-9]", "_")
+      val buckets = LakeBuckets.forDir(spark, dir(sfDir, "perdoc"))
+      graft.operators.Bucketing.writeBucketed(pd, name, "doc_id", buckets)
+      name
+    }
+    spark.table(tbl)
+  }
+
   /** Corpus token totals `(th, n)` — derived from the PERDOC artifact. */
   def tf(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(build(spark, sfDir, "tf") { _ =>

@@ -119,6 +119,53 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == direct, "rebuild after delete diverged")
   }
 
+  test("bucketed LM sinks: content == parquet sink; pin survives catalog; fold needs no exchange") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // content identity: the bucketed layout is the SAME frame re-laid-out
+    graft.sources.BigramLmLake.reset()
+    val pd = graft.sources.BigramLmLake.perDoc(spark, sf0001)
+    val pdB = graft.sources.BigramLmLake.perDocBucketed(spark, sf0001)
+    assert(rows(pdB) == rows(pd), "bucketed bigram sink diverged from parquet sink")
+    // the corpus pin must survive the saveAsTable round-trip — a stripped
+    // stamp would silently disable the always-on identity check
+    val f = pdB.schema.fields.find(_.name == "bh").get
+    assert(f.metadata.contains(graft.operators.Dedup.CorpusCountKey) &&
+      f.metadata.contains(graft.operators.Dedup.CorpusXorKey),
+      "corpus pin stamp lost through the catalog")
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.bigramLogprobPrebuilt(
+        docs.where(col("doc_id") % 3 === 0), pdB,
+        graft.sources.BigramLmLake.counts(spark, sf0001),
+        graft.sources.BigramLmLake.marginals(spark, sf0001)))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    // the 100 TB point: with the bucketed sink + broadcast count sides, the
+    // serving query's fold runs WITHOUT a shuffle — the executed plan of the
+    // un-sorted serving form must contain no Exchange at all
+    val served = graft.operators.TextAnalysis.bigramLogprobPrebuilt(docs, pdB,
+      graft.sources.BigramLmLake.counts(spark, sf0001),
+      graft.sources.BigramLmLake.marginals(spark, sf0001))
+    served.write.format("noop").mode("overwrite").save()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"doc_id exchange survived the bucketed sink:\n$plan")
+    // unigram twin: same three properties
+    graft.sources.UnigramLmLake.reset()
+    val upd = graft.sources.UnigramLmLake.perDoc(spark, sf0001)
+    val updB = graft.sources.UnigramLmLake.perDocBucketed(spark, sf0001)
+    assert(rows(updB) == rows(upd), "bucketed unigram sink diverged")
+    val uf = updB.schema.fields.find(_.name == "th").get
+    assert(uf.metadata.contains(graft.operators.Dedup.CorpusCountKey),
+      "unigram corpus pin stamp lost through the catalog")
+    val useved = graft.operators.TextAnalysis.unigramLogprobPrebuilt(docs, updB,
+      graft.sources.UnigramLmLake.tf(spark, sf0001),
+      graft.sources.UnigramLmLake.totals(spark, sf0001))
+    useved.write.format("noop").mode("overwrite").save()
+    val uplan = useved.queryExecution.executedPlan.toString
+    assert(!uplan.contains("Exchange hashpartitioning(doc_id"),
+      s"doc_id exchange survived the bucketed unigram sink:\n$uplan")
+    graft.CacheRegistry.release()
+  }
+
   test("UnigramLmLake artifacts: prebuilt == plain; views derive from perDoc; rebuilds; pin refuses") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val direct = rows(graft.operators.TextAnalysis.unigramLogprob(docs))
