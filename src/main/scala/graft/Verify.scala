@@ -23,6 +23,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftSparkExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // joins planned like the bench (guide §3.1 — correctness must be
+      // verified under the same join strategies timing runs with)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

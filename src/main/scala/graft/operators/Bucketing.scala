@@ -54,22 +54,32 @@ object Bucketing {
     * SortedLake.forSfDir: the write shuffle is paid once per layout, every
     * subsequent orderkey join streams bucket-aligned files. */
   def forSfDir(spark: SparkSession, sfDir: String,
-      buckets: Int = 8): (String, String) =
+      buckets: Int = 0): (String, String) = {
+    // buckets = 0 → scale-adaptive (r19 optimization round): the old
+    // constant default of 8 starved the co-located join at scale (a
+    // bucketed scan schedules ONE task per bucket, so 60M sf10 lineitem
+    // rows ran 8-wide on 32 cores — measured 6.4 s warm for a layout whose
+    // point is to be fast). Size from the bigger side's on-disk bytes with
+    // a parallelism floor ([[graft.sources.LakeBuckets]]), like the LM
+    // sinks; both sides get the SAME count (the co-located precondition).
+    val nBuckets = if (buckets > 0) buckets
+      else graft.sources.LakeBuckets.forDir(spark, s"$sfDir/lineitem.parquet")
     // key on (sfDir, buckets) — memoizing on sfDir alone would hand a caller
     // asking for a different bucket count the FIRST layout's tables,
     // silently violating the equal-bucket-count precondition the co-located
     // plan depends on (ADVICE r7); table names carry the count for the same
     // reason (PqQuant/LshAnn forSfDir precedent)
-    cache.getOrElseUpdate(s"$sfDir#$buckets", {
+    cache.getOrElseUpdate(s"$sfDir#$nBuckets", {
       val safe = sfDir.toLowerCase.replaceAll("[^a-z0-9]", "_")
-      val ot = s"graft_bkt_orders${safe}_b$buckets"
-      val lt = s"graft_bkt_lineitem${safe}_b$buckets"
+      val ot = s"graft_bkt_orders${safe}_b$nBuckets"
+      val lt = s"graft_bkt_lineitem${safe}_b$nBuckets"
       writeBucketed(spark.read.parquet(s"$sfDir/orders.parquet"),
-        ot, "o_orderkey", buckets)
+        ot, "o_orderkey", nBuckets)
       writeBucketed(spark.read.parquet(s"$sfDir/lineitem.parquet"),
-        lt, "l_orderkey", buckets)
+        lt, "l_orderkey", nBuckets)
       (ot, lt)
     })
+  }
 
   /** Join two bucketed tables on their bucket key — plans shuffle-free when
     * both were written with [[writeBucketed]] and equal bucket counts. When

@@ -51,12 +51,31 @@ object Relational {
     * rounded; DuckDB converts via scaled-int128 float ops) and the two can
     * land on ADJACENT doubles — observed at sf1 (q01/q03/q24, round 7). */
   private[graft] def exactSum(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (q, r) = exactSumParts(x)
+    exactSumFinish(sum(q), sum(r))
+  }
+
+  /** The per-row integer split of [[exactSum]]: `(q, r)` LONG micro-unit
+    * parts with `x·1e6 (rounded) = q·1e6 + r`, `r ∈ [0, 1e6)`. Split out
+    * (r19 optimization round) because LONG sums are ASSOCIATIVE: a query
+    * may pre-aggregate `(Σq, Σr)` per any intermediate key (shrinking every
+    * downstream exchange, guide §2.3) and [[exactSumFinish]] the grand
+    * totals — bit-identical to the one-shot [[exactSum]] however the
+    * partial sums are grouped, because every operation until the final
+    * reassembly is exact integer arithmetic. */
+  private[graft] def exactSumParts(x: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val m = floor(x * lit(1e6) + lit(0.5)) // LONG micro-units, per row
     val r = pmod(m, lit(1000000L))         // ∈ [0, 1e6) also for negative m
     // (m − r) is an exact multiple of 1e6 and ≤ 2^53 per row, so the double
     // division is exact and the long cast recovers ⌊m/1e6⌋ precisely
     val q = ((m - r) / lit(1000000L)).cast("long")
-    val (sq, sr) = (sum(q), sum(r))
+    (q, r)
+  }
+
+  /** Reassemble the summed [[exactSumParts]] into the double total. */
+  private[graft] def exactSumFinish(sq: org.apache.spark.sql.Column,
+      sr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val rq = pmod(sr, lit(1000000L))
     // (sr - rq) is an exact multiple of 1e6 but can approach 9.2e18, far
     // past double's 2^53 exact range — the carry MUST be integral division
@@ -173,6 +192,55 @@ object Relational {
     * no shuffle of lineitem for nation/region; orders/customer join keys
     * co-shuffle once. AQE handles the rest at scale. */
   def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+    val c  = t(spark, sfDir, "customer")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region")
+    // r19 optimization round (guide §2.3 "aggregate before you shuffle"):
+    // every join key on the way to r_name is a functional dependency
+    // (lineitem → order → customer → nation), so the revenue/count
+    // accumulators pre-aggregate at each hop and every exchange shrinks —
+    // fact rows collapse to per-order partials before the orders join, to
+    // per-customer partials before the customer join, to per-nation rows
+    // before the broadcast dims. Bit-identical to the join-first form: the
+    // [[exactSumParts]] split is exact LONG arithmetic (associative under
+    // any grouping) and reassembles ONCE at the end ([[exactSumFinish]]);
+    // the count is a sum of counts. Each groupBy's output partitioning
+    // feeds the next equi-join, so no extra exchanges appear.
+    val (q, rr) = exactSumParts(
+      col("l_extendedprice") * (lit(1) - col("l_discount")))
+    val perOrder = li
+      .select(col("l_orderkey"), q.as("q"), rr.as("r"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("q")).as("sq"), sum(col("r")).as("sr"))
+    val perCust = perOrder
+      .join(o.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sq")).as("sq"),
+        sum(col("sr")).as("sr"))
+    val perNation = perCust
+      .join(c.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sq")).as("sq"),
+        sum(col("sr")).as("sr"))
+    perNation
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("cnt")).as("n_items"),
+        exactSumFinish(sum(col("sq")), sum(col("sr"))).as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** The join-first formulation (pre-r19) — retained as the executable spec
+    * [[regionRevenue]] is parity-tested against (RelationalSpec); also the
+    * shape the DuckDB oracle replays. */
+  private[graft] def regionRevenueComposed(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
     val o  = t(spark, sfDir, "orders")
     val c  = t(spark, sfDir, "customer")

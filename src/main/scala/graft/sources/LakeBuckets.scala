@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * buckets than cores would starve the scan — this floor tracks whatever
   * core count the driver runs the bench at), capped at 4096 (past that the
   * small-files tax outweighs the parallelism). */
-private[sources] object LakeBuckets {
+private[graft] object LakeBuckets {
 
   def forDir(spark: SparkSession, parquetDir: String): Int = {
     val bytes = dirBytes(new java.io.File(parquetDir))

@@ -50,6 +50,22 @@ class EngineSpec extends SparkSpec {
     assert(p.zip(p.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q03 pre-aggregated rollup == join-first composed form (bit-exact)") {
+    // r19 optimization round: regionRevenue pre-aggregates the exactSum
+    // integer parts at every join hop (guide §2.3); LONG-part associativity
+    // makes it bit-identical to the join-first spec — assert exactly that
+    val fast = graft.operators.Relational.regionRevenue(spark, sf0001).collect()
+    val slow = graft.operators.Relational.regionRevenueComposed(spark, sf0001).collect()
+    assert(fast.length == slow.length)
+    fast.zip(slow).foreach { case (a, b) =>
+      assert(a.getAs[String]("r_name") == b.getAs[String]("r_name"))
+      assert(a.getAs[Long]("n_items") == b.getAs[Long]("n_items"))
+      assert(java.lang.Double.doubleToLongBits(a.getAs[Double]("revenue")) ==
+        java.lang.Double.doubleToLongBits(b.getAs[Double]("revenue")),
+        s"revenue bits differ for ${a.getAs[String]("r_name")}")
+    }
+  }
+
   test("star join broadcasts the dim tables (no shuffle of nation/region)") {
     val plan = SparkEntry.queries("q03_region_revenue")(spark, sf0001)
       .queryExecution.executedPlan.toString
