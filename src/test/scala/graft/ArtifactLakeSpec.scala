@@ -203,6 +203,35 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == direct, "rebuild after delete diverged")
   }
 
+  test("VocabLake artifact: serving forms == plain; rebuilds after delete; pin refuses") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val k = graft.operators.TextAnalysis.OovVocabK
+    val directOov = rows(graft.operators.TextAnalysis.oovRate(docs, k))
+    val directEnc = rows(graft.operators.TextAnalysis.encodeTokens(docs, k))
+    graft.sources.VocabLake.reset()
+    val v = graft.sources.VocabLake.topK(spark, sf0001, k)
+    // the artifact IS the vocabulary() output
+    assert(rows(v) == rows(graft.operators.TextAnalysis.vocabulary(docs, k)),
+      "vocab artifact diverged from direct vocabulary()")
+    assert(rows(graft.operators.TextAnalysis.oovRateWithVocab(docs, v)) == directOov,
+      "oov serving form diverged")
+    assert(rows(graft.operators.TextAnalysis.encodeTokensWithVocab(docs, v)) == directEnc,
+      "encode serving form diverged")
+    // identity pin (always-on): a different corpus frame fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.oovRateWithVocab(
+        docs.where(col("doc_id") % 3 === 0), v))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    // delete + reset: next read must rebuild from source
+    val dir = new java.io.File("target/vocab-lake")
+    if (dir.exists()) rm(dir)
+    graft.sources.VocabLake.reset()
+    val rebuilt = rows(graft.operators.TextAnalysis.oovRateWithVocab(docs,
+      graft.sources.VocabLake.topK(spark, sf0001, k)))
+    assert(rebuilt == directOov, "rebuild after delete diverged")
+    graft.CacheRegistry.release()
+  }
+
   test("ShinglePostingLake artifacts: prebuilt == plain; views derive from postings; pins refuse") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val direct = rows(graft.operators.Dedup.benchmarkContamination(docs))
