@@ -197,17 +197,37 @@ object Relational {
     val c  = t(spark, sfDir, "customer")
     val n  = t(spark, sfDir, "nation")
     val r  = t(spark, sfDir, "region")
-    // r19 optimization round (guide §2.3 "aggregate before you shuffle"):
-    // every join key on the way to r_name is a functional dependency
-    // (lineitem → order → customer → nation), so the revenue/count
-    // accumulators pre-aggregate at each hop and every exchange shrinks —
-    // fact rows collapse to per-order partials before the orders join, to
-    // per-customer partials before the customer join, to per-nation rows
-    // before the broadcast dims. Bit-identical to the join-first form: the
-    // [[exactSumParts]] split is exact LONG arithmetic (associative under
-    // any grouping) and reassembles ONCE at the end ([[exactSumFinish]]);
-    // the count is a sum of counts. Each groupBy's output partitioning
-    // feeds the next equi-join, so no extra exchanges appear.
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("r_name"))
+  }
+
+  /** The rollup-at-every-hop formulation (r19 optimization round, guide
+    * §2.3 "aggregate before you shuffle"): the [[exactSumParts]] integer
+    * split is associative, so revenue/count pre-aggregate per order, per
+    * customer, and per nation — each exchange carries order-of-magnitude
+    * fewer rows (fact side 60M → 15M into the orders join at sf10).
+    * Bit-identical to [[regionRevenue]] (EngineSpec pins revenue to the
+    * last bit). MEASURED and deliberately NOT the timed form: on local[32]
+    * exchanges are memory copies, so the shuffle-byte win doesn't buy wall
+    * time (sf10 solo 5.4 → 5.1 s) while the three extra aggregate stages
+    * cost real latency at the sf0.1 gate scale (0.50 → 0.99 s). On a
+    * network-bound cluster the trade reverses — this form is the 100 TB
+    * shape, kept compiled + parity-pinned for that deployment. */
+  private[graft] def regionRevenuePreagg(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val o  = t(spark, sfDir, "orders")
+    val c  = t(spark, sfDir, "customer")
+    val n  = t(spark, sfDir, "nation")
+    val r  = t(spark, sfDir, "region")
     val (q, rr) = exactSumParts(
       col("l_extendedprice") * (lit(1) - col("l_discount")))
     val perOrder = li
@@ -233,28 +253,6 @@ object Relational {
       .agg(
         sum(col("cnt")).as("n_items"),
         exactSumFinish(sum(col("sq")), sum(col("sr"))).as("revenue"))
-      .orderBy(col("r_name"))
-  }
-
-  /** The join-first formulation (pre-r19) — retained as the executable spec
-    * [[regionRevenue]] is parity-tested against (RelationalSpec); also the
-    * shape the DuckDB oracle replays. */
-  private[graft] def regionRevenueComposed(spark: SparkSession,
-      sfDir: String): DataFrame = {
-    val li = t(spark, sfDir, "lineitem")
-    val o  = t(spark, sfDir, "orders")
-    val c  = t(spark, sfDir, "customer")
-    val n  = t(spark, sfDir, "nation")
-    val r  = t(spark, sfDir, "region")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
       .orderBy(col("r_name"))
   }
 

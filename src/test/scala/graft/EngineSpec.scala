@@ -50,12 +50,13 @@ class EngineSpec extends SparkSpec {
     assert(p.zip(p.tail).forall { case (a, b) => a >= b })
   }
 
-  test("q03 pre-aggregated rollup == join-first composed form (bit-exact)") {
-    // r19 optimization round: regionRevenue pre-aggregates the exactSum
-    // integer parts at every join hop (guide §2.3); LONG-part associativity
-    // makes it bit-identical to the join-first spec — assert exactly that
-    val fast = graft.operators.Relational.regionRevenue(spark, sf0001).collect()
-    val slow = graft.operators.Relational.regionRevenueComposed(spark, sf0001).collect()
+  test("q03 pre-aggregated rollup == join-first timed form (bit-exact)") {
+    // r19 optimization round: the cluster-shape rollup pre-aggregates the
+    // exactSum integer parts at every join hop (guide §2.3); LONG-part
+    // associativity makes it bit-identical to the timed join-first form —
+    // assert exactly that, so the 100 TB shape stays deployable
+    val fast = graft.operators.Relational.regionRevenuePreagg(spark, sf0001).collect()
+    val slow = graft.operators.Relational.regionRevenue(spark, sf0001).collect()
     assert(fast.length == slow.length)
     fast.zip(slow).foreach { case (a, b) =>
       assert(a.getAs[String]("r_name") == b.getAs[String]("r_name"))
