@@ -18,14 +18,49 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!line.contains("\n"))
   }
 
-  test("summary line carries the contract fields and no per-query map") {
+  test("summary line carries the contract fields") {
     Seq("\"metric\":\"total\"", "\"value\":57.071", "\"unit\":\"sec\"",
       "\"cold_sec\":70.516", "\"warm_sec\":57.071", "\"n_queries\":73",
       "\"errors\":[\"alpha_q\",\"zeta_q\"]", "\"sf\":\"/root/testdata/sf0.1\"",
       "\"spark\":\"4.1.2\"", "\"cpus\":32", "\"cache_high_water_bytes\":1386200",
       "\"flags\":[\"warm1_load\"]", "\"inversions\":2", "\"sentinel_spread\":1.317")
       .foreach(f => assert(line.contains(f), s"missing $f in $line"))
-    assert(!line.contains("queries_warm") && !line.contains("knn_exact"))
+    assert(!line.contains("queries_warm"))
+  }
+
+  test("final line carries the budgeted per-query map (verdict r19 #1) and " +
+      "STILL fits the driver's 2000-char tail window with the sbt trailer") {
+    val qs = (1 to 128).map(i => (f"some_query_name_$i%03d", i * 0.05))
+    val subset = Bench.topQueriesForBudget(qs)
+    val withQ = Bench.summaryLine(57.0714, 70.5161, 128, Nil,
+      "/root/testdata/sf0.1", "4.1.2", "32", 1386200L,
+      flags = Seq("relayout:lineitem"), inversions = 0,
+      sentinelSpread = 1.317, queries = subset)
+    // the r4 failure mode: the full map (~3.0 kB at 3 dp) overran the
+    // driver's 2000-char tail and the round lost its headline metric; the
+    // budget must leave room for the trailing "[success] Total time..." line
+    assert(withQ.length < 2000 - 100, s"line too long (${withQ.length})")
+    assert(withQ.contains("\"queries\":{\"some_query_name_128\":6.400,"))
+    // hottest rows first, deterministic
+    assert(subset.head._1 == "some_query_name_128")
+    assert(subset == Bench.topQueriesForBudget(qs.reverse))
+    // an empty map renders NO queries key (subset runs with zero survivors)
+    assert(!line.contains("\"queries\""))
+  }
+
+  test("topQueriesForBudget packs greedily by (desc time, name) and skips -1 " +
+      "failure sentinels") {
+    val qs = Seq("fail" -> -1.0, "b" -> 2.0, "a" -> 2.0, "tiny" -> 0.001,
+      "huge_name_that_wont_fit_the_budget_x" -> 1.0)
+    val s = Bench.topQueriesForBudget(qs, budget = 30)
+    // "a"/"b" tie at 2.0 → name order; -1 never enters; budget cuts the rest
+    assert(s.map(_._1).startsWith(Seq("a", "b")))
+    assert(!s.exists(_._2 < 0))
+    assert(Bench.queryMapJson(s).length <= 30)
+    // full budget keeps every non-failed entry
+    val all = Bench.topQueriesForBudget(qs, budget = 10000)
+    assert(all.map(_._1).toSet == Set("a", "b", "tiny",
+      "huge_name_that_wont_fit_the_budget_x"))
   }
 
   test("a clean run renders empty flags and zero inversions (self-defense)") {
