@@ -513,7 +513,16 @@ case class PositionalFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "positional_fingerprint"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // non-null elements enforced at the TYPE level (ADVICE r19): the fused
+    // kernel streams element bytes without per-element null checks, so a
+    // null-bearing array would NPE an executor task instead of
+    // null-propagating like the composed transform+aggregate chain; arrays
+    // that may carry nulls must use the composed form
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      "positional_fingerprint expects ARRAY<STRING> with non-null elements " +
+        "(containsNull=false); use the composed transform+aggregate chain " +
+        "for null-bearing arrays")
     case other => TypeCheckResult.TypeCheckFailure(
       s"positional_fingerprint expects ARRAY<STRING>, got ${other.sql}")
   }
@@ -545,7 +554,15 @@ case class MinhashSignatureTokens(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sig_tokens"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    // non-null elements enforced at the TYPE level (ADVICE r19): the fused
+    // kernel streams token bytes into the digest with no per-element null
+    // checks, so a null-bearing array would NPE an executor task; arrays
+    // that may carry nulls must use minhash_sig(shingles3(...))
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, true) => TypeCheckResult.TypeCheckFailure(
+      "minhash_sig_tokens expects ARRAY<STRING> with non-null elements " +
+        "(containsNull=false); use minhash_sig(shingles3(...)) for " +
+        "null-bearing arrays")
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig_tokens expects ARRAY<STRING>, got ${other.sql}")
   }

@@ -176,25 +176,32 @@ object TokenEntropyExpr {
       l1 - l2
     }
 
-    /** In-place quicksort of slots[lo..hi] under [[cmp]] (median-of-3 pivot;
-      * u is doc-vocabulary-sized, recursion depth is fine). */
-    private def sort(lo: Int, hi: Int): Unit = {
-      if (lo >= hi) return
-      val mid = (lo + hi) >>> 1
-      // median-of-3: order lo, mid, hi then take mid as pivot
-      if (cmp(slots(mid), slots(lo)) < 0) swap(mid, lo)
-      if (cmp(slots(hi), slots(lo)) < 0) swap(hi, lo)
-      if (cmp(slots(hi), slots(mid)) < 0) swap(hi, mid)
-      val pivot = slots(mid)
-      var i = lo
-      var j = hi
-      while (i <= j) {
-        while (cmp(slots(i), pivot) < 0) i += 1
-        while (cmp(slots(j), pivot) > 0) j -= 1
-        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+    /** In-place quicksort of slots[lo..hi] under [[cmp]] (median-of-3
+      * pivot). Recurses into the SMALLER partition and loops on the larger
+      * (ADVICE r19): naive two-sided recursion has worst-case LINEAR depth,
+      * so a pathological doc with a very large distinct-token vocabulary
+      * could StackOverflow an executor task; the tail-loop form bounds
+      * stack depth at O(log n) with the identical comparison order. */
+    private def sort(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        // median-of-3: order lo, mid, hi then take mid as pivot
+        if (cmp(slots(mid), slots(lo)) < 0) swap(mid, lo)
+        if (cmp(slots(hi), slots(lo)) < 0) swap(hi, lo)
+        if (cmp(slots(hi), slots(mid)) < 0) swap(hi, mid)
+        val pivot = slots(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (cmp(slots(i), pivot) < 0) i += 1
+          while (cmp(slots(j), pivot) > 0) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        if (j - lo < hi - i) { sort(lo, j); lo = i }
+        else { sort(i, hi); hi = j }
       }
-      sort(lo, j)
-      sort(i, hi)
     }
 
     private def swap(i: Int, j: Int): Unit = {

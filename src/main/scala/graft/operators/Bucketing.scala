@@ -77,8 +77,46 @@ object Bucketing {
         ot, "o_orderkey", nBuckets)
       writeBucketed(spark.read.parquet(s"$sfDir/lineitem.parquet"),
         lt, "l_orderkey", nBuckets)
+      // only the scale-ADAPTIVE path sweeps: explicit counts are a caller
+      // decision (tests build several on purpose — the ADVICE r7 coexistence
+      // contract), while adaptive counts drift with the session's core count
+      // and are where stale layouts accumulated (ADVICE r19)
+      if (buckets <= 0)
+        dropSupersededLayouts(spark, safe, keep = Set(ot, lt), sfDir = sfDir)
       (ot, lt)
     })
+  }
+
+  /** Drop superseded bucketed layouts for the same sfDir (ADVICE r19): the
+    * scale-adaptive count derives from defaultParallelism at build time, so
+    * sessions with different core counts materialize differently-NAMED
+    * tables (`..._b8`, `..._b32`, ...) and the stale ones accumulated in
+    * the warehouse with no cleanup. Sweeps both the catalog and the
+    * warehouse DIRECTORY (a previous session's managed table survives only
+    * as its orphan location under the in-memory catalog), and purges the
+    * in-JVM memo entries whose tables just went away so a later explicit-
+    * count caller rebuilds instead of reading a dropped name. */
+  private def dropSupersededLayouts(spark: SparkSession, safe: String,
+      keep: Set[String], sfDir: String): Unit = {
+    val pat = s"graft_bkt_(orders|lineitem)${java.util.regex.Pattern.quote(safe)}_b\\d+".r
+    def isStale(n: String): Boolean =
+      pat.matches(n.toLowerCase) && !keep.contains(n.toLowerCase)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphanDirs = if (fs.exists(wh))
+      fs.listStatus(wh).toSeq.map(_.getPath).filter(p => isStale(p.getName))
+    else Nil
+    val catalogStale = spark.catalog.listTables().collect().toSeq
+      .map(_.name).filter(isStale)
+    (catalogStale ++ orphanDirs.map(_.getName)).distinct
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    orphanDirs.filter(fs.exists).foreach(fs.delete(_, true))
+    cache.keys.filter(k => k.startsWith(s"$sfDir#"))
+      .filter(k => cache.get(k).exists { case (o, l) =>
+        !keep.contains(o.toLowerCase) && isStale(o.toLowerCase) ||
+          !keep.contains(l.toLowerCase) && isStale(l.toLowerCase) })
+      .foreach(cache.remove)
   }
 
   /** Join two bucketed tables on their bucket key — plans shuffle-free when
