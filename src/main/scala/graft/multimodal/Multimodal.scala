@@ -446,31 +446,42 @@ object Multimodal {
       .withColumn("bv", col("bb.bv"))
       .drop("bb")
 
-  /** Per-class duplicate verdict: for each probe-side class `a`, aggregate
-    * over every corpus class `b` within `maxHamming` joint bits (same
-    * lang; `a` always matches itself when it is part of the corpus):
+  /** Per-class duplicate verdict — one row per probe class that IS
+    * duplicated: some corpus class `b` within `maxHamming` joint bits (same
+    * lang) either spans ≥ 2 docs or is owned by a doc other than the probe
+    * class's own. Emitting the verdict as pure EXISTENCE (r20, guide §3 —
+    * the r16 multi-arm semi-join generalized to the whole verdict) is what
+    * lets ONE left-semi join replace the former solo×solo full-enumeration
+    * aggregate + solo×multi semi + full_outer recombine: the old solo×solo
+    * arm enumerated every same-bucket solo pair to aggregate owner min/max,
+    * but the dup predicate only ever asked "∃ a different-doc frame within
+    * range?", and a semi join stops scanning a probe row's bucket at its
+    * first qualifying match (measured at sf10: the agg arm was 5.8–7.6 s vs
+    * 2.9–3.5 s for the equivalent semi arm over MORE candidates — the dense
+    * tail-frame ball finds a qualifying neighbor almost immediately).
     *
-    *   - `any_multi` — some matching class spans ≥ 2 docs ⇒ EVERY frame of
-    *     `a` has a different-doc frame within range;
-    *   - `solo_min` / `solo_max` — min and max single-doc owner among
-    *     matching solo classes: a frame of doc `d` is duplicated iff some
-    *     matching class is owned by a doc ≠ `d`, and min/max carry exactly
-    *     the distinctions the predicate tests (min ≠ max ⟺ ≥ 2 distinct
-    *     owners; min == max names the one owner).
+    * Soundness of the owner test (the reason a single `probe_owner` column
+    * suffices): in every serving form the probe classes are PART OF the
+    * corpus universe (batch form: probe == corpus; incremental form: the
+    * merged quotient contains every batch class), so a SOLO probe class has
+    * exactly one holder anywhere, and every frame that joins the class in
+    * [[shareFromVerdicts]] belongs to that holder — "some matching class
+    * owned by a doc ≠ the frame's" ⟺ "owned by a doc ≠ probe_owner". A
+    * probe class ABSENT from the corpus (no serving caller does this) uses
+    * its own solo_doc as the owner, which is only exact when the probe
+    * class is solo within the probe set — documented precondition.
     *
-    * All three aggregates are duplicate-insensitive (max / min / max), so
-    * class pairs matching on several bands need no pre-distinct — the r12
-    * frame-level form paid a matched-frames-sized shuffle for exactly that
-    * dedup. */
+    * Self-match never qualifies (same class ⇒ solo with the same owner ⇒
+    * both disjuncts false), so probe classes with no other-doc neighbor get
+    * NO verdict row — [[shareFromVerdicts]] reads absence as not-dup, which
+    * matches the old always-emitted self-match row evaluating to not-dup. */
   private[graft] def classVerdicts(probeClasses: DataFrame, corpusClasses: DataFrame,
       maxHamming: Int, cells: Int): DataFrame = {
     // Solo-probe split (r16, the near_dup_frames sf10 floor): a probe class
     // that exists in the corpus with n_docs ≥ 2 matches ITSELF at distance
-    // 0, so `any_multi = 1` holds with NO candidate generation — and
-    // any_multi alone already decides the dup predicate for every frame of
-    // the class ([[shareFromVerdicts]]: the OR short-circuits). Only SOLO
-    // probe classes enter the banded join, which cuts the Σ pop² candidate
-    // work to Σ soloPop·pop — measured at sf10 (2.32M classes, 37% multi):
+    // 0, so the verdict holds with NO candidate generation. Only SOLO probe
+    // classes enter the banded join, which cuts the Σ pop² candidate work
+    // to Σ soloPop·pop — measured at sf10 (2.32M classes, 37% multi):
     // 1.32G → 617M, with the probe-side band explosion down 9.3M → 5.9M
     // rows (AbPhashCensus; the sub-band recursion alternative measured
     // 884M for a 4× key explosion and was rejected — the dense tail-frame
@@ -481,78 +492,55 @@ object Multimodal {
     val probeN =
       if (probeClasses eq corpusClasses)
         // batch form: probe and corpus are the SAME (cached) class table, so
-        // the multiplicity lookup is a projection, not a self-join
+        // the multiplicity/owner lookup is a projection, not a self-join
         corpusClasses.select(col("lang"), col("ahash"), col("dhash"),
-          col("n_docs").as("probe_n_docs"))
-      else probeClasses.select(col("lang"), col("ahash"), col("dhash"))
+          col("n_docs").as("probe_n_docs"), col("solo_doc").as("probe_owner"))
+      else probeClasses
+        .select(col("lang"), col("ahash"), col("dhash"),
+          col("solo_doc").as("own_solo"))
         .join(corpusClasses
             .select(col("lang"), col("ahash"), col("dhash"),
-              col("n_docs").as("probe_n_docs")),
+              col("n_docs").as("probe_n_docs"),
+              col("solo_doc").as("corpus_solo")),
           Seq("lang", "ahash", "dhash"), "left")
+        // the corpus-side owner when present (the merged universe's one
+        // holder); probes absent from the corpus fall back to their own
+        .select(col("lang"), col("ahash"), col("dhash"),
+          col("probe_n_docs"),
+          coalesce(col("corpus_solo"), col("own_solo")).as("probe_owner"))
     val multiVerdicts = probeN.where(col("probe_n_docs") > 1)
-      .select(col("lang"), col("ahash"), col("dhash"),
-        lit(1).as("any_multi"),
-        lit(null).cast("long").as("solo_min"),
-        lit(null).cast("long").as("solo_max"))
-    // probes absent from the corpus (external probe sets) have no self-match
-    // and take the join path like solo classes
+      .select(col("lang"), col("ahash"), col("dhash"))
     val soloProbes = probeN
       .where(col("probe_n_docs").isNull || col("probe_n_docs") === 1)
-      .select(col("lang"), col("ahash"), col("dhash"))
+      .select(col("lang"), col("ahash"), col("dhash"), col("probe_owner"))
     val bandedSolo = bandClasses(soloProbes, cells)
     val bandKeys = col("a.lang") === col("b.lang") &&
       col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
-    // solo × solo arm — full enumeration, because the verdict needs the
-    // owner min/max. The dup predicate only ever asks "≥ 2 distinct solo
-    // owners?" and "the single owner, if unique" — which is exactly
-    // min ≠ max / min == max of the owners (two solo classes can share an
-    // owner, and min == max is still the right answer then). min/max are
-    // plain partial-aggregable aggregates; the previous countDistinct paid
-    // an Expand + dedup pass over the full candidate-join output.
-    val soloCorpus = corpusClasses.where(col("n_docs") === 1)
-    val soloAgg = bandedSolo.as("a")
-      .join(bandClasses(soloCorpus, cells).as("b"), bandKeys)
-      .where(jointHamming <= maxHamming)
-      .groupBy(col("a.lang").as("lang"), col("a.ahash").as("ahash"),
-        col("a.dhash").as("dhash"))
-      .agg(min(col("b.solo_doc")).as("solo_min"),
-        max(col("b.solo_doc")).as("solo_max"))
-    // solo × multi arm — pure EXISTENCE ("some multi class within range"),
-    // so a LEFT SEMI join does it: the join stops scanning a probe row's
-    // bucket at its first within-range match instead of enumerating the
-    // whole bucket (sf10 census: 315M of the 617M candidate work sits in
-    // this arm, and in the dense tail-frame buckets a matching multi class
-    // is found almost immediately).
-    val multiHits = bandedSolo.as("a")
-      .join(bandClasses(corpusClasses.where(col("n_docs") > 1), cells).as("b"),
-        bandKeys && jointHamming <= maxHamming, "left_semi")
+    // ONE semi join against ALL corpus classes with the combined qualifying
+    // condition — strictly less bucket scanning than either old arm alone,
+    // because the scan stops at the first match of EITHER kind
+    val hits = bandedSolo.as("a")
+      .join(bandClasses(corpusClasses, cells).as("b"),
+        bandKeys && jointHamming <= maxHamming &&
+          (col("b.n_docs") > 1 || col("b.solo_doc") =!= col("a.probe_owner")),
+        "left_semi")
       .select(col("a.lang").as("lang"), col("a.ahash").as("ahash"),
         col("a.dhash").as("dhash"))
       .distinct() // a probe class semi-hits on up to PhashBands band rows
-      .withColumn("am", lit(1))
-    val soloVerdicts = soloAgg
-      .join(multiHits, Seq("lang", "ahash", "dhash"), "full_outer")
-      .select(col("lang"), col("ahash"), col("dhash"),
-        coalesce(col("am"), lit(0)).as("any_multi"),
-        col("solo_min"), col("solo_max"))
-    soloVerdicts.unionByName(multiVerdicts)
+    hits.unionByName(multiVerdicts)
   }
 
   /** Expand class verdicts back to the per-doc share rollup: one linear
     * equi-join on the class key (the verdict table is O(classes) — AQE
-    * broadcasts it), then the O(docs) aggregate. */
+    * broadcasts it), then the O(docs) aggregate. A verdict row's PRESENCE
+    * is the dup signal ([[classVerdicts]] emits only duplicated classes). */
   private[graft] def shareFromVerdicts(frameSketches: DataFrame,
       verdicts: DataFrame): DataFrame =
     frameSketches
       .select(col("doc_id"), col("frame_no"), col("lang"), col("ahash"),
         col("dhash"))
-      .join(verdicts, Seq("lang", "ahash", "dhash"), "left")
-      .withColumn("dup",
-        // ≥ 2 distinct solo owners ⟺ solo_min ≠ solo_max; exactly one ⟺
-        // solo_min == solo_max (then it must differ from the frame's own doc)
-        when(col("any_multi") === 1 || col("solo_min") =!= col("solo_max") ||
-          (col("solo_min") === col("solo_max") &&
-            col("solo_min") =!= col("doc_id")), lit(1)))
+      .join(verdicts.withColumn("dup", lit(1)),
+        Seq("lang", "ahash", "dhash"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_frames"),

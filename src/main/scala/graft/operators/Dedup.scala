@@ -1051,6 +1051,54 @@ object Dedup {
           col("n_shingles"), 6).as("novelty"))
   }
 
+  /** [[ngramNovelty]] over the PRECOMPUTED shingle-set and df artifacts
+    * (r20, verdict r19 #5 — [[graft.sources.NgramPostingLake]]): the ingest
+    * sink already holds every doc's sorted distinct shingle hashes and the
+    * df table is its per-version compaction view, so the timed row pays the
+    * PER-DOC NOVELTY PROBE — explode the sets, semi-join the df=1
+    * membership on (lang, s), roll up per doc — the `unigram_logprob`
+    * serving shape. Row-identical to [[ngramNovelty]]: a df=1 (lang, s) key
+    * is held by exactly one doc, so the semi-join credits precisely the
+    * rows the unique-owner aggregate credited (NovletyLakeSpec-style parity
+    * pinned in ArtifactLakeSpec); lang compares null-safe because the
+    * in-query form's groupBy treats null langs as one group. `documents`
+    * feeds only the always-on corpus-identity pin. */
+  def ngramNoveltyPrebuilt(documents: DataFrame, sets: DataFrame,
+      dfStats: DataFrame): DataFrame = {
+    CorpusPin.check(documents, sets, "sh",
+      CorpusCountKey, CorpusXorKey, DebugAssertSpanCorpusProp,
+      "ngramNoveltyPrebuilt",
+      (sn, sx, n, x) =>
+        s"ngramNoveltyPrebuilt: the ngram posting artifacts cover a " +
+          s"different corpus (count/xor $sn/$sx vs $n/$x) — every doc would " +
+          "silently mis-count; rebuild the ngram lake for this corpus")
+    val df1 = dfStats.where(col("df") === 1)
+      .select(col("lang").as("u_lang"), col("s").as("u_s"))
+    val uniq = sets
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+      .join(df1, col("lang") <=> col("u_lang") && col("s") === col("u_s"),
+        "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    sets.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_shingles"), 6).as("novelty"))
+  }
+
+  /** Prewarm hook for the always-on corpus pin: runs
+    * [[ngramNoveltyPrebuilt]]'s identity check so the first timed serving
+    * query finds the verdict memoized. */
+  def verifyNgramCorpus(documents: DataFrame, sets: DataFrame): Unit =
+    CorpusPin.check(documents, sets, "sh",
+      CorpusCountKey, CorpusXorKey, DebugAssertSpanCorpusProp,
+      "ngramNoveltyPrebuilt",
+      (sn, sx, n, x) =>
+        s"verifyNgramCorpus: the ngram posting artifacts cover a different " +
+          s"corpus (count/xor $sn/$sx vs $n/$x)")
+
   /** Near-dup survivor selection — the full dedup pipeline's last stage:
     * candidates (blocked shingle join) → verification (Jaccard ≥ τ) → keep
     * policy "drop any doc that duplicates a lower doc_id". One anti-join

@@ -203,6 +203,40 @@ class ArtifactLakeSpec extends SparkSpec {
     assert(rebuilt == direct, "rebuild after delete diverged")
   }
 
+  test("NgramPostingLake artifacts: prebuilt == plain; dfStats derives from sets; rebuilds; pin refuses") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val direct = rows(graft.operators.Dedup.ngramNovelty(docs))
+    graft.CacheRegistry.release()
+    graft.sources.NgramPostingLake.reset()
+    val sets = graft.sources.NgramPostingLake.sets(spark, sf0001)
+    val dfs = graft.sources.NgramPostingLake.dfStats(spark, sf0001)
+    // the serving form over the artifacts == the in-query form
+    val served = rows(graft.operators.Dedup.ngramNoveltyPrebuilt(docs, sets, dfs))
+    assert(served == direct,
+      s"prebuilt diverged: ${served.size} vs ${direct.size}")
+    assert(served.nonEmpty)
+    // the df view must be the (lang, s) rollup OF the sets artifact
+    assert(rows(dfs) == rows(sets
+        .select(col("lang"), explode(col("sh")).as("s"))
+        .groupBy(col("lang"), col("s")).agg(count(lit(1)).as("df"))),
+      "dfStats view diverged from sets rollup")
+    graft.CacheRegistry.release()
+    // identity pin (always-on): a different corpus frame fails loudly
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Dedup.ngramNoveltyPrebuilt(
+        docs.where(col("doc_id") % 3 === 0), sets, dfs))
+    assert(ex.getMessage.contains("different corpus"), ex.getMessage)
+    // delete + reset: next read must rebuild from source
+    val dir = new java.io.File("target/ngram-lake")
+    if (dir.exists()) rm(dir)
+    graft.sources.NgramPostingLake.reset()
+    val rebuilt = rows(graft.operators.Dedup.ngramNoveltyPrebuilt(docs,
+      graft.sources.NgramPostingLake.sets(spark, sf0001),
+      graft.sources.NgramPostingLake.dfStats(spark, sf0001)))
+    graft.CacheRegistry.release()
+    assert(rebuilt == direct, "rebuild after delete diverged")
+  }
+
   test("VocabLake artifact: serving forms == plain; rebuilds after delete; pin refuses") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val k = graft.operators.TextAnalysis.OovVocabK
